@@ -1,0 +1,451 @@
+"""Reference-fidelity query layer (SURVEY.md section 2), expressed on the
+driver's TPC-H-ish fixture tables.
+
+Every reference operator shape gets a ``(spark, sf_dir) -> DataFrame``
+builder here plus a DuckDB oracle SQL string. The driver hash-compares
+the two at sf=0.01, so both sides follow one convention:
+
+**Exact-decimal money.** The reference's correctness bar is exact decimal
+comparison (/root/reference/db_test.go:262-267; money is Jet ``Currency``
+-> ``DECIMAL(19,4)``, /root/reference/hhek2sqlite.go:197). The fixture
+stores money as float64, so every money expression casts to
+``DECIMAL(18,2)`` *before* aggregation — decimal sums are exact and
+order-independent in both Spark and DuckDB, where float sums are neither.
+Final outputs re-cast to a fixed precision/scale so both engines report
+the identical type. No ``avg`` via floating point; derived ratios are
+decimal-division-free (sum+count pairs instead).
+
+**Scale.** Each builder is a declarative plan: filters/projections reach
+the parquet scan via Catalyst pushdown, joins are plain equi-joins that
+AQE plans (broadcast for dimension tables, sort-merge + skew-split for
+fact-fact). Nothing collects to the driver; nothing is order-dependent
+except explicitly sorted top-k outputs with a unique tiebreaker.
+
+Reference parity citations are on each builder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hhek2sqlite_spark.sources.parquet import load_table
+
+MONEY = "decimal(18,2)"  # per-row money values (fixture prices < 10^8)
+MONEY_SUM = "decimal(38,2)"  # aggregated money (headroom for 100 TB sums)
+MONEY4_SUM = "decimal(38,4)"  # aggregated money with discount scale
+
+
+def _money(col):
+    return F.col(col).cast(MONEY) if isinstance(col, str) else col.cast(MONEY)
+
+
+# ---------------------------------------------------------------------------
+# A2 — flagship: balance reconciliation
+# Reference: account balance = start + deposits - purchases, asserted exact
+# (/root/reference/db_test.go:142-149,381-386). Mapped: per-customer balance
+# = acctbal + sum(signed lineitem amount), sign negative for returned items
+# ('R' plays the reference's Inkop/purchase role, deposits otherwise).
+# ---------------------------------------------------------------------------
+
+def q_balance_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    signed = lineitem.select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", -_money("l_extendedprice"))
+        .otherwise(_money("l_extendedprice"))
+        .alias("signed_amt"),
+    )
+    # lineitem->orders is fact-fact (sort-merge at scale); orders->customer
+    # AQE-broadcasts while customer is small and shuffles when it is not.
+    ledger = (
+        signed.join(orders.select("o_orderkey", "o_custkey"), signed.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("signed_amt").alias("net"))
+    )
+    return (
+        ledger.join(customer, ledger.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            _money("c_acctbal").cast(MONEY_SUM).alias("start_saldo"),
+            F.col("net").cast(MONEY_SUM).alias("ledger_net"),
+            (_money("c_acctbal") + F.col("net")).cast(MONEY_SUM).alias("saldo"),
+        )
+    )
+
+
+SQL_BALANCE_RECONCILIATION = f"""
+WITH signed AS (
+    SELECT l_orderkey,
+           CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS {MONEY})
+                ELSE CAST(l_extendedprice AS {MONEY}) END AS signed_amt
+    FROM lineitem
+), ledger AS (
+    SELECT o.o_custkey, SUM(s.signed_amt) AS net
+    FROM signed s JOIN orders o ON s.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+)
+SELECT c.c_custkey AS c_custkey,
+       c.c_name AS c_name,
+       CAST(CAST(c.c_acctbal AS {MONEY}) AS {MONEY_SUM}) AS start_saldo,
+       CAST(l.net AS {MONEY_SUM}) AS ledger_net,
+       CAST(CAST(c.c_acctbal AS {MONEY}) + l.net AS {MONEY_SUM}) AS saldo
+FROM ledger l JOIN customer c ON l.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 — COUNT(*) per table (/root/reference/hhek2sqlite.go:1137-1146,
+# db_test.go:404-408): the reference's progress denominator + row-count
+# assertions, as one unioned relation.
+# ---------------------------------------------------------------------------
+
+_COUNT_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in _COUNT_TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+SQL_ROW_COUNTS = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in _COUNT_TABLES
+)
+
+
+# ---------------------------------------------------------------------------
+# P2 — point lookup on PK (/root/reference/db_test.go:414-415,476-478):
+# parameterized WHERE (Lopnr=?) returning <=1 row. Catalyst pushes the
+# predicate into the parquet scan (PushedFilters: [EqualTo(c_custkey,42)]).
+# ---------------------------------------------------------------------------
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", _money("c_acctbal").alias("acctbal"))
+    )
+
+
+SQL_POINT_LOOKUP = f"""
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       CAST(c_acctbal AS {MONEY}) AS acctbal
+FROM customer WHERE c_custkey = 42
+"""
+
+
+# ---------------------------------------------------------------------------
+# Latent FK joins (SURVEY.md 2.3): customer->nation->region, the engine's
+# materialization of the reference's implicit FKs
+# (/root/reference/db_test.go:290-309). Dimensions broadcast.
+# ---------------------------------------------------------------------------
+
+def q_fk_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_money("c_acctbal")).cast(MONEY_SUM).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_FK_JOIN_REGION = f"""
+SELECT r.r_name AS r_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS {MONEY})) AS {MONEY_SUM}) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Orphan detection / referential integrity (SURVEY.md 2.3): left_anti join,
+# the engine's version of the reference roundtrip count checks
+# (/root/reference/db_test.go:150-171). Emitted as per-FK orphan counts so
+# the result is stable (single row per relationship).
+# ---------------------------------------------------------------------------
+
+def q_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    li_orphans = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.lit("lineitem->orders").alias("fk"), F.count(F.lit(1)).alias("n_orphans"))
+    )
+    ord_orphans = (
+        orders.select("o_custkey")
+        .join(customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.lit("orders->customer").alias("fk"), F.count(F.lit(1)).alias("n_orphans"))
+    )
+    return li_orphans.unionAll(ord_orphans)
+
+
+SQL_ORPHAN_CHECK = """
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — running balance window: the reference's Transaktioner.Saldo column
+# (maintained per-row by the original app, dropped by the converter at
+# /root/reference/hhek2sqlite.go:260 because it is derivable). Derived here
+# per customer over order date with the PK as deterministic tiebreaker
+# (SURVEY.md 2.6: Spark promises no row order, so golden determinism needs
+# the explicit sort key).
+# ---------------------------------------------------------------------------
+
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_money("o_totalprice")).over(w).cast(MONEY_SUM).alias("saldo"),
+    )
+
+
+SQL_RUNNING_BALANCE = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {MONEY_SUM}) AS saldo
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Budget pivot (SURVEY.md 2.4): the reference's Budget table is a
+# materialized 12-month MONEY pivot (/root/reference/hhek2sqlite.go:1041);
+# its analytic equivalent is groupBy(Typ).pivot(month).sum. Mapped onto
+# order priority x order month.
+# ---------------------------------------------------------------------------
+
+_MONTHS = ("jan", "feb", "mar", "apr", "maj", "jun", "jul", "aug", "sep", "okt", "nov", "dec")
+
+
+def q_budget_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.select(
+            F.col("o_orderpriority").alias("typ"),
+            F.month("o_orderdate").alias("m"),
+            _money("o_totalprice").alias("amt"),
+        )
+        # explicit pivot values -> single shuffle, no value-discovery job
+        .groupBy("typ")
+        .pivot("m", list(range(1, 13)))
+        .agg(F.sum("amt"))
+    )
+    cols = [F.col("typ")] + [
+        F.coalesce(F.col(str(i + 1)), F.lit(0)).cast(MONEY_SUM).alias(name)
+        for i, name in enumerate(_MONTHS)
+    ]
+    return pivoted.select(*cols)
+
+
+SQL_BUDGET_PIVOT = "SELECT o_orderpriority AS typ, " + ", ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN month(o_orderdate) = {i + 1} "
+    f"THEN CAST(o_totalprice AS {MONEY}) END), 0) AS {MONEY_SUM}) AS {name}"
+    for i, name in enumerate(_MONTHS)
+) + " FROM orders GROUP BY o_orderpriority"
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness constraint check (SURVEY.md 4.3): the reference's unique
+# indexes (e.g. Konton.Benamning, /root/reference/hhek2sqlite.go:675) become
+# assertions -- duplicate-key groups must be empty. Returns offending keys.
+# ---------------------------------------------------------------------------
+
+def q_uniqueness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_UNIQUENESS_CHECK = """
+SELECT c_custkey, COUNT(*) AS n_dups FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table equivalence (SURVEY.md 2.7): the roundtrip test is semantically
+# A exceptAll A' == empty in both directions (/root/reference/db_test.go:104-136).
+# Demonstrated as a self-compare (the general two-table form is
+# operators/compare.py); count form keeps the result shape stable.
+# ---------------------------------------------------------------------------
+
+def q_table_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    b = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+    return diff.agg(F.count(F.lit(1)).alias("n_diff_rows"))
+
+
+SQL_TABLE_EQUIVALENCE = """
+WITH a AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+     b AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+     d AS ((SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+           UNION ALL (SELECT * FROM b EXCEPT ALL SELECT * FROM a))
+SELECT COUNT(*) AS n_diff_rows FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3/F8 — empty-bytes -> NULL (/root/reference/hhek2sqlite.go:639-643,
+# :1118-1122): len(x)<1 routed to SQL NULL. Applied to events.props and
+# summarized so the null-routing is observable in the result.
+# ---------------------------------------------------------------------------
+
+def q_empty_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    routed = events.select(
+        "event_type",
+        F.nullif(F.trim(F.col("props")), F.lit("")).alias("props_or_null"),
+    )
+    return routed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("props_or_null").alias("n_nonnull_props"),
+    )
+
+
+SQL_EMPTY_TO_NULL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(NULLIF(TRIM(props), '')) AS n_nonnull_props
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape) -- the bench headliner: wide scan, one
+# shuffle on a tiny key space, exact-decimal discount arithmetic
+# (decimal(18,2) * decimal(5,4) stays exact in both engines).
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = _money("l_extendedprice") * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(MONEY)).cast(MONEY_SUM).alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("sum_base_price"),
+            F.sum(disc_price).cast(MONEY4_SUM).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {MONEY})) AS {MONEY_SUM}) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS {MONEY4_SUM}) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k revenue (TPC-H Q3 shape): selective join + agg + deterministic
+# top-k (unique tiebreaker per SURVEY.md 2.6). TakeOrderedAndProject --
+# no global sort materializes at scale.
+# ---------------------------------------------------------------------------
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    disc_price = _money("l_extendedprice") * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(disc_price).cast(MONEY4_SUM).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = f"""
+SELECT o.o_orderkey AS o_orderkey, o.o_orderpriority AS o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS {MONEY}) * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))) AS {MONEY4_SUM}) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "balance_reconciliation": q_balance_reconciliation,
+    "row_counts": q_row_counts,
+    "point_lookup": q_point_lookup,
+    "fk_join_region": q_fk_join_region,
+    "orphan_check": q_orphan_check,
+    "running_balance": q_running_balance,
+    "budget_pivot": q_budget_pivot,
+    "uniqueness_check": q_uniqueness_check,
+    "table_equivalence": q_table_equivalence,
+    "empty_to_null": q_empty_to_null,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue": q_top_revenue,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "balance_reconciliation": SQL_BALANCE_RECONCILIATION,
+    "row_counts": SQL_ROW_COUNTS,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "fk_join_region": SQL_FK_JOIN_REGION,
+    "orphan_check": SQL_ORPHAN_CHECK,
+    "running_balance": SQL_RUNNING_BALANCE,
+    "budget_pivot": SQL_BUDGET_PIVOT,
+    "uniqueness_check": SQL_UNIQUENESS_CHECK,
+    "table_equivalence": SQL_TABLE_EQUIVALENCE,
+    "empty_to_null": SQL_EMPTY_TO_NULL,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue": SQL_TOP_REVENUE,
+}

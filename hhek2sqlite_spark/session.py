@@ -1,0 +1,68 @@
+"""SparkSession builder tuned for the engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads); the
+same conf is what we would ship to a 1000-executor cluster — every knob
+below is a scale decision, not a test convenience:
+
+- AQE on (runtime coalescing + skew-join splitting) so shuffle partition
+  counts self-tune as data grows 1000x.
+- ``spark.sql.shuffle.partitions`` is only the AQE *upper bound* seed; at
+  cluster scale you raise it to ~2-3x total cores and AQE coalesces down.
+- Arrow enabled for the few Pandas-UDF extension paths (similarity /
+  multimodal); the core uses none.
+- Decimal ops keep full precision (the reference's correctness bar is
+  exact-decimal compare, /root/reference/db_test.go:262-267).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "hhek2sqlite_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the tuned session.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster pass ~2-3x total executor cores and let AQE coalesce.
+    """
+    cpus = DEFAULT_CPUS
+    parts = shuffle_partitions if shuffle_partitions is not None else int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long and normalize in sources.parquet.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of our conf to a session we did
+    not build (the driver hands us one in ``__spark_entry__.entry``)."""
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some harnesses
+            pass
+    return spark

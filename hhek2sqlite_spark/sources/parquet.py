@@ -1,0 +1,67 @@
+"""Parquet sources for the driver's synthetic tables (TESTDATA.md).
+
+Scale notes: ``spark.read.parquet`` gives vectorized columnar scans with
+predicate pushdown + column pruning for free — every query in ``plans/``
+is written so its filters and projections reach the scan (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``). At
+100 TB the same call reads a partitioned directory tree; nothing here
+assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's fixture tables (TESTDATA.md). Order mirrors dependency-ish
+# order the way the reference fixes its ten-table copy order
+# (/root/reference/hhek2sqlite.go:1287-1296).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a raw
+    nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
+    convert to a real timestamp (microsecond truncation, matching what a
+    TIMESTAMP_NS -> TIMESTAMP cast does in DuckDB)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer DIV keeps full precision (epoch nanos overflow double's
+        # 53-bit mantissa, so float division would drift by microseconds)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

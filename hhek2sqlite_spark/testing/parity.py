@@ -1,0 +1,121 @@
+"""Local emulation of the driver's correctness gate: run a Spark query and
+its DuckDB oracle SQL side-by-side on the same parquet tables and compare
+row count + column names + order-insensitive values (exactly -- the driver
+hashes values, so "close" is not good enough).
+
+Normalization mirrors an order-insensitive value hash: columns sorted by
+name, rows sorted by all columns, every value rendered to a canonical
+string (decimals exact, floats via repr, timestamps ISO).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from hhek2sqlite_spark.sources.parquet import TABLES
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    problems: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:  # pragma: no cover - debugging aid
+        status = "OK " if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}"
+        for p in self.problems:
+            msg += f"\n    - {p}"
+        return msg
+
+
+def _num_canon(s: str) -> str:
+    if "e" in s or "E" in s:
+        s = format(decimal.Decimal(s), "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    if s in ("-0", ""):
+        s = "0"
+    return s
+
+
+def _canon_value(v) -> str:
+    import numpy as np
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "<NULL>"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, float):  # covers np.float64/np.float32
+        return _num_canon(repr(float(v)))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return _num_canon(format(v, "f"))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_value(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    return rows
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return ParityResult(name, False, len(spark_pdf), len(oracle_pdf), problems)
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append("row count mismatch")
+    s_rows = _canon_frame(spark_pdf)
+    o_rows = _canon_frame(oracle_pdf)
+    if s_rows != o_rows:
+        shown = 0
+        for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+            if a != b:
+                problems.append(f"row {i}: spark={a} oracle={b}")
+                shown += 1
+                if shown >= 5:
+                    break
+        if len(s_rows) != len(o_rows):
+            problems.append(f"row canon lengths differ: {len(s_rows)} vs {len(o_rows)}")
+        if not problems:
+            problems.append("value mismatch (rows differ but no pairwise diff?)")
+    return ParityResult(name, not problems, len(spark_pdf), len(oracle_pdf), problems)
+
+
+def run_parity(spark, name: str, query_fn, oracle_sql: str, sf_dir: str) -> ParityResult:
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(oracle_sql, sf_dir)
+    return compare_frames(name, spark_pdf, oracle_pdf)
