@@ -338,7 +338,10 @@ def render_create_index(table: str, dialect: str = "jet") -> list[str]:
     for ix in spec.indexes:
         uniq = "UNIQUE " if ix.unique else ""
         cols = ", ".join(_q(c, dialect) for c in ix.columns)
+        # Jet index names are per-table; SQLite's are database-global, so
+        # that dialect qualifies them with the table name
+        name = ix.name if dialect == "jet" else f"{spec.name}_{ix.name}"
         out.append(
-            f"CREATE {uniq}INDEX {_q(ix.name, dialect)} ON {_q(spec.name, dialect)} ({cols})"
+            f"CREATE {uniq}INDEX {_q(name, dialect)} ON {_q(spec.name, dialect)} ({cols})"
         )
     return out

@@ -1,0 +1,192 @@
+"""SQLite ingest/egress — the reference's container format, direction as
+a parameter (SURVEY.md S1-S9, 3.1-3.2).
+
+The reference copies MDB<->SQLite row-at-a-time with string-built INSERTs
+(/root/reference/hhek2sqlite.go:249-262). Here:
+
+- The *pipeline* is Spark: normalization, validation, joins and every
+  query run on DataFrames; Parquet is the at-scale storage.
+- The *SQLite file* is a single-node interchange container by nature
+  (one file, one writer). I/O therefore runs driver-side over the stdlib
+  ``sqlite3`` module, streamed via ``toLocalIterator`` (bounded memory)
+  with parameterized batched INSERTs inside one transaction per table
+  (the reference's T1 shape; its per-row-transaction T2 on Transaktioner
+  is a documented anti-pattern we do not replicate, SURVEY.md 2.11).
+  On a cluster with a JDBC SQLite driver on the classpath the same
+  DataFrames go through ``df.write.jdbc`` unchanged; the hhek tables are
+  dimension-sized, so driver-side I/O is not a scale bottleneck — the
+  100 TB path is Parquet.
+- Escaping (the reference's toUtf8 quote-doubling, F2) disappears:
+  parameter binding cannot corrupt quotes. Its *semantic* — data with
+  quotes/non-ASCII survives — is asserted by roundtrip tests.
+
+Fidelity notes: money travels as TEXT-formatted exact decimals into the
+DECIMAL(19,4) column (SQLite numeric affinity would otherwise coerce to
+lossy REAL); booleans as 0/1; NULLs as NULL (empty-string routing is the
+ingest normalizer's job, functions.scalars.empty_to_null).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import BooleanType, DecimalType
+
+from hhek2sqlite_spark.schema.registry import (
+    COPY_ORDER,
+    HHEK_TABLES,
+    render_create_index,
+    render_create_table,
+)
+
+_Q4 = Decimal("0.0001")
+
+
+def _to_sqlite_value(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _from_sqlite_value(v, dtype):
+    if v is None:
+        return None
+    if isinstance(dtype, DecimalType):
+        return Decimal(str(v)).quantize(_Q4)
+    if isinstance(dtype, BooleanType):
+        return bool(v)
+    return v
+
+
+def write_table(df: DataFrame, db_path: str, table: str, *, batch_size: int = 10_000) -> int:
+    """CREATE (dialect DDL from the registry) + truncate-before-load (S6)
+    + batched parameterized inserts in one transaction (T1). Returns the
+    row count written."""
+    spec = HHEK_TABLES[table]
+    cols = [c.name for c in spec.columns]
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(render_create_table(table, "sqlite").replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+        con.execute(f'DELETE FROM "{table}"')
+        placeholders = ", ".join("?" for _ in cols)
+        collist = ", ".join(f'"{c}"' for c in cols)
+        sql = f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders})'
+        n = 0
+        batch: list[tuple] = []
+        # stream partitions through the driver — bounded memory, no collect()
+        for row in df.select(*cols).toLocalIterator(prefetchPartitions=True):
+            batch.append(tuple(_to_sqlite_value(v) for v in row))
+            if len(batch) >= batch_size:
+                con.executemany(sql, batch)
+                n += len(batch)
+                batch.clear()
+        if batch:
+            con.executemany(sql, batch)
+            n += len(batch)
+        con.commit()
+        return n
+    except Exception:
+        con.rollback()  # T4 fail-fast: whole table or nothing
+        raise
+    finally:
+        con.close()
+
+
+def read_table(spark: SparkSession, db_path: str, table: str) -> DataFrame:
+    """Read one hhek table back into a typed DataFrame (registry schema,
+    exact decimals restored)."""
+    spec = HHEK_TABLES[table]
+    schema = spec.spark_schema()
+    cols = [c.name for c in spec.columns]
+    con = sqlite3.connect(db_path)
+    try:
+        collist = ", ".join(f'"{c}"' for c in cols)
+        raw = con.execute(f'SELECT {collist} FROM "{table}"').fetchall()
+    finally:
+        con.close()
+    dtypes = [f.dataType for f in schema.fields]
+    rows = [tuple(_from_sqlite_value(v, t) for v, t in zip(r, dtypes)) for r in raw]
+    return spark.createDataFrame(rows, schema)
+
+
+def write_database(
+    tables: dict[str, DataFrame],
+    db_path: str,
+    *,
+    overwrite: bool = True,
+    create_indexes: bool = False,
+) -> dict[str, int]:
+    """Write a full hhek database in the reference's fixed copy order
+    (/root/reference/hhek2sqlite.go:1287-1296). ``overwrite`` is the S7
+    destination reset; ``create_indexes`` mirrors the reverse-direction
+    secondary-index DDL (forward creates none, SURVEY.md 2.12)."""
+    if overwrite and os.path.exists(db_path):
+        os.remove(db_path)
+    counts = {}
+    for name in COPY_ORDER:
+        if name in tables:
+            counts[name] = write_table(tables[name], db_path, name)
+    if create_indexes:
+        con = sqlite3.connect(db_path)
+        try:
+            for name in COPY_ORDER:
+                if name in tables:
+                    for stmt in render_create_index(name, "sqlite"):
+                        con.execute(stmt)
+            con.commit()
+        finally:
+            con.close()
+    return counts
+
+
+def read_database(spark: SparkSession, db_path: str) -> dict[str, DataFrame]:
+    con = sqlite3.connect(db_path)
+    try:
+        present = {
+            r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")
+        }
+    finally:
+        con.close()
+    return {name: read_table(spark, db_path, name) for name in COPY_ORDER if name in present}
+
+
+def convert(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    create_indexes: bool = False,
+) -> dict[str, int]:
+    """Direction-reversible conversion, the reference's ``konvertera``
+    reimagined (/root/reference/hhek2sqlite.go:1230-1299): direction is
+    inferred from the endpoints instead of a ``-backa`` flag.
+
+    - ``.db -> dir``  : SQLite -> Parquet (one subdir per table)
+    - ``dir -> .db``  : Parquet -> SQLite
+    - ``.db -> .db``  : SQLite -> SQLite roundtrip
+    """
+    src_is_db = src.endswith(".db") or src.endswith(".sqlite")
+    dst_is_db = dst.endswith(".db") or dst.endswith(".sqlite")
+    tables = (
+        read_database(spark, src)
+        if src_is_db
+        else {
+            name: spark.read.parquet(os.path.join(src, name))
+            for name in COPY_ORDER
+            if os.path.exists(os.path.join(src, name))
+        }
+    )
+    if dst_is_db:
+        return write_database(tables, dst, create_indexes=create_indexes)
+    counts = {}
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(dst, name))
+        counts[name] = df.count()
+    return counts
