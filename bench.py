@@ -33,6 +33,14 @@ BENCH_QUERIES = (
     "budget_pivot",
     "fk_join_region",
     "orphan_check",
+    # extension tier: dedup / similarity / text / windows
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_pairs",
+    "similarity_topk",
+    "text_profile",
+    "events_sliding",
 )
 
 

@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of these at 100 TB):
+- Exact dedup is one hash-shuffle on the fingerprint — never a sort, and
+  the groupBy key is the md5 (fixed width), not the document body.
+- N-gram Jaccard prunes *hot shingles by document frequency* before the
+  pair join: without the df cap, one shingle shared by 10^5 docs creates
+  10^10 join pairs. With it, the candidate join is bounded by
+  sum_over_shingles(df^2) <= max_df * total_shingle_rows — linear-ish.
+  Thresholding uses integer cross-multiplication (den*shared >=
+  num*(union)), no float division anywhere, so results hash-match any
+  oracle engine.
+- MinHash: signatures in one groupBy (64 min-aggregates over 32-bit
+  shingle hashes), LSH banding (16 bands x 4 rows) so candidate
+  generation is an equi-join on (band, band_hash) — the only quadratic
+  work happens inside a bucket, which is what LSH exists to bound.
+- SimHash: 64-bit fingerprint from token-hash bit votes; banded Hamming
+  candidates via 16-bit chunks, verified with bit_count(xor) <= k.
+
+MinHash/SimHash use Spark's xxhash64/hash (no DuckDB equivalent), so
+their driver check is rows-only; the n-gram Jaccard operator is the
+hash-matched ground truth of the family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hhek2sqlite_spark.operators.text import fingerprint, normalized, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_keepers(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: the kept (minimum) id and the
+    multiplicity. ``filter(n_copies > 1)`` gives the removable set;
+    joining keepers back on id implements keep-first dedup."""
+    return (
+        documents.select(F.col(id_col), fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup: semi-join on (fp, keeper_id). Two hash
+    shuffles on a fixed-width key; no window over the full corpus."""
+    keepers = exact_dedup_keepers(documents, id_col)
+    with_fp = documents.withColumn("fp", fingerprint("text"))
+    return (
+        with_fp.join(
+            keepers.select("fp", F.col("keeper_id").alias(id_col)),
+            ["fp", id_col],
+            "left_semi",
+        )
+        .drop("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(documents: DataFrame, n: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-grams of the normalized text, one row per
+    (id, shingle). sequence+transform+explode stays in codegen; DISTINCT
+    collapses repeats before anything shuffles."""
+    norm = normalized("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return (
+        documents.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    *,
+    n: int = 8,
+    max_df: int = 20,
+    threshold_num: int = 1,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over *rare* shingles
+    (document frequency <= max_df). Returns (id_a, id_b, shared, na, nb)
+    for pairs with jaccard >= num/den, decided in integer arithmetic:
+    den*shared >= num*(na+nb-shared)."""
+    sh = shingles(documents, n, id_col)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")  # AQE broadcasts `rare` when small
+    sizes = sh_rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh_rare.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_rare.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb")), "id_b")
+        .filter(
+            F.col("shared") * threshold_den
+            >= F.lit(threshold_num) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "shared", "na", "nb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k minwise permutations; a is
+    kept < 2^29 so a*h32 + b stays within int64 (no overflow wrap)."""
+    params = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % ((1 << 29) - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % _MERSENNE61
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    documents: DataFrame, *, k: int = 64, n: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-wide MinHash signature per document in ONE aggregation: shingle
+    -> 32-bit hash, then k min((a_i*h + b_i) mod p) columns, assembled
+    into an array."""
+    sh = shingles(documents, n, id_col)
+    h32 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+    mins = [
+        F.min(F.pmod(h32 * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"s{i}" for i in range(k)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    *,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 8,
+    min_est_matches: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, then signature-estimated
+    similarity (count of equal components, an integer — est jaccard =
+    est_matches / k). Returns (id_a, id_b, est_matches)."""
+    rows = k // bands
+    sig = minhash_signatures(documents, k=k, n=n, id_col=id_col).cache()
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("signature", b * rows + 1, rows))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_hash"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_matches"))
+        .filter(F.col("est_matches") >= min_est_matches)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: every distinct token votes +-1 on each
+    bit of its xxhash64; fingerprint bit i is 1 iff the vote sum is
+    positive. One explode + one groupBy with 64 sum-aggregates."""
+    tok = documents.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame, *, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit chunk (pigeonhole: hamming<=3
+    over 4 chunks guarantees one equal chunk), verified by
+    bit_count(xor) <= max_hamming."""
+    fps = simhash_fingerprints(documents, id_col).cache()
+    chunked = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    pairs = (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "chunk_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("fp_a"),
+            F.col("y.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

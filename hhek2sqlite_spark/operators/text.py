@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality signals, language-ID heuristic, document fingerprinting.
+
+Design rules (100 TB):
+- Everything is a native column expression over one scan of ``documents``
+  — no UDFs, no collect, embarrassingly parallel per row, then at most
+  one shuffle for the aggregated views.
+- Outputs are integers / strings / md5 hex only: exact in any engine, so
+  every operator here is oracle-pairable (no float ratios whose summation
+  order could differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/token heuristic. Tokens are
+# lowercase exact matches; ties break alphabetically (deterministic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "das", "ist"),
+    "en": ("the", "and", "is", "of", "to", "in"),
+    "es": ("el", "la", "que", "los", "una", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "sv": ("och", "att", "det", "som", "en", "är"),
+}
+
+
+def normalized(text: Column | str) -> Column:
+    """Canonical text form shared by fingerprint/shingle operators:
+    lowercase, whitespace collapsed to single spaces, trimmed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of the normalized form."""
+    return F.split(normalized(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def digit_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+
+
+def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are marker stopwords for one language."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-token hits, 'und' when no
+    marker occurs. Deterministic tiebreak: higher count wins, then
+    alphabetical language code (via greatest over struct ordering)."""
+    scored = [
+        F.struct(
+            marker_hits(text, m).alias("hits"),
+            # invert code ordering so greatest() prefers alphabetically
+            # earlier codes on equal hits
+            F.lit(-ord(code[0]) * 256 - ord(code[1])).alias("inv"),
+            F.lit(code).alias("code"),
+        )
+        for code, m in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized form — stable across
+    engines and runs, usable as an exact-dedup / shard-assignment key."""
+    return F.md5(normalized(text))
+
+
+def quality_bucket(text: Column | str) -> Column:
+    """Quality scoring without float ratios: integer comparisons on
+    length/token/punct counts (scaled-integer cross-multiplication in
+    place of division), bucketed for downstream filtering."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    n_punct = punct_count(c)
+    n_digit = digit_count(c)
+    return (
+        F.when(n_chars < 20, "too_short")
+        .when(n_tok < 5, "too_few_tokens")
+        # punct ratio > 20%: 5*punct > chars
+        .when(n_punct * 5 > n_chars, "punct_heavy")
+        # digit ratio > 30%: 10*digits > 3*chars
+        .when(n_digit * 10 > n_chars * 3, "digit_heavy")
+        # avg token length > 15: chars > 15*tokens (whitespace slop ok)
+        .when(n_chars > n_tok * 16, "tokens_too_long")
+        .otherwise("ok")
+    )
+
+
+def document_profile(documents: DataFrame) -> DataFrame:
+    """Per-document profile: one scan, all signals."""
+    return documents.select(
+        "doc_id",
+        "source",
+        F.col("lang").alias("lang_labeled"),
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_uniq_tokens"),
+        digit_count("text").alias("n_digits"),
+        punct_count("text").alias("n_punct"),
+        lang_id("text").alias("lang_pred"),
+        quality_bucket("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Aggregated per-source corpus stats (one shuffle on ``source``)."""
+    p = document_profile(documents)
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang_labeled").alias("n_langs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        F.sum(F.when(F.col("quality") == "ok", 1).otherwise(0)).alias("n_quality_ok"),
+    )

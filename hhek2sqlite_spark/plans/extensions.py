@@ -1,0 +1,303 @@
+"""Extension-operator queries for the driver contract: dedup, similarity
+search, text analysis, multimodal metadata, event-time windows
+(SURVEY.md section 7 M4 — the training-data-pipeline tier).
+
+Oracle SQL is *generated from the same constants* as the Spark plans
+(marker words, shingle width, thresholds), so the two sides cannot
+drift. Operators built on Spark-specific hashes (xxhash64/hash) have no
+SQL oracle — the driver records a rows-only check for them, by design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hhek2sqlite_spark.operators import dedup, similarity
+from hhek2sqlite_spark.operators.multimodal import binary_metadata, decode_features, with_binary_payload
+from hhek2sqlite_spark.operators.text import LANG_MARKERS, document_profile, source_stats
+from hhek2sqlite_spark.sources.parquet import load_table
+from hhek2sqlite_spark.streaming import events as ev
+
+# shared SQL fragments -------------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _hits(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS}, x -> x IN ({lst})))"
+
+
+def _lang_case() -> str:
+    codes = sorted(LANG_MARKERS)
+    hits = {c: f"hits_{c}" for c in codes}
+    whens = []
+    for c in codes:
+        conds = [f"{hits[c]} >= {hits[o]}" for o in codes if o != c]
+        conds.append(f"{hits[c]} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{c}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+_PUNCT_CLASS = "[.,;:!?''\"()\\[\\]{}-]"  # '' = escaped quote inside SQL literal
+
+_PROFILE_CTE = f"""
+WITH base AS (
+    SELECT doc_id, source, lang AS lang_labeled, text,
+           {_NORM} AS norm,
+           {_TOKS} AS toks,
+           length(text) AS n_chars,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_uniq_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')) AS INTEGER) AS n_punct,
+           {" ".join(f"{_hits(m)} AS hits_{c}," for c, m in sorted(LANG_MARKERS.items()))[:-1]}
+    FROM documents
+), profile AS (
+    SELECT doc_id, source, lang_labeled,
+           CAST(n_chars AS INTEGER) AS n_chars,
+           n_tokens, n_uniq_tokens, n_digits, n_punct,
+           {_lang_case()} AS lang_pred,
+           CASE WHEN n_chars < 20 THEN 'too_short'
+                WHEN n_tokens < 5 THEN 'too_few_tokens'
+                WHEN n_punct * 5 > n_chars THEN 'punct_heavy'
+                WHEN n_digits * 10 > n_chars * 3 THEN 'digit_heavy'
+                WHEN n_chars > n_tokens * 16 THEN 'tokens_too_long'
+                ELSE 'ok' END AS quality,
+           md5(norm) AS fp
+    FROM base
+)
+"""
+
+
+# text analysis --------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = document_profile(load_table(spark, sf_dir, "documents"))
+    return prof.withColumn("n_chars", F.col("n_chars").cast("int")) \
+               .withColumn("n_tokens", F.col("n_tokens").cast("int")) \
+               .withColumn("n_uniq_tokens", F.col("n_uniq_tokens").cast("int")) \
+               .withColumn("n_digits", F.col("n_digits").cast("int")) \
+               .withColumn("n_punct", F.col("n_punct").cast("int"))
+
+
+SQL_TEXT_PROFILE = _PROFILE_CTE + "SELECT * FROM profile"
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_STATS = _PROFILE_CTE + """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+       COUNT(DISTINCT lang_labeled) AS n_langs,
+       COUNT(DISTINCT fp) AS n_distinct_fp,
+       SUM(CASE WHEN quality = 'ok' THEN 1 ELSE 0 END) AS n_quality_ok
+FROM profile GROUP BY source
+"""
+
+
+# dedup ----------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_keepers(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_NGRAM_N = 8
+_NGRAM_MAX_DF = 20
+_J_NUM, _J_DEN = 1, 10
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=_NGRAM_N,
+        max_df=_NGRAM_MAX_DF,
+        threshold_num=_J_NUM,
+        threshold_den=_J_DEN,
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), {_NGRAM_N}) AS shingle
+    FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - {_NGRAM_N - 1}, 0))) u(i)
+    WHERE length(substr(t, CAST(i AS INTEGER), {_NGRAM_N})) = {_NGRAM_N}
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_NGRAM_MAX_DF}),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shr GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.shared, sa.n_shingles AS na, sb.n_shingles AS nb
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE s.shared * {_J_DEN} >= {_J_NUM} * (sa.n_shingles + sb.n_shingles - s.shared)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark xxhash64-based — no SQL oracle (rows-only check, by design)
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark xxhash64-based — no SQL oracle (rows-only check, by design)
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# similarity search ----------------------------------------------------------
+
+_TOPK_QUERIES = 10
+_TOPK_K = 5
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=_TOPK_QUERIES, k=_TOPK_K
+    )
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           CAST(ROUND(1e6 * list_dot_product(q.e, c.e)
+                / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))) AS BIGINT) AS sim_e6
+    FROM e q, e c
+    WHERE q.vec_id < {_TOPK_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT q_id, vec_id, sim_e6,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, vec_id ASC) AS rnk
+    FROM scored
+)
+SELECT q_id, vec_id, sim_e6, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= {_TOPK_K}
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hyperplanes, but the 12x64 literal matrix makes a SQL
+    # twin impractical — rows-only check for the scale path
+    return similarity.lsh_bucket_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# multimodal -----------------------------------------------------------------
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return binary_metadata(load_table(spark, sf_dir, "documents")).withColumn(
+        "byte_len", F.col("byte_len").cast("int")
+    )
+
+
+SQL_MULTIMODAL_METADATA = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas plumbing with the deterministic fake decoder — rows-only
+    mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_features(mm, decoder="fake")
+
+
+# event-time windows ---------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.tumbling(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sliding(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+           + CASE WHEN minute(ts) >= 30 THEN 1800 ELSE 0 END AS grid,
+           event_type, value
+    FROM events
+),
+fanned AS (
+    SELECT grid - o.off AS window_start, event_type, value
+    FROM e, (VALUES (0), (1800)) o(off)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+FROM fanned GROUP BY 1, 2
+"""
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.user_activity(load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_ACTIVITY = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_epoch
+FROM events GROUP BY user_id
+"""
+
+
+# registry -------------------------------------------------------------------
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_profile": q_text_profile,
+    "source_stats": q_source_stats,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh": q_similarity_lsh,
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_features": q_multimodal_features,
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "user_activity": q_user_activity,
+}
+
+EXT_ORACLE_SQL: dict[str, str] = {
+    "text_profile": SQL_TEXT_PROFILE,
+    "source_stats": SQL_SOURCE_STATS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "multimodal_metadata": SQL_MULTIMODAL_METADATA,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "user_activity": SQL_USER_ACTIVITY,
+}

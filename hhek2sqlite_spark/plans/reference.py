@@ -417,6 +417,123 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Month-over-month (SURVEY.md 2.5): budget-vs-actual style analytic —
+# monthly revenue with LAG delta. The reference's Budget matrix is monthly;
+# this is the window-analytic reading of it.
+# ---------------------------------------------------------------------------
+
+def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+        )
+        .agg(F.sum(_money("o_totalprice")).cast(MONEY_SUM).alias("revenue"))
+    )
+    w = Window.orderBy("yr", "mon")
+    return monthly.select(
+        "yr",
+        "mon",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue", 1).over(w)).cast(MONEY_SUM).alias("mom_delta"),
+    )
+
+
+SQL_MONTH_OVER_MONTH = f"""
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(SUM(CAST(o_totalprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT yr, mon, revenue,
+       CAST(revenue - LAG(revenue, 1) OVER (ORDER BY yr, mon) AS {MONEY_SUM}) AS mom_delta
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range + multi-column predicates (SURVEY.md 2.2: absent in the reference,
+# free from Catalyst — both push to the parquet scan as PushedFilters).
+# ---------------------------------------------------------------------------
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 25)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("sum_price"),
+        )
+    )
+
+
+SQL_RANGE_FILTER = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_quantity < 25
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Three-way drilldown with HAVING: customer -> orders -> lineitem, the full
+# latent-FK chain of the model in one plan (join order left to Catalyst).
+# ---------------------------------------------------------------------------
+
+def q_customer_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("total_price"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+SQL_CUSTOMER_DRILLDOWN = f"""
+SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+HAVING COUNT(DISTINCT o.o_orderkey) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT (SURVEY.md 2.7: set-op family; map-side partial agg then one
+# shuffle on the pair key).
+# ---------------------------------------------------------------------------
+
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+SQL_DISTINCT_PAIRS = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -433,6 +550,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_to_null": q_empty_to_null,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
+    "month_over_month": q_month_over_month,
+    "range_filter": q_range_filter,
+    "customer_drilldown": q_customer_drilldown,
+    "distinct_pairs": q_distinct_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -448,4 +569,8 @@ ORACLE_SQL: dict[str, str] = {
     "empty_to_null": SQL_EMPTY_TO_NULL,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue": SQL_TOP_REVENUE,
+    "month_over_month": SQL_MONTH_OVER_MONTH,
+    "range_filter": SQL_RANGE_FILTER,
+    "customer_drilldown": SQL_CUSTOMER_DRILLDOWN,
+    "distinct_pairs": SQL_DISTINCT_PAIRS,
 }

@@ -1,0 +1,153 @@
+"""Extension-operator behavior tests (the oracle parity for the paired
+ones lives in test_oracle_parity; these cover semantics and the
+rows-only operators)."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from hhek2sqlite_spark.operators import dedup, multimodal, similarity
+from hhek2sqlite_spark.operators.text import document_profile, lang_id
+from hhek2sqlite_spark.sources.parquet import load_table
+from hhek2sqlite_spark.streaming import events as ev
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_removes_copies(spark):
+    df = _docs(spark, [
+        (1, "hello world", "en", "s", 11),
+        (2, "Hello   WORLD", "en", "s", 13),   # same after normalization
+        (3, "something else", "en", "s", 14),
+    ])
+    kept = dedup.exact_dedup(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    keepers = {r.keeper_id: r.n_copies for r in dedup.exact_dedup_keepers(df).collect()}
+    assert keepers == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [
+        (1, base, "en", "s", len(base)),
+        (2, base + " tail", "en", "s", len(base) + 5),  # near-dup
+        (3, "completely different text with other content here", "en", "s", 49),
+    ])
+    pairs = dedup.ngram_jaccard_pairs(df, max_df=10, threshold_num=1, threshold_den=2)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert all(p == (1, 2) for p in found)
+
+
+def test_minhash_detects_near_dup_and_signature_shape(spark):
+    base = " ".join(f"word{i}" for i in range(80))
+    df = _docs(spark, [
+        (1, base, "en", "s", len(base)),
+        (2, base + " extra", "en", "s", len(base) + 6),
+        (3, " ".join(f"other{i}" for i in range(80)), "en", "s", 100),
+    ])
+    sig = dedup.minhash_signatures(df)
+    assert sig.count() == 3
+    assert len(sig.collect()[0].signature) == 64
+    pairs = {(r.id_a, r.id_b): r.est_matches for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= 48  # ~90% true jaccard -> most components equal
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"token{i}" for i in range(100))
+    df = _docs(spark, [
+        (1, base, "en", "s", len(base)),
+        (2, base.replace("token5 ", "token5x "), "en", "s", len(base) + 1),
+        (3, " ".join(f"zzz{i}" for i in range(100)), "en", "s", 100),
+    ])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_lang_id_on_real_phrases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "el gato que vive en la casa es los"),
+            (3, "och det som att en katt är här"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lp for r in df.select("doc_id", lang_id("text").alias("lp")).collect()}
+    assert out == {1: "en", 2: "es", 3: "sv", 4: "und"}
+
+
+def test_similarity_topk_shape_and_selfexclusion(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.brute_force_topk(emb, n_queries=3, k=4).collect()
+    assert len(topk) == 12
+    for r in topk:
+        assert r.vec_id != r.q_id
+        assert 1 <= r.rank <= 4
+        assert -1_000_000 <= r.sim_e6 <= 1_000_000
+
+
+def test_similarity_lsh_agrees_with_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = similarity.lsh_bucket_pairs(emb, min_sim_e6=500_000)
+    # every LSH-returned pair must truly have sim >= threshold (verify step
+    # guarantees it: candidates are filtered by exact cosine)
+    assert lsh.filter(F.col("sim_e6") < 500_000).count() == 0
+
+
+def test_similarity_lsh_recall_on_planted_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plant a near-identical copy of vec 0 (cosine ~ 1): for a pair this
+    # close, collision probability per 4-bit band is ~1, so the banded
+    # OR-construction must surface it
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(clone)
+    pairs = similarity.lsh_bucket_pairs(planted, min_sim_e6=990_000)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1_000_000) in found
+
+
+def test_multimodal_stub_raises_and_fake_runs(spark, documents):
+    mm = multimodal.with_binary_payload(documents.limit(50))
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_features(mm, decoder="stub").collect()
+    assert "NotImplementedError" in str(exc.value) or "media decode" in str(exc.value)
+
+    feats = multimodal.decode_features(mm, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(r.n_bytes == r.features[0] for r in rows)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    batch = ev.tumbling(load_table(spark, sf_dir, "events"))
+    stream = ev.streaming_tumbling(spark, sf_dir, watermark="0 seconds")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_stream_tumbling")
+    from hhek2sqlite_spark.plans import hhek
+
+    assert hhek.tables_equivalent(batch, got).count() == 0
