@@ -98,20 +98,42 @@ def ngram_jaccard_pairs(
     for pairs with jaccard >= num/den, decided in integer arithmetic:
     den*shared >= num*(na+nb-shared)."""
     sh = shingles(documents, n, id_col)
-    rare = (
+    # ONE shuffle on the shingle: collect the (distinct, sorted) doc ids per
+    # shingle, drop hot shingles by df, and drop the shingle string itself —
+    # everything downstream needs only the id arrays. Cached because both
+    # the pair expansion and the per-doc sizes read it; the cached set is a
+    # fraction of the raw shingle rows (rare shingles only, no strings).
+    buckets = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") <= max_df)
+        .select("ids")
+        .cache()
     )
-    sh_rare = sh.join(rare, "shingle")  # AQE broadcasts `rare` when small
-    sizes = sh_rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a = sh_rare.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_rare.select(F.col(id_col).alias("id_b"), "shingle")
+    sizes = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # pair expansion stays in codegen: ids are sorted, so (ids[i], ids[j>i])
+    # enumerates each unordered pair once with id_a < id_b; fan-out is
+    # bounded by C(max_df, 2) per bucket — no self-join of the shingle set
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"),
+                    i + F.lit(2),
+                    F.greatest(F.size("ids") - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
