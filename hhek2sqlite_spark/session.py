@@ -38,6 +38,10 @@ def get_spark(app_name: str = "hhek2sqlite_spark", *, shuffle_partitions: int | 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce/repartition stages that sit on top of a cached
+        # plan (minhash/simhash cache their signature sets); without this
+        # a .cache() pins the pre-AQE partition count for every consumer
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -54,10 +58,21 @@ def get_spark(app_name: str = "hhek2sqlite_spark", *, shuffle_partitions: int | 
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our conf to a session we did
     not build (the driver hands us one in ``__spark_entry__.entry``)."""
+    try:
+        cores = str(spark.sparkContext.defaultParallelism)
+    except Exception:  # pragma: no cover
+        cores = "32"
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        # a vanilla session defaults to 200 shuffle partitions; on the
+        # driver's local session that is 200 tiny tasks per shuffle stage.
+        # Seed with the core count — AQE still coalesces below it.
+        ("spark.sql.shuffle.partitions", cores),
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ("spark.sql.parquet.filterPushdown", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
