@@ -68,6 +68,24 @@ def brute_force_topk(
     )
 
 
+def brute_force_neardup_pairs(
+    embeddings: DataFrame, *, min_sim_e6: int = 400_000
+) -> DataFrame:
+    """Exact all-pairs near-duplicate detection: every (id_a < id_b) pair
+    with cosine >= min_sim_e6/1e6. O(N^2) — this is the ORACLE TIER for
+    small N and for auditing the LSH path's recall; at corpus scale use
+    ``lsh_bucket_pairs`` (same output contract, sub-quadratic)."""
+    e = _doubled(embeddings)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim_e6(F.col("ea"), F.col("eb")).alias("sim_e6"))
+        .filter(F.col("sim_e6") >= min_sim_e6)
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG, no numpy state
     dependence) — same constants every run/engine."""

@@ -81,6 +81,45 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized(text))
 
 
+# Rolling-hash constants shared verbatim with the SQL oracle: base 31,
+# modulus 2^57 (keeps acc*31 + codepoint < 2^62, no int64 overflow in
+# either engine; DuckDB BIGINT errors on overflow rather than wrapping).
+ROLLING_BASE = 31
+ROLLING_MOD = 1 << 57
+
+# BPE-ish pre-tokenization over the normalized (lowercased) form: letter
+# runs, digit runs, single non-alphanumeric marks — the same class shape
+# GPT-2-style pre-tokenizers use, restricted to constructs whose regex
+# semantics are identical in Java (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash of the normalized form's code points:
+    h = (h*31 + codepoint) mod 2^57, left-to-right. An order-sensitive
+    integer fingerprint (md5's cheap cousin) computable identically in
+    any engine with a fold; used for shard assignment and cheap equality
+    pre-screening. Row-local, no shuffle."""
+    norm = normalized(text)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(norm.substr(i, F.lit(1))),
+    )
+    folded = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, cp: F.pmod(acc * F.lit(ROLLING_BASE) + cp, F.lit(ROLLING_MOD)),
+    )
+    # sequence(1, 0) would count DOWN in Spark — guard the empty string
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / single
+    marks) in the normalized form."""
+    return F.size(F.regexp_extract_all(normalized(text), F.lit(BPE_PATTERN), 0))
+
+
 def quality_bucket(text: Column | str) -> Column:
     """Quality scoring without float ratios: integer comparisons on
     length/token/punct counts (scaled-integer cross-multiplication in

@@ -16,8 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hhek2sqlite_spark.operators import dedup, similarity
+from hhek2sqlite_spark.operators.asof import as_of_join
 from hhek2sqlite_spark.operators.multimodal import binary_metadata, decode_features, with_binary_payload
-from hhek2sqlite_spark.operators.text import LANG_MARKERS, document_profile, source_stats
+from hhek2sqlite_spark.operators.sessionize import sessionize
+from hhek2sqlite_spark.operators.text import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    ROLLING_BASE,
+    ROLLING_MOD,
+    bpe_token_count,
+    document_profile,
+    rolling_fingerprint,
+    source_stats,
+)
 from hhek2sqlite_spark.sources.parquet import load_table
 from hhek2sqlite_spark.streaming import events as ev
 
@@ -221,6 +232,155 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(mm, decoder="fake")
 
 
+# document fingerprints / BPE-ish tokens -------------------------------------
+
+def q_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("fp_rolling"),
+        bpe_token_count("text").cast("int").alias("n_bpe_tokens"),
+    )
+
+
+SQL_FINGERPRINT_TOKENS = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(norm)),
+                              i -> CAST(ord(substr(norm, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           (a, b) -> (a * {ROLLING_BASE} + b) % {ROLLING_MOD}
+       ) AS fp_rolling,
+       CAST(len(regexp_extract_all(norm, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+FROM n
+"""
+
+
+# embedding near-dup (exact tier; LSH is the scale path) ----------------------
+
+_NEARDUP_MIN_SIM = 400_000
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_sim_e6=_NEARDUP_MIN_SIM
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS sim_e6
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= {_NEARDUP_MIN_SIM}
+"""
+
+
+# as-of join ------------------------------------------------------------------
+
+def q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined as-of to the user's most recent signup
+    (inclusive). Emits epoch-micros so timestamps hash-match engines."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    joined = as_of_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        value_cols=["signup_value"],
+        matched_ts_col="signup_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("signup_ts").alias("signup_ts_us"),
+        F.col("signup_value").cast("decimal(18,4)").alias("signup_value"),
+    )
+
+
+SQL_ASOF_SIGNUP = """
+SELECT p.event_id AS event_id,
+       p.user_id AS user_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(s.ts) AS signup_ts_us,
+       CAST(s.value AS DECIMAL(18,4)) AS signup_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# sessionization --------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(
+        load_table(spark, sf_dir, "events"), gap_minutes=_SESSION_GAP_MIN
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_SESSION_GAP_MIN * 60 * 1_000_000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+    FROM marked
+)
+SELECT user_id, session_seq,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+# JSON property extraction ----------------------------------------------------
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props column + grouped rollup —
+    get_json_object stays JVM-side (no Python UDF)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(props->>'k' AS INTEGER)) AS sum_k,
+       MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
+       MAX(CAST(props->>'k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # event-time windows ---------------------------------------------------------
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +443,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "fingerprint_tokens": q_fingerprint_tokens,
+    "asof_signup": q_asof_signup,
+    "sessionize": q_sessionize,
+    "props_extract": q_props_extract,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
     "events_tumbling": q_events_tumbling,
@@ -296,6 +461,11 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "similarity_topk": SQL_SIMILARITY_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
+    "asof_signup": SQL_ASOF_SIGNUP,
+    "sessionize": SQL_SESSIONIZE,
+    "props_extract": SQL_PROPS_EXTRACT,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sliding": SQL_EVENTS_SLIDING,

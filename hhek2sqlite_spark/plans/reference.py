@@ -521,6 +521,52 @@ HAVING COUNT(DISTINCT o.o_orderkey) >= 5
 
 
 # ---------------------------------------------------------------------------
+# ROLLUP (SURVEY.md 2.4: grouping-sets family — Budget's Jan..Dec matrix is a
+# materialized pivot; rollup is its analytic generalization). Spark expands
+# rollup into a single expand+aggregate — one shuffle for all grouping sets.
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money("o_totalprice")).cast(MONEY_SUM).alias("revenue"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mon,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER))
+"""
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / set ops (SURVEY.md 2.7): customers active in both 1996 and
+# 1997. Spark plans INTERSECT as a left-semi aggregate join.
+# ---------------------------------------------------------------------------
+
+def q_intersect_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+SQL_INTERSECT_YEARS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+# ---------------------------------------------------------------------------
 # DISTINCT (SURVEY.md 2.7: set-op family; map-side partial agg then one
 # shuffle on the pair key).
 # ---------------------------------------------------------------------------
@@ -554,6 +600,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_filter": q_range_filter,
     "customer_drilldown": q_customer_drilldown,
     "distinct_pairs": q_distinct_pairs,
+    "rollup_revenue": q_rollup_revenue,
+    "intersect_years": q_intersect_years,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -573,4 +621,6 @@ ORACLE_SQL: dict[str, str] = {
     "range_filter": SQL_RANGE_FILTER,
     "customer_drilldown": SQL_CUSTOMER_DRILLDOWN,
     "distinct_pairs": SQL_DISTINCT_PAIRS,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "intersect_years": SQL_INTERSECT_YEARS,
 }

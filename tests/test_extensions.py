@@ -122,6 +122,62 @@ def test_similarity_lsh_recall_on_planted_neardup(spark, sf_dir):
     assert (0, 1_000_000) in found
 
 
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from hhek2sqlite_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1, 12, 0)),   # after both rights
+            (2, 10, datetime(2024, 1, 1, 9, 0)),    # exactly at right ts (inclusive)
+            (3, 10, datetime(2024, 1, 1, 8, 0)),    # before any right -> null
+            (4, 99, datetime(2024, 1, 1, 12, 0)),   # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 9, 0), 1.0),
+            (10, datetime(2024, 1, 1, 11, 0), 2.0),
+        ],
+        "user_id long, ts timestamp, val double",
+    )
+    out = {
+        r.event_id: (r.val, r.matched_ts)
+        for r in as_of_join(
+            left, right, on=["user_id"], value_cols=["val"]
+        ).collect()
+    }
+    assert out[1] == (2.0, datetime(2024, 1, 1, 11, 0))  # latest prior
+    assert out[2] == (1.0, datetime(2024, 1, 1, 9, 0))   # tie is inclusive
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from hhek2sqlite_spark.operators.sessionize import sessionize
+
+    events = spark.createDataFrame(
+        [
+            (1, 7, datetime(2024, 1, 1, 10, 0), 1.0),
+            (2, 7, datetime(2024, 1, 1, 10, 29), 2.0),  # same session (<30min)
+            (3, 7, datetime(2024, 1, 1, 11, 30), 4.0),  # new session (61min gap)
+            (4, 8, datetime(2024, 1, 1, 10, 0), 8.0),   # other user
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rows = {
+        (r.user_id, r.session_seq): (r.n_events, r.total_value)
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert rows[(7, 1)] == (2, Decimal("3.0000"))
+    assert rows[(7, 2)] == (1, Decimal("4.0000"))
+    assert rows[(8, 1)] == (1, Decimal("8.0000"))
+
+
 def test_multimodal_stub_raises_and_fake_runs(spark, documents):
     mm = multimodal.with_binary_payload(documents.limit(50))
     with pytest.raises(Exception) as exc:
