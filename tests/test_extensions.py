@@ -191,6 +191,49 @@ def test_multimodal_stub_raises_and_fake_runs(spark, documents):
     assert all(r.n_bytes == r.features[0] for r in rows)
 
 
+def test_streaming_sessions_match_batch(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from hhek2sqlite_spark.operators.sessionize import sessionize
+    from hhek2sqlite_spark.streaming.sessions import streaming_sessions
+
+    q = (
+        streaming_sessions(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.total_value)
+        for r in spark.table("sess_out").collect()
+    }
+    # the stream closes a session when a successor event opens the next
+    # one OR when the final watermark (max ts, 0s delay) passes its
+    # end + gap timeout; each user's truly-still-open tail session is
+    # never emitted by an availableNow drain
+    events = load_table(spark, sf_dir, "events")
+    batch = sessionize(events)
+    gap_ms = 30 * 60 * 1000
+    wm_ms = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1000
+    w = Window.partitionBy("user_id")
+    closed = batch.withColumn("mx", F.max("session_seq").over(w)).filter(
+        (F.col("session_seq") < F.col("mx"))
+        | (F.col("session_end_us") / 1000 + gap_ms < wm_ms)
+    )
+    exp = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, float(r.total_value))
+        for r in closed.collect()
+    }
+    assert set(got) == set(exp)
+    for k, (e_end, e_n, e_val) in exp.items():
+        g_end, g_n, g_val = got[k]
+        assert (g_end, g_n) == (e_end, e_n), k
+        assert abs(g_val - e_val) < 1e-5, k
+
+
 def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     batch = ev.tumbling(load_table(spark, sf_dir, "events"))
     stream = ev.streaming_tumbling(spark, sf_dir, watermark="0 seconds")
