@@ -41,6 +41,10 @@ BENCH_QUERIES = (
     "similarity_topk",
     "text_profile",
     "events_sliding",
+    "sessionize",
+    "asof_signup",
+    "fingerprint_tokens",
+    "rollup_revenue",
 )
 
 

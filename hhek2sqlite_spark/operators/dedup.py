@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hhek2sqlite_spark.operators.text import fingerprint, normalized, tokens
+from hhek2sqlite_spark.operators.util import spread as _spread_impl
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -173,14 +174,7 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def _spread(df: DataFrame, spread: bool) -> DataFrame:
-    """One cheap round-robin shuffle of the raw rows so CPU-heavy map
-    stages are not glued to the scan's split count (a single-row-group
-    parquet file scans as ONE task no matter how many cores exist). At
-    cluster scale the input already has >= cores splits — pass
-    spread=False and this is a no-op."""
-    if not spread:
-        return df
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return _spread_impl(df, spread)
 
 
 def minhash_signatures(

@@ -19,6 +19,7 @@ from hhek2sqlite_spark.operators import dedup, similarity
 from hhek2sqlite_spark.operators.asof import as_of_join
 from hhek2sqlite_spark.operators.multimodal import binary_metadata, decode_features, with_binary_payload
 from hhek2sqlite_spark.operators.sessionize import sessionize
+from hhek2sqlite_spark.operators.util import spread
 from hhek2sqlite_spark.operators.text import (
     BPE_PATTERN,
     LANG_MARKERS,
@@ -235,7 +236,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document fingerprints / BPE-ish tokens -------------------------------------
 
 def q_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the rolling-hash fold is an interpreted higher-order expression
+    # (~len(text) steps/row) — spread the cheap doc rows across cores
+    # first so the CPU-bound map is not glued to the scan's split count
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         rolling_fingerprint("text").alias("fp_rolling"),
