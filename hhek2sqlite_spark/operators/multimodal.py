@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StructField,
@@ -121,3 +122,113 @@ def decode_features(multimodal: DataFrame, *, decoder: str = "stub") -> DataFram
         raise ValueError(f"unknown decoder {decoder!r}")
 
     return multimodal.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    multimodal: DataFrame, *, width: int = 8, height: int = 8, decoder: str = "stub"
+) -> DataFrame:
+    """Decode-and-resize plumbing: one output row per input, pixels as a
+    w*h grayscale byte buffer. decoder='stub' raises (pillow not in this
+    container — plug Image.open(...).resize((w,h)) there); 'fake'
+    nearest-neighbor-samples the raw payload bytes to w*h
+    deterministically, exercising the identical batch shape."""
+
+    if decoder == "stub":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "image decode requires pillow; use decoder='fake' for the "
+                "plumbing path"
+            )
+            yield  # pragma: no cover
+
+    elif decoder == "fake":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n_out = width * height
+            for pdf in batches:
+                out = []
+                for b in pdf["payload"]:
+                    data = bytes(b or b"")
+                    if not data:
+                        out.append(bytes(n_out))
+                        continue
+                    # nearest-neighbor byte sampling = a real resize's
+                    # access pattern without a codec
+                    step = len(data) / n_out
+                    out.append(bytes(data[int(i * step) % len(data)] for i in range(n_out)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": width,
+                        "height": height,
+                        "pixels": out,
+                    }
+                )
+
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    return multimodal.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    multimodal: DataFrame,
+    *,
+    frame_bytes: int = 64,
+    every_nth: int = 4,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Frame-sampling plumbing: one-to-MANY mapInPandas fan-out (each
+    payload yields every_nth-th fixed-width 'frame'). The fan-out-inside-
+    Arrow-batches shape is what a real video sampler produces; only the
+    container parsing is stubbed/faked."""
+
+    if decoder == "stub":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "video demux requires av/ffmpeg; use decoder='fake' for the "
+                "plumbing path"
+            )
+            yield  # pragma: no cover
+
+    elif decoder == "fake":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                    data = bytes(b or b"")
+                    n_frames = len(data) // frame_bytes
+                    for k in range(0, n_frames, every_nth):
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        frames.append(data[k * frame_bytes : (k + 1) * frame_bytes])
+                yield pd.DataFrame(
+                    {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+                )
+
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    return multimodal.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

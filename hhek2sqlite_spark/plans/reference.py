@@ -521,6 +521,37 @@ HAVING COUNT(DISTINCT o.o_orderkey) >= 5
 
 
 # ---------------------------------------------------------------------------
+# LEFT OUTER aggregate (SURVEY.md 2.3): customers including those with zero
+# orders — outer-join semantics + null-safe aggregates, the TPC-H Q13 shape.
+# ---------------------------------------------------------------------------
+
+def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),  # counts non-null only
+            F.coalesce(
+                F.sum(_money("o_totalprice")), F.lit(0).cast(MONEY)
+            )
+            .cast(MONEY_SUM)
+            .alias("total_spent"),
+        )
+    )
+
+
+SQL_CUSTOMER_ORDER_PROFILE = f"""
+SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS {MONEY})), 0) AS {MONEY_SUM}) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP (SURVEY.md 2.4: grouping-sets family — Budget's Jan..Dec matrix is a
 # materialized pivot; rollup is its analytic generalization). Spark expands
 # rollup into a single expand+aggregate — one shuffle for all grouping sets.
@@ -602,6 +633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_pairs": q_distinct_pairs,
     "rollup_revenue": q_rollup_revenue,
     "intersect_years": q_intersect_years,
+    "customer_order_profile": q_customer_order_profile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -623,4 +655,5 @@ ORACLE_SQL: dict[str, str] = {
     "distinct_pairs": SQL_DISTINCT_PAIRS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "intersect_years": SQL_INTERSECT_YEARS,
+    "customer_order_profile": SQL_CUSTOMER_ORDER_PROFILE,
 }

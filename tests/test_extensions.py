@@ -191,6 +191,27 @@ def test_multimodal_stub_raises_and_fake_runs(spark, documents):
     assert all(r.n_bytes == r.features[0] for r in rows)
 
 
+def test_multimodal_resize_and_frames(spark, documents):
+    mm = multimodal.with_binary_payload(documents.limit(20))
+
+    px = multimodal.resize_images(mm, width=4, height=3, decoder="fake").collect()
+    assert len(px) == 20
+    assert all(len(bytes(r.pixels)) == 12 for r in px)
+    assert all((r.width, r.height) == (4, 3) for r in px)
+
+    frames = multimodal.sample_frames(
+        mm, frame_bytes=32, every_nth=2, decoder="fake"
+    ).collect()
+    assert frames, "fixture docs are long enough to produce frames"
+    assert all(len(bytes(r.frame)) == 32 for r in frames)
+    assert all(r.frame_idx % 2 == 0 for r in frames)
+
+    with pytest.raises(Exception):
+        multimodal.resize_images(mm, decoder="stub").collect()
+    with pytest.raises(Exception):
+        multimodal.sample_frames(mm, decoder="stub").collect()
+
+
 def test_streaming_sessions_match_batch(spark, sf_dir):
     from pyspark.sql.window import Window
 

@@ -1,0 +1,75 @@
+"""Physical-plan contracts: the scale properties BASELINE.md claims are
+asserted here so a refactor cannot silently regress them. Each test
+inspects explain('formatted') output — the same evidence a human plan
+review reads.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from hhek2sqlite_spark.plans import QUERIES
+
+
+def plan_text(spark, sf_dir: str, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_predicate(spark, sf_dir):
+    p = plan_text(spark, sf_dir, "point_lookup")
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]" in p
+
+
+def test_range_filter_pushes_all_predicates(spark, sf_dir):
+    p = plan_text(spark, sf_dir, "range_filter")
+    assert "GreaterThanOrEqual(l_shipdate," in p
+    assert "LessThan(l_quantity,25.0)" in p
+
+
+def test_balance_reconciliation_prunes_columns(spark, sf_dir):
+    p = plan_text(spark, sf_dir, "balance_reconciliation")
+    # lineitem has 16 columns; the plan must read exactly the 3 used
+    scan_schemas = [l for l in p.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert scan_schemas, p
+    assert "l_orderkey:bigint,l_extendedprice:double,l_returnflag:string" in scan_schemas[0]
+
+
+def test_fk_join_broadcasts_dimensions(spark, sf_dir):
+    p = plan_text(spark, sf_dir, "fk_join_region")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_top_revenue_is_take_ordered(spark, sf_dir):
+    # top-k must compile to TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows), never a global sort
+    p = plan_text(spark, sf_dir, "top_revenue")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sessionize_shares_one_user_exchange(spark, sf_dir):
+    # both windows and the final aggregation are keyed by user; the plan
+    # must reuse one hashpartitioning exchange, not add one per operator
+    import re
+
+    p = plan_text(spark, sf_dir, "sessionize")
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) == 1, p
+
+
+def test_no_cartesian_products_in_registered_queries(spark, sf_dir):
+    # embedding_neardup / similarity_topk are declared O(N*Q) scans with a
+    # broadcast side — BroadcastNestedLoopJoin is their expected shape;
+    # everything else must never cross-join
+    allowed = {"embedding_neardup", "similarity_topk"}
+    for name in sorted(QUERIES):
+        if name in allowed:
+            continue
+        p = plan_text(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
