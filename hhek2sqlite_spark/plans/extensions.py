@@ -205,6 +205,17 @@ SELECT q_id, vec_id, sim_e6, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk 
 """
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse quantizer (hash-init + 2 Lloyd passes, centroids are the
+    # only driver-side state) probing 4/16 cells — rows-only check (the
+    # oracle tier for top-k is similarity_topk; tests assert recall)
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=_TOPK_QUERIES,
+        k=_TOPK_K,
+    )
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic hyperplanes, but the 12x64 literal matrix makes a SQL
     # twin impractical — rows-only check for the scale path
@@ -447,6 +458,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint_tokens": q_fingerprint_tokens,
     "asof_signup": q_asof_signup,

@@ -107,6 +107,31 @@ def test_similarity_lsh_agrees_with_brute_force(spark, sf_dir):
     assert lsh.filter(F.col("sim_e6") < 500_000).count() == 0
 
 
+def test_similarity_ivf_recall_and_exactness_at_full_probe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, n_queries=10, k=5).collect()
+    }
+    cents = similarity.train_ivf_centroids(emb, n_cells=16)
+    part = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            emb, n_queries=10, k=5, n_cells=16, n_probe=4, centroids=cents
+        ).collect()
+    }
+    # random gaussian data is IVF's worst case; measured 0.64 on this
+    # fixture — assert a floor with slack for future fixture changes
+    assert len(bf & part) / len(bf) >= 0.5
+    full = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            emb, n_queries=10, k=5, n_cells=16, n_probe=16, centroids=cents
+        ).collect()
+    }
+    assert full == bf  # probing every cell IS exact search
+
+
 def test_similarity_lsh_recall_on_planted_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     # plant a near-identical copy of vec 0 (cosine ~ 1): for a pair this
