@@ -1,8 +1,19 @@
-"""Shared operator utilities."""
+"""Shared operator utilities: scan/shuffle shaping for scale.
+
+``spread`` decouples CPU-heavy maps from scan splits; ``salted_join``
+breaks hot-key skew that AQE's skew-join (which only splits oversized
+*partitions*, not single hot keys within them) cannot always fix;
+``materialize_access_path`` is the engine's reading of the reference's
+15 secondary indexes (SURVEY.md 4.3): an index in a single-file database
+becomes a partition + sort layout decision in a columnar lake.
+"""
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, enabled: bool = True) -> DataFrame:
@@ -14,3 +25,62 @@ def spread(df: DataFrame, enabled: bool = True) -> DataFrame:
     if not enabled:
         return df
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a hot key on the big side: the big side
+    gets a random-ish salt in [0, salt) derived from row content
+    (deterministic — hash of all columns — so retries/recomputes agree),
+    the small side is EXPLODED salt-fold, and the join key becomes
+    (key, salt). A key holding 10^9 rows then spreads over ``salt``
+    tasks instead of one. Cost: small side replicated x salt — use for
+    genuinely small/dimension right sides.
+
+    Columns: result has big's columns plus small's non-key columns
+    (pre-alias collisions away)."""
+    overlap = [c for c in small.columns if c != key and c in big.columns]
+    if overlap:
+        raise ValueError(f"alias small-side columns first, collision: {overlap}")
+    bcols = [c for c in big.columns]
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in bcols]), F.lit(salt))
+    )
+    s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def materialize_access_path(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: Sequence[str] = (),
+    sort_cols: Sequence[str] = (),
+    target_partitions: int | None = None,
+) -> None:
+    """Write ``df`` laid out for a known access path: directory
+    partitioning on ``partition_cols`` (readers prune whole directories —
+    the analytic analog of the reference's by-account/by-date indexes,
+    /root/reference/hhek2sqlite.go:428-452) and ``sort_cols`` ordering
+    within files so min/max row-group stats make point/range scans skip
+    pages. This is a write-time decision exactly like CREATE INDEX was."""
+    out = df
+    if partition_cols:
+        n = (
+            int(target_partitions)
+            if target_partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+        )
+        out = out.repartition(n, *[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

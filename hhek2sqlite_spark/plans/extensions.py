@@ -367,6 +367,47 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+# interval join ---------------------------------------------------------------
+
+def q_event_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every event to its containing session with the bucketized
+    interval join (points x intervals, no cross join). The ORACLE derives
+    the same assignment through a completely different plan (per-event
+    lag/cumsum numbering), so parity here cross-checks both operators."""
+    from hhek2sqlite_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    points = events.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    sessions = sessionize(events, gap_minutes=_SESSION_GAP_MIN).select(
+        "user_id", "session_seq", "session_start_us", "session_end_us"
+    )
+    return interval_join(
+        points,
+        sessions.withColumnRenamed("user_id", "user_id"),
+        on=["user_id"],
+        point_ts_us="ts_us",
+        start_us="session_start_us",
+        end_us="session_end_us",
+    ).select("event_id", "user_id", "session_seq")
+
+
+SQL_EVENT_SESSION_ASSIGN = f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_SESSION_GAP_MIN * 60 * 1_000_000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+FROM marked
+"""
+
+
 # JSON property extraction ----------------------------------------------------
 
 def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +504,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_tokens": q_fingerprint_tokens,
     "asof_signup": q_asof_signup,
     "sessionize": q_sessionize,
+    "event_session_assign": q_event_session_assign,
     "props_extract": q_props_extract,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
@@ -481,6 +523,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,
     "sessionize": SQL_SESSIONIZE,
+    "event_session_assign": SQL_EVENT_SESSION_ASSIGN,
     "props_extract": SQL_PROPS_EXTRACT,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
     "events_tumbling": SQL_EVENTS_TUMBLING,
