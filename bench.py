@@ -45,6 +45,11 @@ BENCH_QUERIES = (
     "asof_signup",
     "fingerprint_tokens",
     "rollup_revenue",
+    # analytic-window / grouping-set family
+    "topk_per_group",
+    "median_order_value",
+    "cube_revenue",
+    "trailing_week_spend",
 )
 
 

@@ -186,25 +186,31 @@ def minhash_signatures(
     spread: bool = True,
 ) -> DataFrame:
     """k-wide MinHash signature per document: shingle -> 32-bit hash,
-    then k min((a_i*h + b_i) mod p) aggregates, assembled into an array.
+    then k min((a_i*h + b_i) & (2^61-1)) aggregates, assembled into an
+    array.
 
     Formulation notes (measured at sf0.1): the min-aggregates are
     *declarative aggs* that whole-stage-codegen compiles, so the explode +
     groupBy path runs ~20x faster than the tempting row-local
     transform/array_min expression (higher-order array functions are
-    interpreted per element). ``_spread`` first: the partial aggregates
-    run map-side inside whatever tasks the scan produced, so the input
-    must be spread across cores BEFORE the explode. Each doc's shingles
-    stay in one task, so partial agg already yields one row per doc and
-    the final shuffle moves only #docs rows."""
+    interpreted per element). Each agg is built from ONE parsed SQL
+    string (``F.expr``) — a py4j-composed tree of 64 pmod chains costs
+    seconds of driver time per plan build; a parsed string is
+    milliseconds. The modulus is a bitmask (Mersenne 2^61-1), one AND vs
+    pmod's two 64-bit mods per row. ``_spread`` first: the partial
+    aggregates run map-side inside whatever tasks the scan produced, so
+    the input must be spread across cores BEFORE the explode. Each doc's
+    shingles stay in one task, so partial agg already yields one row per
+    doc and the final shuffle moves only #docs rows."""
     sh = shingles(_spread(documents, spread), n, id_col)
-    h32 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+    h = sh.select(id_col, F.expr("xxhash64(shingle) & 4294967295").alias("h"))
     mins = [
-        F.min(F.pmod(h32 * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))).alias(f"s{i}")
+        F.expr(f"min((h * {a}L + {b}L) & {_MERSENNE61}L) AS s{i}")
         for i, (a, b) in enumerate(_perm_params(k))
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(id_col, F.array(*[f"s{i}" for i in range(k)]).alias("signature"))
+    sig = h.groupBy(id_col).agg(*mins)
+    arr = "array(" + ", ".join(f"s{i}" for i in range(k)) + ") AS signature"
+    return sig.select(id_col, F.expr(arr))
 
 
 def minhash_lsh_pairs(
@@ -262,26 +268,28 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash per document: every distinct token votes +-1 on each
     bit of its xxhash64; fingerprint bit i is 1 iff the vote sum is
-    positive. Computed ROW-LOCALLY (token hashes as an array column; bit
-    i's vote = 2*count_of_set_bits - n_tokens) — zero shuffles, vs the
-    explode + 64-sum groupBy formulation whose partial aggregates all ran
-    inside the scan task."""
-    hashed = _spread(documents, spread).select(
-        F.col(id_col),
-        F.transform(F.array_distinct(tokens("text")), lambda t: F.xxhash64(t)).alias("hs"),
+    positive (2*count_of_set_bits > n_tokens).
+
+    Formulation (third iteration, measured at sf0.1): explode distinct
+    tokens -> xxhash64 -> 64 codegen'd ``sum((h >> i) & 1)`` aggregates,
+    every expression a parsed SQL string. The earlier row-local version
+    (64 interpreted ``F.filter`` passes over a token-hash array) cost 2.6s
+    per fresh run — half driver-side plan build (a py4j-composed tree of
+    64 chained bitwiseORs), half interpreted higher-order eval. This form
+    is ~1.1s: one parse, whole-stage codegen end-to-end, and the groupBy
+    partial aggregates combine map-side so the shuffle moves one row per
+    (doc, 65 longs). ``_spread`` decouples the explode from the scan's
+    split count (single-row-group fixture files -> one task otherwise)."""
+    ex = (
+        _spread(documents, spread)
+        .select(F.col(id_col), F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
     )
-    hashed = hashed.filter(F.size("hs") > 0).withColumn("n_tok", F.size("hs"))
-    fp = None
-    for i in range(64):
-        n_set = F.size(
-            F.filter("hs", lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = F.when(2 * n_set > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return hashed.select(id_col, fp.alias("simhash"))
+    aggs = [F.expr(f"sum(cast((h >> {i}) & 1 AS long)) AS b{i}") for i in range(64)]
+    aggs.append(F.expr("count(1) AS n_tok"))
+    votes = ex.groupBy(id_col).agg(*aggs)
+    fp = " + ".join(f"(cast(if(2*b{i} > n_tok, 1, 0) AS long) << {i})" for i in range(64))
+    return votes.select(F.col(id_col), F.expr(f"({fp}) AS simhash"))
 
 
 def simhash_pairs(

@@ -598,6 +598,206 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 
 
 # ---------------------------------------------------------------------------
+# Top-k per group (SURVEY.md 2.5/2.6: ranking window + deterministic
+# tiebreaker). Unlike global top-k (TakeOrderedAndProject), per-group rank
+# is one shuffle on the group key + in-partition sort — no global sort.
+# ---------------------------------------------------------------------------
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            _money("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+SQL_TOPK_PER_GROUP = f"""
+SELECT o_orderpriority, o_orderkey,
+       CAST(o_totalprice AS {MONEY}) AS totalprice,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete median per group (SURVEY.md 2.4: percentile family).
+# Engine-agnostic formulation: the element at ROW_NUMBER == (n+1)/2 under a
+# deterministic (value, PK) order — identical in any engine, unlike
+# percentile_approx (sketched) or quantile functions (tie-handling varies).
+# ---------------------------------------------------------------------------
+
+def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        _money("o_totalprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_orders"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_orders + 1) div 2")
+    ).select("o_orderpriority", F.col("price").alias("median_price"), "n_orders")
+
+
+SQL_MEDIAN_ORDER_VALUE = f"""
+WITH ranked AS (
+    SELECT o_orderpriority,
+           CAST(o_totalprice AS {MONEY}) AS price,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_orders
+    FROM orders
+)
+SELECT o_orderpriority, price AS median_price, n_orders
+FROM ranked WHERE rn = (n_orders + 1) // 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE (SURVEY.md 2.4: grouping-sets family, generalizing rollup_revenue).
+# Spark plans cube as ONE expand + aggregate — all 4 grouping sets share a
+# single shuffle. grouping() bits are emitted explicitly so both engines
+# report the identical grouping-set id.
+# ---------------------------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") * F.lit(2) + F.grouping("o_orderpriority")
+    ).cast("long")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast(MONEY_SUM).alias("revenue"),
+    )
+
+
+SQL_CUBE_REVENUE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trailing RANGE-frame window (SURVEY.md 2.5: frame specs beyond ROWS).
+# 7-day trailing spend per customer: RANGE over epoch seconds, so peers
+# (same-day orders) aggregate together regardless of row order —
+# deterministic without a tiebreaker, unlike a ROWS frame.
+# ---------------------------------------------------------------------------
+
+_TRAILING_S = 7 * 86400
+
+
+def q_trailing_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-_TRAILING_S, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            # fixture timestamps are NTZ; session TZ is pinned UTC, so the
+            # cast-to-timestamp epoch equals the oracle's epoch_us//1e6
+            F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+            _money("o_totalprice").alias("price"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "epoch_s",
+            F.sum("price").over(w).cast(MONEY_SUM).alias("trailing_spend"),
+        )
+    )
+
+
+SQL_TRAILING_WEEK_SPEND = f"""
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate)//1000000 AS epoch_s,
+       CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER (
+            PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)//1000000
+            RANGE BETWEEN {_TRAILING_S} PRECEDING AND CURRENT ROW) AS {MONEY_SUM}) AS trailing_spend
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / left-semi join (SURVEY.md 2.3: the semi-join the reference's
+# RI checks imply, complement of orphan_check's anti-join).
+# ---------------------------------------------------------------------------
+
+def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders97 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+    )
+    return (
+        customer.join(orders97, customer.c_custkey == orders97.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997)
+"""
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) exact + HLL sketch pair. The exact form is the oracle
+# tier; approx_count_distinct is the 100 TB path (fixed-size HLL sketch
+# per group, mergeable map-side — no distinct-key shuffle at all) and is
+# checked rows-only + an error-bound test (sketch values are
+# implementation-specific, no cross-engine hash match by design).
+# ---------------------------------------------------------------------------
+
+def q_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_DISTINCT_CUSTOMERS = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DISTINCT (SURVEY.md 2.7: set-op family; map-side partial agg then one
 # shuffle on the pair key).
 # ---------------------------------------------------------------------------
@@ -634,6 +834,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "intersect_years": q_intersect_years,
     "customer_order_profile": q_customer_order_profile,
+    "topk_per_group": q_topk_per_group,
+    "median_order_value": q_median_order_value,
+    "cube_revenue": q_cube_revenue,
+    "trailing_week_spend": q_trailing_week_spend,
+    "active_customers": q_active_customers,
+    "distinct_customers": q_distinct_customers,
+    "approx_distinct_customers": q_approx_distinct_customers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -656,4 +863,10 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "intersect_years": SQL_INTERSECT_YEARS,
     "customer_order_profile": SQL_CUSTOMER_ORDER_PROFILE,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "median_order_value": SQL_MEDIAN_ORDER_VALUE,
+    "cube_revenue": SQL_CUBE_REVENUE,
+    "trailing_week_spend": SQL_TRAILING_WEEK_SPEND,
+    "active_customers": SQL_ACTIVE_CUSTOMERS,
+    "distinct_customers": SQL_DISTINCT_CUSTOMERS,
 }

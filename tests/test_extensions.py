@@ -296,3 +296,25 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     from hhek2sqlite_spark.plans import hhek
 
     assert hhek.tables_equivalent(batch, got).count() == 0
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """The HLL sketch (rsd=0.02) must land within 10% of the exact
+    count-distinct per group — the rows-only driver check can't see
+    values, so the error bound is asserted here."""
+    from hhek2sqlite_spark.plans.reference import (
+        q_approx_distinct_customers,
+        q_distinct_customers,
+    )
+
+    exact = {
+        r.o_orderpriority: r.n_customers
+        for r in q_distinct_customers(spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in q_approx_distinct_customers(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
