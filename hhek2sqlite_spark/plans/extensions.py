@@ -408,6 +408,36 @@ FROM marked
 """
 
 
+# skew-resilient salted join --------------------------------------------------
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to a per-user dimension through operators/util.py::
+    salted_join — the hot-key-resilient path (a user holding 10^9 events
+    spreads over ``salt`` tasks; AQE's skew-join splits oversized
+    partitions but not a single hot key inside one). The ORACLE is a
+    plain join, so parity proves salting is semantics-preserving."""
+    from hhek2sqlite_spark.operators.util import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    big = events.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    dim = events.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_seen_us")
+    )
+    return salted_join(big, dim, "user_id", salt=8)
+
+
+SQL_SKEW_SALTED_JOIN = """
+WITH dim AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS first_seen_us FROM events GROUP BY user_id
+)
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       epoch_us(e.ts) AS ts_us, d.first_seen_us AS first_seen_us
+FROM events e JOIN dim d USING (user_id)
+"""
+
+
 # JSON property extraction ----------------------------------------------------
 
 def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +535,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_signup": q_asof_signup,
     "sessionize": q_sessionize,
     "event_session_assign": q_event_session_assign,
+    "skew_salted_join": q_skew_salted_join,
     "props_extract": q_props_extract,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
@@ -524,6 +555,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "asof_signup": SQL_ASOF_SIGNUP,
     "sessionize": SQL_SESSIONIZE,
     "event_session_assign": SQL_EVENT_SESSION_ASSIGN,
+    "skew_salted_join": SQL_SKEW_SALTED_JOIN,
     "props_extract": SQL_PROPS_EXTRACT,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
     "events_tumbling": SQL_EVENTS_TUMBLING,

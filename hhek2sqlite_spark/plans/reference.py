@@ -748,9 +748,15 @@ FROM orders
 
 def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
+    # range predicates, not year() == 1997: a function over the column
+    # blocks parquet predicate pushdown; the half-open range reaches the
+    # scan as PushedFilters and prunes row groups by min/max stats
     orders97 = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1997)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .select("o_custkey")
     )
     return (

@@ -73,3 +73,35 @@ def test_no_cartesian_products_in_registered_queries(spark, sf_dir):
             continue
         p = plan_text(spark, sf_dir, name)
         assert "CartesianProduct" not in p, name
+
+
+def test_analytic_windows_single_exchange(spark, sf_dir):
+    # ranking/percentile/RANGE-frame windows and CUBE each shuffle exactly
+    # once (cube = one expand feeding one aggregate exchange)
+    import re
+
+    for name in (
+        "topk_per_group",
+        "median_order_value",
+        "trailing_week_spend",
+        "cube_revenue",
+    ):
+        p = plan_text(spark, sf_dir, name)
+        exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+        assert len(exchanges) == 1, (name, p)
+
+
+def test_active_customers_pushes_range_and_broadcasts(spark, sf_dir):
+    # the year filter is written as a half-open range so it reaches the
+    # scan; the semi-join side is dimension-sized -> broadcast, no shuffle
+    p = plan_text(spark, sf_dir, "active_customers")
+    assert "GreaterThanOrEqual(o_orderdate," in p
+    assert "LessThan(o_orderdate," in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_skew_salted_join_keys_include_salt(spark, sf_dir):
+    # the salted join must shuffle/join on (user_id, _salt), never on the
+    # bare hot key
+    p = plan_text(spark, sf_dir, "skew_salted_join")
+    assert "_salt" in p
