@@ -43,6 +43,10 @@ def get_spark(app_name: str = "hhek2sqlite_spark", *, shuffle_partitions: int | 
         # a .cache() pins the pre-AQE partition count for every consumer
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning: a selective filter on one
+        # join side builds a bloom filter that prunes the other side's
+        # scan — at 100 TB this skips whole row groups of the fact table
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
@@ -72,6 +76,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.shuffle.partitions", cores),
         ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
         ("spark.sql.parquet.filterPushdown", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
