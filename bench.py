@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "median_order_value",
     "cube_revenue",
     "trailing_week_spend",
+    "small_qty_revenue",
 )
 
 

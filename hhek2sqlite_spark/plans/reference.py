@@ -817,6 +817,134 @@ SQL_DISTINCT_PAIRS = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 
 
 # ---------------------------------------------------------------------------
+# Correlated scalar subquery, decorrelated (TPC-H Q17 shape). The
+# reference has no subqueries; this is the query layer generalizing its
+# point-lookup-then-compare pattern (/root/reference/db_test.go:262-267 —
+# fetch a value, compare against a derived expectation) to a per-group
+# derived threshold. Spark: the "subquery" is a per-part aggregate joined
+# back to the fact — one shuffle on l_partkey serves both the agg and the
+# self-join, and AQE broadcasts the 1-row-per-part agg side when small.
+# "qty < 0.2 * avg(qty)" is expressed by cross-multiplication
+# (5*qty*n < sum) so NO division happens — exact decimal semantics in
+# both engines, no float ratio, no precision negotiation.
+# ---------------------------------------------------------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast(MONEY)
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    small = lineitem.join(per_part, "l_partkey").filter(
+        qty * F.col("n_li") * 5 < F.col("sum_qty")
+    )
+    return (
+        small.join(part, small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS {MONEY})) AS sum_qty,
+           COUNT(*) AS n_li
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand AS p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS small_qty_revenue,
+       COUNT(*) AS n_small
+FROM lineitem l
+JOIN per_part pp ON l.l_partkey = pp.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_quantity AS {MONEY}) * pp.n_li * 5 < pp.sum_qty
+GROUP BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation over a fact-fact join (TPC-H Q12 shape): the
+# reference's signed-by-type ledger convention (Inkop negates,
+# /root/reference/db_test.go:142-149) generalized to CASE-bucketed
+# counters. The date filter is a half-open range on the raw column so it
+# reaches the parquet scan as PushedFilters; the CASE sits inside the
+# partial agg (map-side combine), so only (linestatus, 2 counters) rows
+# cross the wire.
+# ---------------------------------------------------------------------------
+
+def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_MIX = """
+SELECT l.l_linestatus AS l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# HAVING over COUNT(DISTINCT) (TPC-H Q16 shape): group-filter semantics
+# the reference's uniqueness checks imply (groupBy(key).count() > 1,
+# SURVEY.md 4.3) promoted to a real reporting query. The distinct-count
+# agg shuffles once on l_suppkey (Spark plans count-distinct as a
+# two-phase expand/agg on the same key — no extra exchange); the HAVING
+# filter runs post-agg on 100s of rows, then the supplier dimension
+# broadcasts.
+# ---------------------------------------------------------------------------
+
+def q_prolific_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("revenue"),
+        )
+        .filter(F.col("n_parts") >= 520)
+    )
+    return per_supp.join(
+        supplier, per_supp.l_suppkey == supplier.s_suppkey
+    ).select("s_suppkey", "s_name", "n_parts", "revenue")
+
+
+SQL_PROLIFIC_SUPPLIERS = f"""
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       g.n_parts AS n_parts, g.revenue AS revenue
+FROM (
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(DISTINCT l_partkey) >= 520
+) g JOIN supplier s ON g.l_suppkey = s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -847,6 +975,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_customers": q_active_customers,
     "distinct_customers": q_distinct_customers,
     "approx_distinct_customers": q_approx_distinct_customers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "priority_mix": q_priority_mix,
+    "prolific_suppliers": q_prolific_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -875,4 +1006,7 @@ ORACLE_SQL: dict[str, str] = {
     "trailing_week_spend": SQL_TRAILING_WEEK_SPEND,
     "active_customers": SQL_ACTIVE_CUSTOMERS,
     "distinct_customers": SQL_DISTINCT_CUSTOMERS,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "priority_mix": SQL_PRIORITY_MIX,
+    "prolific_suppliers": SQL_PROLIFIC_SUPPLIERS,
 }
