@@ -318,3 +318,27 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
+
+
+def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    """At-least-once delivery simulated by writing every event twice;
+    the watermark-bounded dedup must emit each event_id exactly once."""
+    from hhek2sqlite_spark.streaming.dedup import streaming_dedup
+
+    events = load_table(spark, sf_dir, "events").limit(500).cache()
+    src = tmp_path / "dup_events"
+    events.unionAll(events).write.parquet(str(src))
+
+    q = (
+        streaming_dedup(spark, str(src), watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM t_stream_dedup")
+    assert got.count() == 500
+    assert got.distinct().count() == 500
