@@ -107,11 +107,11 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SOURCE_STATS = _PROFILE_CTE + """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
-       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT lang_labeled) AS n_langs,
        COUNT(DISTINCT fp) AS n_distinct_fp,
-       SUM(CASE WHEN quality = 'ok' THEN 1 ELSE 0 END) AS n_quality_ok
+       CAST(SUM(CASE WHEN quality = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
 FROM profile GROUP BY source
 """
 
@@ -239,9 +239,51 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas plumbing with the deterministic fake decoder — rows-only
+    """mapInPandas plumbing with the deterministic fake decoder. The
+    feature vector is flattened to scalar BIGINT columns at the query
+    boundary — an ``array<float>`` output crashes the driver's pandas
+    canonicalizer (unhashable list, CORRECTNESS_r01), and every fake
+    feature is integral byte math, so BIGINT is the lossless hash-stable
+    rendering. The array form stays available internally via
+    operators.multimodal.decode_features."""
     mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return decode_features(mm, decoder="fake")
+    feats = decode_features(mm, decoder="fake")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[i].cast("long").alias(f"f{i}") for i in range(8)],
+    )
+
+
+# DuckDB twin of _fake_decode_batch (operators/multimodal.py): byte values
+# recovered from hex(encode(text)) nibble pairs; s = sum of first 256 bytes.
+_HEXPOS = "strpos('0123456789ABCDEF', substr(h, CAST({j} AS INTEGER), 1)) - 1"
+_BYTE_AT = f"(16 * ({_HEXPOS.format(j='2*{i} - 1')}) + ({_HEXPOS.format(j='2*{i}')}))"
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+    FROM documents
+), f AS (
+    SELECT doc_id, n,
+           CASE WHEN n > 0 THEN {_BYTE_AT.format(i='1')} ELSE 0 END AS head,
+           CASE WHEN n > 0 THEN {_BYTE_AT.format(i='n')} ELSE 0 END AS tail,
+           COALESCE(list_sum(list_transform(generate_series(1, least(n, 256)),
+                     i -> {_BYTE_AT.format(i='i')})), 0) AS s
+    FROM b
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(n AS BIGINT) AS f0,
+       CAST(head AS BIGINT) AS f1,
+       CAST(tail AS BIGINT) AS f2,
+       CAST(s % 997 AS BIGINT) AS f3,
+       CAST(n % 256 AS BIGINT) AS f4,
+       CAST((head + tail) % 256 AS BIGINT) AS f5,
+       CAST(s % 256 AS BIGINT) AS f6,
+       CAST(least(n, 255) AS BIGINT) AS f7
+FROM f
+"""
 
 
 # document fingerprints / BPE-ish tokens -------------------------------------
@@ -318,7 +360,9 @@ def q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.unix_micros("signup_ts").alias("signup_ts_us"),
-        F.col("signup_value").cast("decimal(18,4)").alias("signup_value"),
+        # decimal(18,4) snaps the float fixture value to exact 4-dp money,
+        # then the boundary cast renders it hash-stably as double
+        F.col("signup_value").cast("decimal(18,4)").cast("double").alias("signup_value"),
     )
 
 
@@ -327,7 +371,7 @@ SELECT p.event_id AS event_id,
        p.user_id AS user_id,
        epoch_us(p.ts) AS ts_us,
        epoch_us(s.ts) AS signup_ts_us,
-       CAST(s.value AS DECIMAL(18,4)) AS signup_value
+       CAST(CAST(s.value AS DECIMAL(18,4)) AS DOUBLE) AS signup_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
 ON p.user_id = s.user_id AND p.ts >= s.ts
@@ -340,9 +384,11 @@ _SESSION_GAP_MIN = 30
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize(
+    out = sessionize(
         load_table(spark, sf_dir, "events"), gap_minutes=_SESSION_GAP_MIN
     )
+    # boundary cast only: session math is exact-decimal inside the operator
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 SQL_SESSIONIZE = f"""
@@ -358,11 +404,11 @@ WITH marked AS (
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
     FROM marked
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(epoch_us(ts)) AS session_start_us,
        MAX(epoch_us(ts)) AS session_end_us,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM numbered GROUP BY user_id, session_seq
 """
 
@@ -402,8 +448,9 @@ WITH marked AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+            AS BIGINT) AS session_seq
 FROM marked
 """
 
@@ -460,7 +507,7 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROPS_EXTRACT = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(props->>'k' AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
        MAX(CAST(props->>'k' AS INTEGER)) AS max_k
 FROM events GROUP BY event_type
@@ -470,20 +517,22 @@ FROM events GROUP BY event_type
 # event-time windows ---------------------------------------------------------
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ev.tumbling(load_table(spark, sf_dir, "events"))
+    out = ev.tumbling(load_table(spark, sf_dir, "events"))
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 SQL_EVENTS_TUMBLING = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
 
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ev.sliding(load_table(spark, sf_dir, "events"))
+    out = ev.sliding(load_table(spark, sf_dir, "events"))
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 SQL_EVENTS_SLIDING = """
@@ -499,20 +548,21 @@ fanned AS (
 )
 SELECT window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM fanned GROUP BY 1, 2
 """
 
 
 def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ev.user_activity(load_table(spark, sf_dir, "events"))
+    out = ev.user_activity(load_table(spark, sf_dir, "events"))
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 SQL_USER_ACTIVITY = """
 SELECT user_id,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_epoch
 FROM events GROUP BY user_id
 """
@@ -558,6 +608,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "skew_salted_join": SQL_SKEW_SALTED_JOIN,
     "props_extract": SQL_PROPS_EXTRACT,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sliding": SQL_EVENTS_SLIDING,
     "user_activity": SQL_USER_ACTIVITY,

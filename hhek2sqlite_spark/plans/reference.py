@@ -5,15 +5,28 @@ Every reference operator shape gets a ``(spark, sf_dir) -> DataFrame``
 builder here plus a DuckDB oracle SQL string. The driver hash-compares
 the two at sf=0.01, so both sides follow one convention:
 
-**Exact-decimal money.** The reference's correctness bar is exact decimal
-comparison (/root/reference/db_test.go:262-267; money is Jet ``Currency``
--> ``DECIMAL(19,4)``, /root/reference/hhek2sqlite.go:197). The fixture
+**Exact-decimal money, hash-stable boundary types.** The reference's
+correctness bar is exact decimal comparison
+(/root/reference/db_test.go:262-267; money is Jet ``Currency`` ->
+``DECIMAL(19,4)``, /root/reference/hhek2sqlite.go:197). The fixture
 stores money as float64, so every money expression casts to
 ``DECIMAL(18,2)`` *before* aggregation — decimal sums are exact and
 order-independent in both Spark and DuckDB, where float sums are neither.
-Final outputs re-cast to a fixed precision/scale so both engines report
-the identical type. No ``avg`` via floating point; derived ratios are
-decimal-division-free (sum+count pairs instead).
+No ``avg`` via floating point; derived ratios are decimal-division-free
+(sum+count pairs instead).
+
+The FINAL projection of every money column then casts to DOUBLE on both
+sides (``MONEY_SUM``/``MONEY4_SUM`` below are the boundary type): the
+internal math is exact, and a correctly-rounded decimal->double cast of
+the same exact value is bit-identical in both engines, so the driver's
+value hash matches. Emitting the decimal itself does NOT hash-match:
+Spark's toPandas renders DecimalType as fixed-scale ``decimal.Decimal``
+(``Decimal('2494.00')``) while DuckDB's ``.df()`` renders DECIMAL as
+float64 (``2494.0``) — round 1 lost 25 queries to exactly that
+(CORRECTNESS_r01, VERDICT.md "What's wrong" #1). Same rule for integer
+sums: DuckDB ``SUM(INTEGER)`` is HUGEINT (-> pandas float64), so every
+oracle-side integer SUM is wrapped ``CAST(... AS BIGINT)`` to match
+Spark's int64.
 
 **Scale.** Each builder is a declarative plan: filters/projections reach
 the parquet scan via Catalyst pushdown, joins are plain equi-joins that
@@ -35,8 +48,13 @@ from pyspark.sql.window import Window
 from hhek2sqlite_spark.sources.parquet import load_table
 
 MONEY = "decimal(18,2)"  # per-row money values (fixture prices < 10^8)
-MONEY_SUM = "decimal(38,2)"  # aggregated money (headroom for 100 TB sums)
-MONEY4_SUM = "decimal(38,4)"  # aggregated money with discount scale
+# Boundary type for aggregated/emitted money: exact decimal math happens
+# BEFORE this cast; double is the driver-hash-stable output rendering
+# (see module docstring). Sums stay exactly representable in a double up
+# to 2^53 minor units; at larger true scale switch the boundary to
+# integer minor units (CAST(x*100 AS BIGINT)) on both sides.
+MONEY_SUM = "double"
+MONEY4_SUM = "double"
 
 
 def _money(col):
@@ -138,13 +156,19 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") == 42)
-        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", _money("c_acctbal").alias("acctbal"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            _money("c_acctbal").cast(MONEY_SUM).alias("acctbal"),
+        )
     )
 
 
 SQL_POINT_LOOKUP = f"""
 SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-       CAST(c_acctbal AS {MONEY}) AS acctbal
+       CAST(CAST(c_acctbal AS {MONEY}) AS {MONEY_SUM}) AS acctbal
 FROM customer WHERE c_custkey = 42
 """
 
@@ -612,7 +636,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderpriority",
             "o_orderkey",
-            _money("o_totalprice").alias("totalprice"),
+            _money("o_totalprice").cast(MONEY_SUM).alias("totalprice"),
             F.row_number().over(w).alias("rank"),
         )
         .filter(F.col("rank") <= 3)
@@ -621,7 +645,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOPK_PER_GROUP = f"""
 SELECT o_orderpriority, o_orderkey,
-       CAST(o_totalprice AS {MONEY}) AS totalprice,
+       CAST(CAST(o_totalprice AS {MONEY}) AS {MONEY_SUM}) AS totalprice,
        CAST(rank AS INTEGER) AS rank
 FROM (
     SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -645,7 +669,7 @@ def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = Window.partitionBy("o_orderpriority")
     ranked = orders.select(
         "o_orderpriority",
-        _money("o_totalprice").alias("price"),
+        _money("o_totalprice").cast(MONEY_SUM).alias("price"),
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n_orders"),
     )
@@ -657,7 +681,7 @@ def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIAN_ORDER_VALUE = f"""
 WITH ranked AS (
     SELECT o_orderpriority,
-           CAST(o_totalprice AS {MONEY}) AS price,
+           CAST(CAST(o_totalprice AS {MONEY}) AS {MONEY_SUM}) AS price,
            ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                               ORDER BY o_totalprice, o_orderkey) AS rn,
            COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_orders
@@ -896,8 +920,8 @@ def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRIORITY_MIX = """
 SELECT l.l_linestatus AS l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01'
 GROUP BY l.l_linestatus

@@ -6,6 +6,17 @@ hashes values, so "close" is not good enough).
 Normalization mirrors an order-insensitive value hash: columns sorted by
 name, rows sorted by all columns, every value rendered to a canonical
 string (decimals exact, floats via repr, timestamps ISO).
+
+The rendering is deliberately REPR-STRICT — ``Decimal('2494.00')``,
+``2494.0`` (float64) and ``2494`` (int64) are three DIFFERENT canonical
+strings. Round 1 proved the driver's hash distinguishes exactly these
+(25 hash-FAILs with verified-identical values, CORRECTNESS_r01), while
+the old local gate normalized them away (trailing-zero stripping), so
+pytest was green while the driver was red. Local green must imply driver
+green: no numeric normalization happens here. Query plans are therefore
+required to emit hash-stable boundary types — BIGINT for counts/integer
+sums and DOUBLE for money (exact-decimal math internally, one final
+cast) — on BOTH the Spark and the oracle side.
 """
 
 from __future__ import annotations
@@ -38,16 +49,6 @@ class ParityResult:
         return msg
 
 
-def _num_canon(s: str) -> str:
-    if "e" in s or "E" in s:
-        s = format(decimal.Decimal(s), "f")
-    if "." in s:
-        s = s.rstrip("0").rstrip(".")
-    if s in ("-0", ""):
-        s = "0"
-    return s
-
-
 def _canon_value(v) -> str:
     import numpy as np
 
@@ -56,11 +57,15 @@ def _canon_value(v) -> str:
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
     if isinstance(v, float):  # covers np.float64/np.float32
-        return _num_canon(repr(float(v)))
+        # shortest-roundtrip repr: bit-identical float64 on both sides
+        # canonicalizes identically; anything else is a real mismatch
+        return repr(float(v))
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, decimal.Decimal):
-        return _num_canon(format(v, "f"))
+        # exact, trailing zeros KEPT: Decimal('2494.00') != float 2494.0
+        # by design — the driver's hash sees the same difference
+        return format(v, "f")
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -68,6 +73,30 @@ def _canon_value(v) -> str:
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _col_kind(col: pd.Series) -> str:
+    """Physical kind of a column: numpy kind letter, except object columns
+    are classified by their first non-null value (decimal/str/bytes/...)
+    so Spark's Decimal-as-object is distinguishable from real strings."""
+    kind = col.dtype.kind
+    if kind != "O":
+        return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts"}.get(kind, kind)
+    for v in col:
+        if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, bytes):
+            return "bytes"
+        return type(v).__name__
+    return "all-null"
 
 
 def _canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
@@ -98,6 +127,13 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         return ParityResult(name, False, len(spark_pdf), len(oracle_pdf), problems)
     if len(spark_pdf) != len(oracle_pdf):
         problems.append("row count mismatch")
+    # dtype-kind guard: a Decimal (object) column vs a float64 column can
+    # render identically when no value has a trailing-zero digit — green
+    # by luck, red at the driver. Compare the physical column kinds too.
+    for c in sorted(spark_pdf.columns):
+        sk, ok = _col_kind(spark_pdf[c]), _col_kind(oracle_pdf[c])
+        if sk != ok:
+            problems.append(f"dtype-kind mismatch on {c!r}: spark={sk} oracle={ok}")
     s_rows = _canon_frame(spark_pdf)
     o_rows = _canon_frame(oracle_pdf)
     if s_rows != o_rows:

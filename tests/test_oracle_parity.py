@@ -28,5 +28,5 @@ def test_oracle_parity(spark, sf_dir, name):
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
-    assert df.count() >= 0
+    assert df.count() > 0  # driver contract: entry() must produce rows
     assert df.schema.fieldNames()
