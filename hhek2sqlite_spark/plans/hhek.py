@@ -91,6 +91,35 @@ def ledger_with_person(transaktioner: DataFrame, personer: DataFrame) -> DataFra
     )
 
 
+def loan_payment_rollup(betalningar: DataFrame, lan: DataFrame) -> DataFrame:
+    """Latent join J4: Betalningar.LanLopnr -> LÅN.Löpnr (secondary index
+    /root/reference/hhek2sqlite.go:444, FK /root/reference/dbinfo.txt:30)
+    — loan-payment reporting, the one reference join with a NULLABLE key
+    (most payments are not loan payments).
+
+    LEFT join keeps non-loan payments as one NULL-key rollup group; the
+    LÅN dimension broadcasts (a household has few loans at any scale).
+    Money stays DecimalType(19,4) end-to-end: per-loan interest +
+    amortization totals against the loan's current debt (AktLaneskuld).
+    """
+    loans = lan.select(
+        F.col("Löpnr").alias("LanLopnr"),
+        "Langivare",
+        "AktLaneskuld",
+    )
+    dec = "decimal(19,4)"
+    return (
+        betalningar.join(F.broadcast(loans), "LanLopnr", "left")
+        .groupBy("LanLopnr", "Langivare", "AktLaneskuld")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.sum("Belopp").cast(dec).alias("total_belopp"),
+            F.sum("Ranta").cast(dec).alias("total_ranta"),
+            F.sum(F.col("FastAmort") + F.col("RorligAmort")).cast(dec).alias("total_amort"),
+        )
+    )
+
+
 def check_unique(df: DataFrame, *cols: str) -> DataFrame:
     """Uniqueness constraint as an assertion relation: offending keys
     (must be empty) — the reference's unique indexes, SURVEY.md 4.3."""

@@ -969,6 +969,62 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# J4 — Betalningar ⋈ LÅN (loan-payment rollup): the reference's one
+# nullable-key latent join (Betalningar.LanLopnr -> LÅN.Löpnr, index
+# /root/reference/hhek2sqlite.go:444, FK dbinfo.txt:30). Mapped onto the
+# fixture: lineitem rows play Betalningar with a NULLABLE loan key (only
+# high line numbers are "loan payments"), supplier plays LÅN with
+# s_acctbal as AktLaneskuld. LEFT join keeps non-loan payments in one
+# NULL-key rollup group; the loan dimension broadcasts. The hhek-schema
+# form is plans/hhek.py::loan_payment_rollup (golden-fixture tested).
+# ---------------------------------------------------------------------------
+
+def q_loan_payment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    payments = lineitem.select(
+        F.when(F.col("l_linenumber") >= 4, F.col("l_suppkey")).alias("lan_lopnr"),
+        _money("l_extendedprice").alias("belopp"),
+    )
+    loans = supplier.select(
+        F.col("s_suppkey").alias("lan_lopnr"),
+        F.col("s_name").alias("langivare"),
+        _money("s_acctbal").alias("akt_laneskuld"),
+    )
+    return (
+        payments.join(F.broadcast(loans), "lan_lopnr", "left")
+        .groupBy("lan_lopnr", "langivare", "akt_laneskuld")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.sum("belopp").cast(MONEY_SUM).alias("total_paid"),
+        )
+        .select(
+            "lan_lopnr",
+            "langivare",
+            F.col("akt_laneskuld").cast(MONEY_SUM).alias("akt_laneskuld"),
+            "n_payments",
+            "total_paid",
+        )
+    )
+
+
+SQL_LOAN_PAYMENT_ROLLUP = f"""
+WITH payments AS (
+    SELECT CASE WHEN l_linenumber >= 4 THEN l_suppkey END AS lan_lopnr,
+           CAST(l_extendedprice AS {MONEY}) AS belopp
+    FROM lineitem
+)
+SELECT p.lan_lopnr AS lan_lopnr,
+       s.s_name AS langivare,
+       CAST(CAST(s.s_acctbal AS {MONEY}) AS {MONEY_SUM}) AS akt_laneskuld,
+       COUNT(*) AS n_payments,
+       CAST(SUM(p.belopp) AS {MONEY_SUM}) AS total_paid
+FROM payments p LEFT JOIN supplier s ON p.lan_lopnr = s.s_suppkey
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1002,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "priority_mix": q_priority_mix,
     "prolific_suppliers": q_prolific_suppliers,
+    "loan_payment_rollup": q_loan_payment_rollup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1033,4 +1090,5 @@ ORACLE_SQL: dict[str, str] = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "priority_mix": SQL_PRIORITY_MIX,
     "prolific_suppliers": SQL_PROLIFIC_SUPPLIERS,
+    "loan_payment_rollup": SQL_LOAN_PAYMENT_ROLLUP,
 }

@@ -101,3 +101,60 @@ def test_no_orphans(tables):
 def test_table_equivalence_self(tables):
     diff = hhek.tables_equivalent(tables["Transaktioner"], tables["Transaktioner"])
     assert diff.count() == 0
+
+
+def _loan_fixture(spark):
+    """Betalningar/LÅN rows for J4 (the golden MDB has none — the recipe
+    at /root/reference/db_test.go:142-149 created no loans — so the J4
+    fixture extends it: two loans, two payments on loan 1, one on loan 2,
+    one non-loan payment with NULL LanLopnr)."""
+    from hhek2sqlite_spark.schema.registry import HHEK_TABLES
+
+    D = Decimal
+    z = D("0.0000")
+    lan_rows = [
+        (1, "Banken", "Bolån", "L-1", D("1000.0000"), "2020-01-01", "2020-01-01",
+         "", "", D("900.0000"), z, D("900.0000"), 0.035, 0.0, "12",
+         D("2.5000"), D("10.0000"), z, z, "", "Gemensamt", "Plånboken", "",
+         "", "", "", ""),
+        (2, "Kreditgivaren", "Billån", "L-2", D("500.0000"), "2021-06-01",
+         "2021-06-01", "", "", D("400.0000"), z, D("400.0000"), 0.059, 0.0,
+         "12", D("1.0000"), D("5.0000"), z, z, "", "Person Ett", "Plånboken",
+         "", "", "", "", ""),
+    ]
+    bet_rows = [
+        (1, "Plånboken", "Plats Ett", "Lån", "2021-01-15", "Amortering",
+         "Gemensamt", D("12.5000"), "", D("2.5000"), D("10.0000"), z, z, 1, ""),
+        (2, "Plånboken", "Plats Ett", "Lån", "2021-02-15", "Amortering",
+         "Gemensamt", D("12.5000"), "", D("2.5000"), D("10.0000"), z, z, 1, ""),
+        (3, "Plånboken", "Plats Ett", "Lån", "2021-02-20", "Amortering",
+         "Person Ett", D("6.0000"), "", D("1.0000"), D("5.0000"), z, z, 2, ""),
+        (4, "Plånboken", "Plats Ett", "Räkning", "2021-03-01", "El",
+         "Gemensamt", D("30.0000"), "", z, z, z, z, None, ""),
+    ]
+    lan = spark.createDataFrame(lan_rows, HHEK_TABLES["LÅN"].spark_schema())
+    bet = spark.createDataFrame(bet_rows, HHEK_TABLES["Betalningar"].spark_schema())
+    return bet, lan
+
+
+def test_loan_payment_rollup(spark):
+    # J4: Betalningar.LanLopnr -> LÅN.Löpnr (hhek2sqlite.go:444, dbinfo.txt:30)
+    bet, lan = _loan_fixture(spark)
+    rows = {r.LanLopnr: r for r in hhek.loan_payment_rollup(bet, lan).collect()}
+    assert set(rows) == {1, 2, None}
+    loan1 = rows[1]
+    assert loan1.Langivare == "Banken"
+    assert loan1.AktLaneskuld == Decimal("900.0000")
+    assert loan1.n_payments == 2
+    assert loan1.total_belopp == Decimal("25.0000")
+    assert loan1.total_ranta == Decimal("5.0000")
+    assert loan1.total_amort == Decimal("20.0000")
+    loan2 = rows[2]
+    assert loan2.Langivare == "Kreditgivaren"
+    assert loan2.n_payments == 1
+    assert loan2.total_amort == Decimal("5.0000")
+    # non-loan payments roll into the NULL-key group, loan columns NULL
+    other = rows[None]
+    assert other.Langivare is None
+    assert other.n_payments == 1
+    assert other.total_belopp == Decimal("30.0000")
