@@ -1,0 +1,67 @@
+"""Command-line face of the engine — the reference is a CLI tool
+(/root/reference/hhek2sqlite.go:1205-1209, flags ``-optin -optout
+-readonly -backa``), so the conversion capability must be reachable
+without writing Python:
+
+    python -m hhek2sqlite_spark convert --optin hem.db  --optout out_dir
+    python -m hhek2sqlite_spark convert --optin out_dir --optout hem.db --indexes
+
+Differences from the reference, by design:
+
+- Direction is inferred from the endpoints (``.db``/``.sqlite`` file vs
+  parquet directory) instead of the ``-backa`` flag; ``--backa`` is still
+  accepted as a no-op for muscle-memory parity.
+- ``--readonly`` is accepted for parity (S9) and is semantically
+  automatic: Spark reads never mutate the source.
+- ``--indexes`` creates the 15 reverse-direction secondary indexes (S5,
+  /root/reference/hhek2sqlite.go:444 et al.) on a SQLite destination;
+  like the reference, the forward direction defaults to none.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hhek2sqlite_spark",
+        description="PySpark-native hhek engine: direction-reversible conversion",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser(
+        "convert",
+        help="convert between a SQLite .db file and a parquet directory "
+        "(direction inferred from the endpoints)",
+    )
+    c.add_argument("--optin", required=True, metavar="SRC",
+                   help="source: .db/.sqlite file or parquet directory")
+    c.add_argument("--optout", required=True, metavar="DST",
+                   help="destination: .db/.sqlite file or parquet directory")
+    c.add_argument("--indexes", action="store_true",
+                   help="create the 15 secondary indexes on a SQLite destination (S5)")
+    c.add_argument("--readonly", action="store_true",
+                   help="parity no-op: Spark never mutates the source (S9)")
+    c.add_argument("--backa", action="store_true",
+                   help="parity no-op: direction is inferred from the endpoints")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "convert":
+        from hhek2sqlite_spark.session import get_spark
+        from hhek2sqlite_spark.sources.sqlite_io import convert
+
+        spark = get_spark("hhek2sqlite_spark-cli")
+        counts = convert(spark, args.optin, args.optout, create_indexes=args.indexes)
+        for name, n in counts.items():
+            print(f"{name}: {n} rows")
+        print(f"converted {len(counts)} tables: {args.optin} -> {args.optout}")
+        return 0
+    return 2  # pragma: no cover - argparse enforces a subcommand
+
+
+if __name__ == "__main__":
+    sys.exit(main())

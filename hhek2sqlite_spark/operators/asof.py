@@ -50,20 +50,33 @@ def as_of_join(
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
 
+    # The whole matched right row travels as ONE struct through a single
+    # last(ignorenulls=True): per-column carries would skip a legitimately
+    # NULL payload column and mix values from different right rows
+    # (DuckDB/pandas ASOF semantics return the matched row's NULL). The
+    # struct itself is non-null for every right row, so ignorenulls only
+    # skips left rows.
+    from pyspark.sql.types import StructField, StructType
+
+    carry_type = StructType(
+        [StructField(matched_ts_col, right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         *left_payload,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts_col),
+        F.lit(None).cast(carry_type).alias("_carry"),
         F.lit(1).alias("_side"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *value_cols,
-        F.col(right_ts).alias(matched_ts_col),
+        F.struct(
+            F.col(right_ts).alias(matched_ts_col),
+            *[F.col(c) for c in value_cols],
+        ).alias("_carry"),
         F.lit(0).alias("_side"),
     )
     # right rows sort before left rows at equal ts (_side 0 < 1), so a
@@ -78,11 +91,15 @@ def as_of_join(
         "_ts",
         "_side",
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.last(matched_ts_col, ignorenulls=True).over(w).alias(matched_ts_col),
+        F.last("_carry", ignorenulls=True).over(w).alias("_carry"),
     )
     return (
         carried.filter(F.col("_side") == 1)
-        .drop("_side")
-        .withColumnRenamed("_ts", left_ts)
+        .select(
+            *on,
+            F.col("_ts").alias(left_ts),
+            *left_payload,
+            *[F.col(f"_carry.{c}").alias(c) for c in value_cols],
+            F.col(f"_carry.{matched_ts_col}").alias(matched_ts_col),
+        )
     )

@@ -20,10 +20,21 @@ The reference copies MDB<->SQLite row-at-a-time with string-built INSERTs
   parameter binding cannot corrupt quotes. Its *semantic* — data with
   quotes/non-ASCII survives — is asserted by roundtrip tests.
 
-Fidelity notes: money travels as TEXT-formatted exact decimals into the
-DECIMAL(19,4) column (SQLite numeric affinity would otherwise coerce to
-lossy REAL); booleans as 0/1; NULLs as NULL (empty-string routing is the
-ingest normalizer's job, functions.scalars.empty_to_null).
+Fidelity notes: money binds as TEXT-formatted decimals, but the target
+column is DECIMAL(19,4) = NUMERIC affinity (format parity with the
+reference, /root/reference/hhek2sqlite.go:197), so SQLite converts the
+bound text to INTEGER/REAL storage whenever the first 15 significant
+digits survive — i.e. exactness is DOUBLE-LIMITED, same as the
+reference's own Currency -> text -> NUMERIC pipeline. Every Jet
+Currency value a real hhek file contains (4 decimal places, household
+magnitudes) roundtrips exactly; amounts beyond ~15 significant digits
+would not (tested in test_sqlite_roundtrip.py). ``read_table``
+re-quantizes to DecimalType(19,4) on the way back in. If exactness past
+double precision ever matters, store scaled-integer minor units or a
+TEXT-affinity column — deliberately NOT done here, to keep the file
+format byte-compatible with the reference's. Booleans travel as 0/1;
+NULLs as NULL (empty-string routing is the ingest normalizer's job,
+functions.scalars.empty_to_null).
 """
 
 from __future__ import annotations

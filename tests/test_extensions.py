@@ -180,6 +180,33 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)
 
 
+def test_asof_join_matched_row_null_payload(spark):
+    """The matched right row's NULL payload must surface as NULL — not
+    fall back to an older right row's non-NULL value (ASOF returns the
+    matched ROW, column-atomically; DuckDB/pandas merge_asof agree)."""
+    from datetime import datetime
+
+    from hhek2sqlite_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1, 12, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 9, 0), 1.0, "a"),
+            (10, datetime(2024, 1, 1, 11, 0), None, "b"),  # matched, val NULL
+        ],
+        "user_id long, ts timestamp, val double, tag string",
+    )
+    row = as_of_join(
+        left, right, on=["user_id"], value_cols=["val", "tag"]
+    ).collect()[0]
+    assert row.matched_ts == datetime(2024, 1, 1, 11, 0)
+    assert row.tag == "b"
+    assert row.val is None  # NOT 1.0 from the older row
+
+
 def test_sessionize_gap_semantics(spark):
     from datetime import datetime
 

@@ -112,6 +112,28 @@ def test_double_write_idempotent(spark, extra_tables, tmp_path):
     assert sqlite_io.read_table(spark, db, "Personer").count() == 3
 
 
+def test_money_precision_envelope(spark, tmp_path):
+    """The NUMERIC-affinity money column is double-limited by design
+    (format parity with the reference — see sqlite_io module docstring):
+    <=15 significant digits roundtrip exactly; an 18-digit amount is
+    coerced to REAL storage and re-quantized, documenting the envelope
+    rather than silently claiming exactness."""
+    exact = D("12345678901.2345")        # 15 sig digits: inside the envelope
+    beyond = D("12345678901234.5678")    # 18 sig digits: beyond double
+    rows = [
+        (1, "", "Konto Exakt", exact, D("0.0000"), "", D("0.0000"), ""),
+        (2, "", "Konto Bortom", beyond, D("0.0000"), "", D("0.0000"), ""),
+    ]
+    df = spark.createDataFrame(rows, HHEK_TABLES["Konton"].spark_schema())
+    db = str(tmp_path / "prec.db")
+    sqlite_io.write_database({"Konton": df}, db)
+    back = {r.Löpnr: r.Saldo for r in sqlite_io.read_table(spark, db, "Konton").collect()}
+    assert back[1] == exact
+    # beyond the envelope: value comes back double-rounded, not exact
+    assert back[2] != beyond
+    assert abs(back[2] - beyond) < D("0.01")
+
+
 def test_convert_sqlite_to_parquet_and_back(spark, extra_tables, tmp_path):
     db1 = str(tmp_path / "src.db")
     pq = str(tmp_path / "pq")
