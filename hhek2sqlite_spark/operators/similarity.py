@@ -23,7 +23,18 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product via zip_with + left fold — JVM-side, no UDF."""
+    """Dot product via zip_with + left fold — JVM-side, no UDF.
+
+    Measured note (round 2, sf0.1): an unrolled left-deep
+    ``element_at(a,1)*element_at(b,1) + ...`` sum — the "obvious"
+    de-interpreting rewrite — is 2.7x SLOWER than this fold (2.28s vs
+    0.86s for similarity_topk) and blows whole-stage codegen past
+    janino's 64 KB method limit when three of them land in one
+    projection (the neardup filter), silently degrading the whole stage
+    to interpreted eval. The HOF fold over primitive double arrays is
+    the fast form in Spark 4; the real pairwise win is hoisting the
+    norms out of the per-pair expression (see ``_sim_e6_prenorm``).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -38,10 +49,25 @@ def sim_e6(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b) * 1e6).cast("long")
 
 
+def _sim_e6_prenorm(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
+    """sim_e6 with the norms supplied from precomputed columns.
+
+    All pairwise operators below carry ``sqrt(dot(e,e))`` as a column on
+    each SIDE of the join, so norms are computed once per VECTOR (N
+    evaluations) instead of once per PAIR (N^2) — a 3x flop cut on every
+    pairwise score, numerically identical to ``sim_e6`` (same dot, same
+    sqrt, just hoisted to an earlier projection).
+    """
+    return F.round(dot_ab / (norm_a * norm_b) * 1e6).cast("long")
+
+
 def _doubled(embeddings: DataFrame) -> DataFrame:
-    return embeddings.select(
+    """Cast to double and attach the per-vector L2 norm (see
+    ``_sim_e6_prenorm`` for why the norm travels as a column)."""
+    e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    return e.withColumn("n", F.sqrt(dot(F.col("e"), F.col("e"))))
 
 
 def brute_force_topk(
@@ -52,13 +78,19 @@ def brute_force_topk(
     per-query window with deterministic (sim desc, vec_id) order."""
     e = _doubled(embeddings)
     q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("n").alias("qn")
     )
     scored = (
         F.broadcast(q)
         .crossJoin(e)
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", sim_e6(F.col("qe"), F.col("e")).alias("sim_e6"))
+        .select(
+            "q_id",
+            "vec_id",
+            _sim_e6_prenorm(
+                dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n")
+            ).alias("sim_e6"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("vec_id").asc())
     return (
@@ -76,12 +108,22 @@ def brute_force_neardup_pairs(
     small N and for auditing the LSH path's recall; at corpus scale use
     ``lsh_bucket_pairs`` (same output contract, sub-quadratic)."""
     e = _doubled(embeddings)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim_e6(F.col("ea"), F.col("eb")).alias("sim_e6"))
+        .select(
+            "id_a",
+            "id_b",
+            _sim_e6_prenorm(
+                dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ).alias("sim_e6"),
+        )
         .filter(F.col("sim_e6") >= min_sim_e6)
     )
 
@@ -159,7 +201,7 @@ def ivf_topk(
     indexed = e.withColumn("cell", _nearest_cell(F.col("e"), centroids))
 
     q = indexed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("n").alias("qn")
     )
     # per query: distances to all centroids -> n_probe nearest cells
     dists = [
@@ -188,13 +230,19 @@ def ivf_topk(
         lambda s: s["c"],
     )
     probes = (
-        q.select("q_id", "qe", *dists)
-        .select("q_id", "qe", F.explode(cells_sorted).alias("cell"))
+        q.select("q_id", "qe", "qn", *dists)
+        .select("q_id", "qe", "qn", F.explode(cells_sorted).alias("cell"))
     )
     scored = (
         probes.join(indexed, "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", sim_e6(F.col("qe"), F.col("e")).alias("sim_e6"))
+        .select(
+            "q_id",
+            "vec_id",
+            _sim_e6_prenorm(
+                dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n")
+            ).alias("sim_e6"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("vec_id").asc())
     return (
@@ -263,11 +311,21 @@ def lsh_bucket_pairs(
         )
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    ea = e.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
     return (
         candidates.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", sim_e6(F.col("ea"), F.col("eb")).alias("sim_e6"))
+        .select(
+            "id_a",
+            "id_b",
+            _sim_e6_prenorm(
+                dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ).alias("sim_e6"),
+        )
         .filter(F.col("sim_e6") >= min_sim_e6)
     )

@@ -147,6 +147,51 @@ def test_similarity_lsh_recall_on_planted_neardup(spark, sf_dir):
     assert (0, 1_000_000) in found
 
 
+def test_rolling_fingerprint_matches_per_char_definition(spark):
+    """The let-bound fold must equal the defining per-character Horner
+    recurrence h=(h*31+cp) mod ROLLING_MOD for every length class
+    (empty, <8, ==8, mod-8 boundaries) and non-ASCII codepoints —
+    guards the let_once binding against any evaluation-order drift."""
+    import re
+
+    from hhek2sqlite_spark.operators.text import ROLLING_MOD, rolling_fingerprint
+
+    def pyref(s: str) -> int:
+        s = re.sub(r"\s+", " ", s.lower()).strip()
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % ROLLING_MOD
+        return h
+
+    cases = ["", "a", "abcdefg", "abcdefgh", "abcdefghi", "x" * 16, "y" * 17,
+             "Hello  World  Test", "å ä ö € räksmörgås \U0001d4d0",
+             "the quick brown fox jumps over the lazy dog 0123456789!" * 5]
+    df = spark.createDataFrame(list(enumerate(cases)), "id long, text string")
+    got = {r.id: r.fp for r in df.select("id", rolling_fingerprint("text").alias("fp")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == pyref(c), f"case {i} (len {len(c)})"
+
+
+def test_prenorm_sim_matches_inline_sim(spark):
+    """_sim_e6_prenorm over precomputed norms must be bit-identical to
+    the inline sim_e6 (norms hoisted, same arithmetic)."""
+    rows = [
+        (1, [0.1 * k for k in range(64)], [0.2 - 0.003 * k for k in range(64)]),
+        (2, [1.0] * 64, [-1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        similarity.sim_e6(F.col("a"), F.col("b")).alias("inline"),
+        similarity._sim_e6_prenorm(
+            similarity.dot(F.col("a"), F.col("b")),
+            F.sqrt(similarity.dot(F.col("a"), F.col("a"))),
+            F.sqrt(similarity.dot(F.col("b"), F.col("b"))),
+        ).alias("prenorm"),
+    ).collect()
+    for r in out:
+        assert r.inline == r.prenorm
+
+
 def test_asof_join_semantics(spark):
     from datetime import datetime
 
