@@ -61,6 +61,44 @@ def _money(col):
     return F.col(col).cast(MONEY) if isinstance(col, str) else col.cast(MONEY)
 
 
+# Exact integer minor units ("cents") for aggregated money. Fixture money
+# is float64 with <=2 decimals, so ROUND(x*100) is exact; BIGINT sums are
+# exact, order-independent, and ~2x faster than DECIMAL sums (Spark backs
+# precision>18 decimals with JVM BigDecimal; sum buffers always cross 18
+# — measured 1.97s -> 1.06s on pricing_summary at sf0.1). The boundary
+# divides by 100.0 into DOUBLE: the cents integer is < 2^53, so the
+# correctly-rounded quotient is bit-identical in both engines.
+# Discounted prices use e6 units (cents x discount-e4) — same rules.
+# ENVELOPE (100 TB): a single group's sum must stay under 2^63 minor
+# units (9.2e16 currency units in cents, 9.2e12 in e6 units); groups
+# that could exceed it belong on the DECIMAL path (_money + sum), which
+# stays the convention in plans/hhek.py where reference Currency
+# fidelity — not throughput — is the requirement.
+def _cents(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _disc_e6(price_col: str, disc_col: str):
+    """price*(1-disc) in exact e6 minor units: cents x (1e4 - disc_e4)."""
+    d_e4 = F.round(F.col(disc_col) * 10000).cast("long")
+    return _cents(price_col) * (F.lit(10000) - d_e4)
+
+
+def _out100(col):
+    return (col / F.lit(100.0)).cast(MONEY_SUM)
+
+
+def _out1e6(col):
+    return (col / F.lit(1000000.0)).cast(MONEY4_SUM)
+
+
+_SC = "CAST(ROUND({0}*100) AS BIGINT)"  # SQL cents of a column
+_SD6 = (
+    "CAST(ROUND({0}*100) AS BIGINT) * (10000 - CAST(ROUND({1}*10000) AS BIGINT))"
+)  # SQL e6 discounted price
+
+
 # ---------------------------------------------------------------------------
 # A2 — flagship: balance reconciliation
 # Reference: account balance = start + deposits - purchases, asserted exact
@@ -76,25 +114,25 @@ def q_balance_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     signed = lineitem.select(
         "l_orderkey",
-        F.when(F.col("l_returnflag") == "R", -_money("l_extendedprice"))
-        .otherwise(_money("l_extendedprice"))
-        .alias("signed_amt"),
+        F.when(F.col("l_returnflag") == "R", -_cents("l_extendedprice"))
+        .otherwise(_cents("l_extendedprice"))
+        .alias("signed_c"),
     )
     # lineitem->orders is fact-fact (sort-merge at scale); orders->customer
     # AQE-broadcasts while customer is small and shuffles when it is not.
     ledger = (
         signed.join(orders.select("o_orderkey", "o_custkey"), signed.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum("signed_amt").alias("net"))
+        .agg(F.sum("signed_c").alias("net_c"))
     )
     return (
         ledger.join(customer, ledger.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
-            _money("c_acctbal").cast(MONEY_SUM).alias("start_saldo"),
-            F.col("net").cast(MONEY_SUM).alias("ledger_net"),
-            (_money("c_acctbal") + F.col("net")).cast(MONEY_SUM).alias("saldo"),
+            _out100(_cents("c_acctbal")).alias("start_saldo"),
+            _out100(F.col("net_c")).alias("ledger_net"),
+            _out100(_cents("c_acctbal") + F.col("net_c")).alias("saldo"),
         )
     )
 
@@ -102,19 +140,19 @@ def q_balance_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BALANCE_RECONCILIATION = f"""
 WITH signed AS (
     SELECT l_orderkey,
-           CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS {MONEY})
-                ELSE CAST(l_extendedprice AS {MONEY}) END AS signed_amt
+           CASE WHEN l_returnflag = 'R' THEN -{_SC.format('l_extendedprice')}
+                ELSE {_SC.format('l_extendedprice')} END AS signed_c
     FROM lineitem
 ), ledger AS (
-    SELECT o.o_custkey, SUM(s.signed_amt) AS net
+    SELECT o.o_custkey, CAST(SUM(s.signed_c) AS BIGINT) AS net_c
     FROM signed s JOIN orders o ON s.l_orderkey = o.o_orderkey
     GROUP BY o.o_custkey
 )
 SELECT c.c_custkey AS c_custkey,
        c.c_name AS c_name,
-       CAST(CAST(c.c_acctbal AS {MONEY}) AS {MONEY_SUM}) AS start_saldo,
-       CAST(l.net AS {MONEY_SUM}) AS ledger_net,
-       CAST(CAST(c.c_acctbal AS {MONEY}) + l.net AS {MONEY_SUM}) AS saldo
+       {_SC.format('c.c_acctbal')} / 100.0 AS start_saldo,
+       l.net_c / 100.0 AS ledger_net,
+       ({_SC.format('c.c_acctbal')} + l.net_c) / 100.0 AS saldo
 FROM ledger l JOIN customer c ON l.o_custkey = c.c_custkey
 """
 
@@ -189,7 +227,7 @@ def q_fk_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_money("c_acctbal")).cast(MONEY_SUM).alias("total_acctbal"),
+            _out100(F.sum(_cents("c_acctbal"))).alias("total_acctbal"),
         )
     )
 
@@ -197,7 +235,7 @@ def q_fk_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FK_JOIN_REGION = f"""
 SELECT r.r_name AS r_name,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS {MONEY})) AS {MONEY_SUM}) AS total_acctbal
+       CAST(SUM({_SC.format('c.c_acctbal')}) AS BIGINT) / 100.0 AS total_acctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -258,15 +296,15 @@ def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_money("o_totalprice")).over(w).cast(MONEY_SUM).alias("saldo"),
+        _out100(F.sum(_cents("o_totalprice")).over(w)).alias("saldo"),
     )
 
 
 SQL_RUNNING_BALANCE = f"""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER (
+       CAST(SUM({_SC.format('o_totalprice')}) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {MONEY_SUM}) AS saldo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS saldo
 FROM orders
 """
 
@@ -287,23 +325,23 @@ def q_budget_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             F.col("o_orderpriority").alias("typ"),
             F.month("o_orderdate").alias("m"),
-            _money("o_totalprice").alias("amt"),
+            _cents("o_totalprice").alias("amt_c"),
         )
         # explicit pivot values -> single shuffle, no value-discovery job
         .groupBy("typ")
         .pivot("m", list(range(1, 13)))
-        .agg(F.sum("amt"))
+        .agg(F.sum("amt_c"))
     )
     cols = [F.col("typ")] + [
-        F.coalesce(F.col(str(i + 1)), F.lit(0)).cast(MONEY_SUM).alias(name)
+        _out100(F.coalesce(F.col(str(i + 1)), F.lit(0))).alias(name)
         for i, name in enumerate(_MONTHS)
     ]
     return pivoted.select(*cols)
 
 
 SQL_BUDGET_PIVOT = "SELECT o_orderpriority AS typ, " + ", ".join(
-    f"CAST(COALESCE(SUM(CASE WHEN month(o_orderdate) = {i + 1} "
-    f"THEN CAST(o_totalprice AS {MONEY}) END), 0) AS {MONEY_SUM}) AS {name}"
+    f"COALESCE(CAST(SUM(CASE WHEN month(o_orderdate) = {i + 1} "
+    f"THEN {_SC.format('o_totalprice')} END) AS BIGINT), 0) / 100.0 AS {name}"
     for i, name in enumerate(_MONTHS)
 ) + " FROM orders GROUP BY o_orderpriority"
 
@@ -386,13 +424,12 @@ FROM events GROUP BY event_type
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    disc_price = _money("l_extendedprice") * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(MONEY)).cast(MONEY_SUM).alias("sum_qty"),
-            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("sum_base_price"),
-            F.sum(disc_price).cast(MONEY4_SUM).alias("sum_disc_price"),
+            _out100(F.sum(_cents("l_quantity"))).alias("sum_qty"),
+            _out100(F.sum(_cents("l_extendedprice"))).alias("sum_base_price"),
+            _out1e6(F.sum(_disc_e6("l_extendedprice", "l_discount"))).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -400,9 +437,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS {MONEY})) AS {MONEY_SUM}) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS {MONEY4_SUM}) AS sum_disc_price,
+       CAST(SUM({_SC.format('l_quantity')}) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(SUM({_SC.format('l_extendedprice')}) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM({_SD6.format('l_extendedprice', 'l_discount')}) AS BIGINT) / 1000000.0 AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -418,12 +455,11 @@ GROUP BY l_returnflag, l_linestatus
 def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    disc_price = _money("l_extendedprice") * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .filter(F.col("o_orderstatus") == "O")
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.sum(disc_price).cast(MONEY4_SUM).alias("revenue"))
+        .agg(_out1e6(F.sum(_disc_e6("l_extendedprice", "l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -431,7 +467,7 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOP_REVENUE = f"""
 SELECT o.o_orderkey AS o_orderkey, o.o_orderpriority AS o_orderpriority,
-       CAST(SUM(CAST(l.l_extendedprice AS {MONEY}) * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))) AS {MONEY4_SUM}) AS revenue
+       CAST(SUM({_SD6.format('l.l_extendedprice', 'l.l_discount')}) AS BIGINT) / 1000000.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderstatus = 'O'
 GROUP BY o.o_orderkey, o.o_orderpriority
@@ -452,14 +488,14 @@ def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(
             F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
         )
-        .agg(F.sum(_money("o_totalprice")).cast(MONEY_SUM).alias("revenue"))
+        .agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
     )
     w = Window.orderBy("yr", "mon")
     return monthly.select(
         "yr",
         "mon",
-        "revenue",
-        (F.col("revenue") - F.lag("revenue", 1).over(w)).cast(MONEY_SUM).alias("mom_delta"),
+        _out100(F.col("rev_c")).alias("revenue"),
+        _out100(F.col("rev_c") - F.lag("rev_c", 1).over(w)).alias("mom_delta"),
     )
 
 
@@ -467,11 +503,11 @@ SQL_MONTH_OVER_MONTH = f"""
 WITH monthly AS (
     SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(month(o_orderdate) AS INTEGER) AS mon,
-           CAST(SUM(CAST(o_totalprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+           CAST(SUM({_SC.format('o_totalprice')}) AS BIGINT) AS rev_c
     FROM orders GROUP BY 1, 2
 )
-SELECT yr, mon, revenue,
-       CAST(revenue - LAG(revenue, 1) OVER (ORDER BY yr, mon) AS {MONEY_SUM}) AS mom_delta
+SELECT yr, mon, rev_c / 100.0 AS revenue,
+       (rev_c - LAG(rev_c, 1) OVER (ORDER BY yr, mon)) / 100.0 AS mom_delta
 FROM monthly
 """
 
@@ -493,7 +529,7 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("sum_price"),
+            _out100(F.sum(_cents("l_extendedprice"))).alias("sum_price"),
         )
     )
 
@@ -501,7 +537,7 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RANGE_FILTER = f"""
 SELECT l_returnflag,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS sum_price
+       CAST(SUM({_SC.format('l_extendedprice')}) AS BIGINT) / 100.0 AS sum_price
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
   AND l_discount >= 0.05 AND l_quantity < 25
@@ -525,7 +561,7 @@ def q_customer_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("total_price"),
+            _out100(F.sum(_cents("l_extendedprice"))).alias("total_price"),
         )
         .filter(F.col("n_orders") >= 5)
     )
@@ -535,7 +571,7 @@ SQL_CUSTOMER_DRILLDOWN = f"""
 SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
        COUNT(DISTINCT o.o_orderkey) AS n_orders,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l.l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS total_price
+       CAST(SUM({_SC.format('l.l_extendedprice')}) AS BIGINT) / 100.0 AS total_price
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -557,11 +593,9 @@ def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),  # counts non-null only
-            F.coalesce(
-                F.sum(_money("o_totalprice")), F.lit(0).cast(MONEY)
-            )
-            .cast(MONEY_SUM)
-            .alias("total_spent"),
+            _out100(F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0))).alias(
+                "total_spent"
+            ),
         )
     )
 
@@ -569,7 +603,7 @@ def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUSTOMER_ORDER_PROFILE = f"""
 SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
        COUNT(o.o_orderkey) AS n_orders,
-       CAST(COALESCE(SUM(CAST(o.o_totalprice AS {MONEY})), 0) AS {MONEY_SUM}) AS total_spent
+       COALESCE(CAST(SUM({_SC.format('o.o_totalprice')}) AS BIGINT), 0) / 100.0 AS total_spent
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
 """
@@ -587,7 +621,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup(F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_money("o_totalprice")).cast(MONEY_SUM).alias("revenue"),
+            _out100(F.sum(_cents("o_totalprice"))).alias("revenue"),
         )
     )
 
@@ -596,7 +630,7 @@ SQL_ROLLUP_REVENUE = f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(month(o_orderdate) AS INTEGER) AS mon,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+       CAST(SUM({_SC.format('o_totalprice')}) AS BIGINT) / 100.0 AS revenue
 FROM orders
 GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER))
 """
@@ -707,7 +741,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         gid.alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_money("o_totalprice")).cast(MONEY_SUM).alias("revenue"),
+        _out100(F.sum(_cents("o_totalprice"))).alias("revenue"),
     )
 
 
@@ -715,7 +749,7 @@ SQL_CUBE_REVENUE = f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+       CAST(SUM({_SC.format('o_totalprice')}) AS BIGINT) / 100.0 AS revenue
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -744,13 +778,13 @@ def q_trailing_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             # fixture timestamps are NTZ; session TZ is pinned UTC, so the
             # cast-to-timestamp epoch equals the oracle's epoch_us//1e6
             F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
-            _money("o_totalprice").alias("price"),
+            _cents("o_totalprice").alias("price_c"),
         )
         .select(
             "o_custkey",
             "o_orderkey",
             "epoch_s",
-            F.sum("price").over(w).cast(MONEY_SUM).alias("trailing_spend"),
+            _out100(F.sum("price_c").over(w)).alias("trailing_spend"),
         )
     )
 
@@ -758,9 +792,9 @@ def q_trailing_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TRAILING_WEEK_SPEND = f"""
 SELECT o_custkey, o_orderkey,
        epoch_us(o_orderdate)//1000000 AS epoch_s,
-       CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER (
+       CAST(SUM({_SC.format('o_totalprice')}) OVER (
             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)//1000000
-            RANGE BETWEEN {_TRAILING_S} PRECEDING AND CURRENT ROW) AS {MONEY_SUM}) AS trailing_spend
+            RANGE BETWEEN {_TRAILING_S} PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS trailing_spend
 FROM orders
 """
 
@@ -856,18 +890,18 @@ SQL_DISTINCT_PAIRS = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    qty = F.col("l_quantity").cast(MONEY)
+    qty_c = _cents("l_quantity")
     per_part = lineitem.groupBy("l_partkey").agg(
-        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+        F.sum(qty_c).alias("sum_qty_c"), F.count(F.lit(1)).alias("n_li")
     )
     small = lineitem.join(per_part, "l_partkey").filter(
-        qty * F.col("n_li") * 5 < F.col("sum_qty")
+        qty_c * F.col("n_li") * 5 < F.col("sum_qty_c")
     )
     return (
         small.join(part, small.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("small_qty_revenue"),
+            _out100(F.sum(_cents("l_extendedprice"))).alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -876,17 +910,17 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SMALL_QTY_REVENUE = f"""
 WITH per_part AS (
     SELECT l_partkey,
-           SUM(CAST(l_quantity AS {MONEY})) AS sum_qty,
+           CAST(SUM({_SC.format('l_quantity')}) AS BIGINT) AS sum_qty_c,
            COUNT(*) AS n_li
     FROM lineitem GROUP BY l_partkey
 )
 SELECT p.p_brand AS p_brand,
-       CAST(SUM(CAST(l.l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS small_qty_revenue,
+       CAST(SUM({_SC.format('l.l_extendedprice')}) AS BIGINT) / 100.0 AS small_qty_revenue,
        COUNT(*) AS n_small
 FROM lineitem l
 JOIN per_part pp ON l.l_partkey = pp.l_partkey
 JOIN part p ON l.l_partkey = p.p_partkey
-WHERE CAST(l.l_quantity AS {MONEY}) * pp.n_li * 5 < pp.sum_qty
+WHERE {_SC.format('l.l_quantity')} * pp.n_li * 5 < pp.sum_qty_c
 GROUP BY p.p_brand
 """
 
@@ -945,7 +979,7 @@ def q_prolific_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy("l_suppkey")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
-            F.sum(_money("l_extendedprice")).cast(MONEY_SUM).alias("revenue"),
+            _out100(F.sum(_cents("l_extendedprice"))).alias("revenue"),
         )
         .filter(F.col("n_parts") >= 520)
     )
@@ -960,7 +994,7 @@ SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
 FROM (
     SELECT l_suppkey,
            COUNT(DISTINCT l_partkey) AS n_parts,
-           CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS {MONEY_SUM}) AS revenue
+           CAST(SUM({_SC.format('l_extendedprice')}) AS BIGINT) / 100.0 AS revenue
     FROM lineitem
     GROUP BY l_suppkey
     HAVING COUNT(DISTINCT l_partkey) >= 520
@@ -984,24 +1018,24 @@ def q_loan_payment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     payments = lineitem.select(
         F.when(F.col("l_linenumber") >= 4, F.col("l_suppkey")).alias("lan_lopnr"),
-        _money("l_extendedprice").alias("belopp"),
+        _cents("l_extendedprice").alias("belopp_c"),
     )
     loans = supplier.select(
         F.col("s_suppkey").alias("lan_lopnr"),
         F.col("s_name").alias("langivare"),
-        _money("s_acctbal").alias("akt_laneskuld"),
+        _cents("s_acctbal").alias("akt_laneskuld_c"),
     )
     return (
         payments.join(F.broadcast(loans), "lan_lopnr", "left")
-        .groupBy("lan_lopnr", "langivare", "akt_laneskuld")
+        .groupBy("lan_lopnr", "langivare", "akt_laneskuld_c")
         .agg(
             F.count(F.lit(1)).alias("n_payments"),
-            F.sum("belopp").cast(MONEY_SUM).alias("total_paid"),
+            _out100(F.sum("belopp_c")).alias("total_paid"),
         )
         .select(
             "lan_lopnr",
             "langivare",
-            F.col("akt_laneskuld").cast(MONEY_SUM).alias("akt_laneskuld"),
+            _out100(F.col("akt_laneskuld_c")).alias("akt_laneskuld"),
             "n_payments",
             "total_paid",
         )
@@ -1011,14 +1045,14 @@ def q_loan_payment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LOAN_PAYMENT_ROLLUP = f"""
 WITH payments AS (
     SELECT CASE WHEN l_linenumber >= 4 THEN l_suppkey END AS lan_lopnr,
-           CAST(l_extendedprice AS {MONEY}) AS belopp
+           {_SC.format('l_extendedprice')} AS belopp_c
     FROM lineitem
 )
 SELECT p.lan_lopnr AS lan_lopnr,
        s.s_name AS langivare,
-       CAST(CAST(s.s_acctbal AS {MONEY}) AS {MONEY_SUM}) AS akt_laneskuld,
+       {_SC.format('s.s_acctbal')} / 100.0 AS akt_laneskuld,
        COUNT(*) AS n_payments,
-       CAST(SUM(p.belopp) AS {MONEY_SUM}) AS total_paid
+       CAST(SUM(p.belopp_c) AS BIGINT) / 100.0 AS total_paid
 FROM payments p LEFT JOIN supplier s ON p.lan_lopnr = s.s_suppkey
 GROUP BY 1, 2, 3
 """
