@@ -94,40 +94,28 @@ def shingles(documents: DataFrame, n: int = 8, id_col: str = "doc_id") -> DataFr
     )
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame,
-    *,
-    n: int = 8,
-    max_df: int = 20,
-    threshold_num: int = 1,
-    threshold_den: int = 10,
-    id_col: str = "doc_id",
+def rare_shingle_buckets(
+    documents: DataFrame, *, n: int = 8, max_df: int = 20, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-duplicate pairs by exact Jaccard over *rare* shingles
-    (document frequency <= max_df). Returns (id_a, id_b, shared, na, nb)
-    for pairs with jaccard >= num/den, decided in integer arithmetic:
-    den*shared >= num*(na+nb-shared)."""
+    """One row per rare shingle (document frequency <= max_df): the
+    sorted id array of the docs containing it, shingle string dropped.
+    The df cap is the scale guard — one shingle shared by 10^5 docs
+    would otherwise create 10^10 candidate pairs."""
     sh = shingles(documents, n, id_col)
-    # ONE shuffle on the shingle: collect the (distinct, sorted) doc ids per
-    # shingle, drop hot shingles by df, and drop the shingle string itself —
-    # everything downstream needs only the id arrays. Cached because both
-    # the pair expansion and the per-doc sizes read it; the cached set is a
-    # fraction of the raw shingle rows (rare shingles only, no strings).
-    buckets = (
+    return (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") <= max_df)
         .select("ids")
-        .cache()
     )
-    sizes = (
-        buckets.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
-    # pair expansion stays in codegen: ids are sorted, so (ids[i], ids[j>i])
-    # enumerates each unordered pair once with id_a < id_b; fan-out is
-    # bounded by C(max_df, 2) per bucket — no self-join of the shingle set
+
+
+def bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Expand each bucket's C(k, 2) ordered pairs (id_a < id_b) in pure
+    codegen: ids are sorted, so (ids[i], ids[j>i]) enumerates each
+    unordered pair exactly once — no self-join of the shingle set, and
+    fan-out is bounded by C(max_df, 2) per bucket. One output row per
+    (bucket, pair); callers dedupe/count as needed."""
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -141,9 +129,35 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+    return buckets.select(F.explode(pair_structs).alias("p")).select("p.id_a", "p.id_b")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    *,
+    n: int = 8,
+    max_df: int = 20,
+    threshold_num: int = 1,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over *rare* shingles
+    (document frequency <= max_df). Returns (id_a, id_b, shared, na, nb)
+    for pairs with jaccard >= num/den, decided in integer arithmetic:
+    den*shared >= num*(na+nb-shared)."""
+    # ONE shuffle on the shingle: collect the (distinct, sorted) doc ids per
+    # shingle, drop hot shingles by df, and drop the shingle string itself —
+    # everything downstream needs only the id arrays. Cached because both
+    # the pair expansion and the per-doc sizes read it; the cached set is a
+    # fraction of the raw shingle rows (rare shingles only, no strings).
+    buckets = rare_shingle_buckets(documents, n=n, max_df=max_df, id_col=id_col).cache()
+    sizes = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
     shared = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        bucket_pairs(buckets)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -1,0 +1,226 @@
+"""Training-data pipeline operators: edit-distance near-dup, leakage-safe
+dataset splits, document chunking, PII redaction, benchmark-contamination
+checks.
+
+These extend the dedup/similarity/text families (SURVEY.md section 7 M4)
+with the remaining steps an LLM-corpus pipeline runs between "raw crawl"
+and "training shards". Scale rules are the same as everywhere else in
+this repo: row-local column expressions wherever possible (zero
+shuffles), candidate generation by bucket equi-joins (never a cross
+join), broadcast for genuinely small sides, and integer/md5 outputs so
+every operator here is oracle-pairable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hhek2sqlite_spark.operators.dedup import bucket_pairs, rare_shingle_buckets, shingles
+from hhek2sqlite_spark.operators.text import normalized
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    documents: DataFrame,
+    *,
+    max_dist: int = 40,
+    n: int = 8,
+    max_df: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact edit distance over the normalized
+    text, for the tier where token/shingle overlap is too coarse (small
+    in-place edits, OCR noise).
+
+    Candidates come from the rare-shingle buckets (shared df-capped
+    shingle => candidate), so the quadratic work is bounded exactly like
+    ngram_jaccard — no all-pairs. Each candidate then passes a free
+    length bound (|len_a - len_b| <= max_dist is a lower bound on edit
+    distance) before the O(len^2) Levenshtein verify; the verify uses
+    Spark's thresholded form (returns -1 above max_dist), which
+    early-outs instead of filling the full DP matrix. Returns
+    (id_a, id_b, edit_dist) with edit_dist <= max_dist.
+    """
+    cand = bucket_pairs(
+        rare_shingle_buckets(documents, n=n, max_df=max_df, id_col=id_col)
+    ).distinct()
+    norm = documents.select(F.col(id_col), normalized("text").alias("t"))
+    ta = norm.select(
+        F.col(id_col).alias("id_a"), F.col("t").alias("ta"), F.length("t").alias("la")
+    )
+    tb = norm.select(
+        F.col(id_col).alias("id_b"), F.col("t").alias("tb"), F.length("t").alias("lb")
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb", max_dist).cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash dataset split
+# ---------------------------------------------------------------------------
+
+# hex-prefix boundaries on md5(normalized text): 204/26/26 of 256 buckets
+SPLIT_TRAIN_MAX = "cb"  # ~79.7%
+SPLIT_VAL_MAX = "e5"  # ~10.2%
+
+
+def dataset_split(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Assign train/val/test by the first md5 byte of the NORMALIZED
+    content (not the row id): row-local, zero shuffle, stable across
+    runs/engines/partitionings — and leakage-safe by construction,
+    because exact duplicates hash to the same bucket and therefore land
+    in the same split (splitting on doc_id sends copies of one document
+    to both train and test). Returns (id, bucket_hex, split)."""
+    b = F.substring(F.md5(normalized("text")), 1, 2)
+    return documents.select(
+        F.col(id_col),
+        b.alias("bucket_hex"),
+        F.when(b <= SPLIT_TRAIN_MAX, "train")
+        .when(b <= SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed window + overlap)
+# ---------------------------------------------------------------------------
+
+
+def doc_chunks(
+    documents: DataFrame,
+    *,
+    size: int = 200,
+    overlap: int = 40,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each normalized document into ``size``-char windows with
+    ``overlap``-char overlap (stride = size - overlap) — the standard
+    context-window packing step. Row-local sequence+transform+explode,
+    zero shuffles; emits (id, chunk_idx, chunk_len, chunk_fp) with the
+    md5 fingerprint standing in for the chunk body so the output stays
+    narrow (downstream shard writers re-derive the text by offset).
+    A document shorter than ``size`` yields exactly one chunk."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+
+    def chunks_of(t: Column) -> Column:
+        ln = F.length(t)
+        # n_chunks-1 = ceil((ln-size)/stride) via integer-exact floor
+        last_idx = F.when(ln <= size, F.lit(0)).otherwise(
+            F.floor((ln - size + (stride - 1)) / F.lit(stride)).cast("long")
+        )
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), last_idx),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                t.substr((i * stride + 1).cast("int"), F.lit(size)).alias("chunk"),
+            ),
+        )
+
+    from hhek2sqlite_spark.operators.text import let_once
+
+    return (
+        documents.select(
+            F.col(id_col), F.explode(let_once(normalized("text"), chunks_of)).alias("c")
+        )
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.length("c.chunk").cast("long").alias("chunk_len"),
+            F.md5("c.chunk").alias("chunk_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs): identical semantics in Java
+# regex (Spark) and RE2 (DuckDB). Applied to the normalized (lowercased)
+# form, so no case classes needed.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Count and redact emails/URLs in the normalized text. Counts are
+    measured independently on the original normalized form; redaction
+    replaces emails first, then URLs (fixed order => identical output in
+    any engine). Emits the redacted text's md5 + length rather than the
+    body. Row-local, zero shuffles.
+
+    The normalized form and the redacted form are materialized as
+    intermediate columns (CollapseProject keeps non-cheap multiply-
+    referenced aliases in their own projection), so the normalization
+    regex runs once per row, not once per signal."""
+    staged = documents.select(F.col(id_col), normalized("text").alias("_t"))
+    redacted = staged.select(
+        id_col,
+        "_t",
+        F.regexp_replace(
+            F.regexp_replace("_t", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ).alias("_red"),
+    )
+    return redacted.select(
+        id_col,
+        F.size(F.regexp_extract_all("_t", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("_t", F.lit(URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.length("_red").cast("long").alias("redacted_len"),
+        F.md5("_red").alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    documents: DataFrame,
+    *,
+    eval_max_id: int = 50,
+    n: int = 8,
+    min_shared: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus documents sharing >= min_shared distinct character
+    n-grams with any document of the eval set (here: id < eval_max_id
+    stands in for a benchmark suite). The decontamination step every
+    training pipeline runs before shipping a corpus.
+
+    Scale shape: the EVAL side is broadcast — benchmark suites are tiny
+    relative to the corpus, so the corpus streams through one scan and
+    the only shuffle is the (doc, eval) pair count. No df cap is needed:
+    fan-out per corpus shingle is bounded by the eval set's size.
+    Returns (doc_id, eval_id, n_shared)."""
+    sh = shingles(documents, n, id_col)
+    ev = sh.filter(F.col(id_col) < eval_max_id).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    corpus = sh.filter(F.col(id_col) >= eval_max_id)
+    return (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col, "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hhek2sqlite_spark.operators import dedup, similarity
+from hhek2sqlite_spark.operators import dedup, pipeline, similarity
 from hhek2sqlite_spark.operators.asof import as_of_join
 from hhek2sqlite_spark.operators.multimodal import binary_metadata, decode_features, with_binary_payload
 from hhek2sqlite_spark.operators.sessionize import sessionize
@@ -568,6 +568,135 @@ FROM events GROUP BY user_id
 """
 
 
+# pipeline tier: edit-distance dedup, splits, chunking, PII, contamination ---
+
+_EDIT_MAX_DIST = 40
+_CONTAM_EVAL_MAX_ID = 50
+# >= 100 shared 8-grams separates genuine cross-boundary duplicates from
+# shared-vocabulary noise in the fixture (measured distribution at
+# sf0.01: n_shared >= 100 flags 5 pairs, >= 5 would flag 20k of 22.5k)
+_CONTAM_MIN_SHARED = 100
+_CHUNK_SIZE = 200
+_CHUNK_OVERLAP = 40
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+# shared candidate CTEs (same shingle constants as ngram_jaccard, so the
+# two operators share one candidate definition)
+_SHINGLE_CTE = f"""
+norm AS (SELECT doc_id, {{norm_expr}} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), {{n}}) AS shingle
+    FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - {{n_minus1}}, 0))) u(i)
+    WHERE length(substr(t, CAST(i AS INTEGER), {{n}})) = {{n}}
+)"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_dist=_EDIT_MAX_DIST,
+        n=_NGRAM_N,
+        max_df=_NGRAM_MAX_DF,
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = f"""
+WITH {_SHINGLE_CTE.format(norm_expr=_NORM, n=_NGRAM_N, n_minus1=_NGRAM_N - 1)},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_NGRAM_MAX_DF}),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN norm na ON c.id_a = na.doc_id
+JOIN norm nb ON c.id_b = nb.doc_id
+WHERE abs(length(na.t) - length(nb.t)) <= {_EDIT_MAX_DIST}
+  AND levenshtein(na.t, nb.t) <= {_EDIT_MAX_DIST}
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DATASET_SPLIT = f"""
+SELECT doc_id,
+       substr(md5({_NORM}), 1, 2) AS bucket_hex,
+       CASE WHEN substr(md5({_NORM}), 1, 2) <= '{pipeline.SPLIT_TRAIN_MAX}' THEN 'train'
+            WHEN substr(md5({_NORM}), 1, 2) <= '{pipeline.SPLIT_VAL_MAX}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.doc_chunks(
+        load_table(spark, sf_dir, "documents"),
+        size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+c AS (
+    SELECT doc_id, i AS chunk_idx,
+           substr(t, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_SIZE}) AS chunk
+    FROM n, LATERAL unnest(generate_series(0,
+         CASE WHEN length(t) <= {_CHUNK_SIZE} THEN 0
+              ELSE CAST(floor((length(t) - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+         END)) u(i)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_fp
+FROM c
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+SQL_PII_REDACT = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+r AS (
+    SELECT doc_id, t,
+           regexp_replace(regexp_replace(t, '{pipeline.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{pipeline.URL_RE}', '<URL>', 'g') AS red
+    FROM n
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{pipeline.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{pipeline.URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(length(red) AS BIGINT) AS redacted_len,
+       md5(red) AS redacted_fp
+FROM r
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.contamination_pairs(
+        load_table(spark, sf_dir, "documents"),
+        eval_max_id=_CONTAM_EVAL_MAX_ID,
+        n=_NGRAM_N,
+        min_shared=_CONTAM_MIN_SHARED,
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH {_SHINGLE_CTE.format(norm_expr=_NORM, n=_NGRAM_N, n_minus1=_NGRAM_N - 1)},
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id < {_CONTAM_EVAL_MAX_ID}),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {_CONTAM_EVAL_MAX_ID})
+SELECT c.doc_id AS doc_id, e.eval_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM corpus c JOIN ev e USING (shingle)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -592,6 +721,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "user_activity": q_user_activity,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "dataset_split": q_dataset_split,
+    "doc_chunks": q_doc_chunks,
+    "pii_redact": q_pii_redact,
+    "contamination": q_contamination,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -612,4 +746,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sliding": SQL_EVENTS_SLIDING,
     "user_activity": SQL_USER_ACTIVITY,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "pii_redact": SQL_PII_REDACT,
+    "contamination": SQL_CONTAMINATION,
 }

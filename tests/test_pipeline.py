@@ -1,0 +1,123 @@
+"""Semantic tests for the pipeline tier (operators/pipeline.py):
+edit-distance near-dup, dataset split, chunking, PII redaction,
+contamination. Parity with the DuckDB oracles is covered by
+test_oracle_parity / scripts/run_parity.py; these pin the semantics on
+constructed inputs where the right answer is known by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hhek2sqlite_spark.operators import pipeline
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_edit_distance_pairs_finds_small_edit(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "hazy", 1)  # distance 2 (l->h is 1? no: replace 1 char)
+    unrelated = "completely different content with no overlap whatsoever " * 5
+    out = pipeline.edit_distance_pairs(
+        _docs(spark, [base, edited, unrelated]), max_dist=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.edit_dist for r in out}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == 1  # single substitution
+    assert all(2 not in p for p in pairs)  # unrelated doc never paired
+
+
+def test_edit_distance_threshold_excludes(spark):
+    a = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"
+    b = a[:25] + "zzzz yyyy xxxx wwww vvvv uuuu"  # shares a prefix, big edit
+    out = pipeline.edit_distance_pairs(_docs(spark, [a, b]), max_dist=5, max_df=10).collect()
+    assert out == []
+
+
+def test_dataset_split_is_content_keyed(spark):
+    texts = [f"document number {i} with some body text" for i in range(20)]
+    texts.append(texts[0])  # exact duplicate, different doc_id
+    out = pipeline.dataset_split(_docs(spark, texts)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 21
+    # leakage safety: identical content => identical split, always
+    assert by_id[0].split == by_id[20].split
+    assert by_id[0].bucket_hex == by_id[20].bucket_hex
+    assert {r.split for r in out} <= {"train", "val", "test"}
+
+
+def test_dataset_split_deterministic_across_runs(spark):
+    texts = [f"doc {i}" for i in range(10)]
+    a = {r.doc_id: r.split for r in pipeline.dataset_split(_docs(spark, texts)).collect()}
+    b = {r.doc_id: r.split for r in pipeline.dataset_split(_docs(spark, texts)).collect()}
+    assert a == b
+
+
+def test_doc_chunks_window_and_overlap(spark):
+    # 500 chars, size 200, overlap 40 -> stride 160 -> offsets 0,160,320
+    # chunk lens 200, 200, 180
+    text = "a" * 500
+    out = pipeline.doc_chunks(_docs(spark, [text]), size=200, overlap=40).collect()
+    lens = {r.chunk_idx: r.chunk_len for r in out}
+    assert lens == {0: 200, 1: 200, 2: 180}
+    # all-'a' chunks of equal length have equal fingerprints
+    fps = {r.chunk_idx: r.chunk_fp for r in out}
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_doc_chunks_short_and_empty_docs(spark):
+    out = pipeline.doc_chunks(_docs(spark, ["short", ""]), size=200, overlap=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0].chunk_len == 5
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 0
+
+
+def test_doc_chunks_exact_boundary(spark):
+    # len == size -> exactly one chunk; len == size+1 -> two
+    out = pipeline.doc_chunks(_docs(spark, ["b" * 200, "c" * 201]), size=200, overlap=40).collect()
+    counts = {}
+    for r in out:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts == {0: 1, 1: 2}
+
+
+def test_pii_redact_counts_and_redacts(spark):
+    text = "Contact Bob.Smith@Example.COM or visit https://example.com/x?q=1 ok"
+    out = pipeline.pii_redact(_docs(spark, [text])).collect()[0]
+    assert out.n_emails == 1
+    assert out.n_urls == 1
+    # the redacted form has no address left; its fp differs from raw md5
+    red = (
+        _docs(spark, [text])
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    pipeline.EMAIL_RE,
+                    "<EMAIL>",
+                ),
+                pipeline.URL_RE,
+                "<URL>",
+            ).alias("r")
+        )
+        .collect()[0]
+        .r
+    )
+    assert "<EMAIL>" in red and "<URL>" in red
+    assert out.redacted_len == len(red)
+
+
+def test_contamination_flags_planted_duplicate(spark):
+    eval_doc = "benchmark question about the capital of sweden and its harbours " * 4
+    clean = "totally unrelated corpus document discussing cooking recipes only " * 4
+    contaminated = eval_doc + " trailing answer text"
+    df = spark.createDataFrame(
+        [(0, eval_doc), (100, clean), (101, contaminated)], "doc_id long, text string"
+    )
+    out = pipeline.contamination_pairs(df, eval_max_id=50, min_shared=20).collect()
+    flagged = {(r.doc_id, r.eval_id) for r in out}
+    assert (101, 0) in flagged
+    assert all(d != 100 for d, _ in flagged)
