@@ -17,9 +17,16 @@ Scale design (the point of these at 100 TB):
 - SimHash: 64-bit fingerprint from token-hash bit votes; banded Hamming
   candidates via 16-bit chunks, verified with bit_count(xor) <= k.
 
-MinHash/SimHash use Spark's xxhash64/hash (no DuckDB equivalent), so
-their driver check is rows-only; the n-gram Jaccard operator is the
-hash-matched ground truth of the family.
+MinHash/SimHash use ENGINE-PORTABLE hashes (round 3; round 1/2 used
+Spark's xxhash64, which has no DuckDB twin and forced a rows-only driver
+check): the shingle hash is an unrolled base-31 polynomial over the 8
+fixed characters (pure integer codegen — faster than xxhash64's
+string-path here AND reproducible in any engine), and the simhash token
+hash is the first 15 hex digits of md5 (60 bits, identical hex in every
+md5 implementation). Band keys pack 15 bits of each of the 4 band
+signature values into one BIGINT — no strings on the shuffle, collision
+probability 2^-60 per non-matching band. Every operator in this module
+is therefore DuckDB-oracle-paired.
 """
 
 from __future__ import annotations
@@ -178,6 +185,48 @@ def ngram_jaccard_pairs(
 
 _MERSENNE61 = (1 << 61) - 1
 
+# base-31 polynomial coefficients for the unrolled 8-char shingle hash
+_POLY_BASE = 31
+_SHINGLE_HASH_MOD = 1 << 32
+
+
+def shingle_hash32_sql(shingle_expr: str, n: int, *, char_fn: str) -> str:
+    """SQL text of the unrolled base-31 polynomial hash of a FIXED-length
+    ``n``-char string, reduced mod 2^32: identical in Spark SQL
+    (char_fn='ascii', substring) and DuckDB (char_fn='ord', substr) —
+    both return the Unicode codepoint of the 1-char substring. Max
+    intermediate: codepoint (<2^21) * 31^7 * 8 < 2^63, no overflow in
+    either engine. Generated ONCE as a parsed SQL string: a py4j-composed
+    expression tree of 8 products costs driver milliseconds per column,
+    a string parse is free."""
+    sub = "substring" if char_fn == "ascii" else "substr"
+    # CAST to BIGINT: ascii() yields INT32 and Spark's ANSI mode errors on
+    # int32 overflow when the coefficient still fits in int32
+    terms = " + ".join(
+        f"CAST({char_fn}({sub}({shingle_expr}, {i + 1}, 1)) AS BIGINT)"
+        f" * {_POLY_BASE ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"(({terms}) % {_SHINGLE_HASH_MOD})"
+
+
+# band key: 15 low bits of each of the 4 row values, packed disjointly —
+# max (2^15-1)*2^45*1.0001 < 2^61, int64-safe in both engines
+_BAND_BITS_PER_ROW = 15
+
+
+def band_key_sql(sig_exprs: list[str]) -> str:
+    """SQL text packing one band's signature values into a single BIGINT
+    key: sum of (s_i % 2^15) << (15*(r-1-i)) via multiplication (the bit
+    fields are disjoint, so + == |). Portable: only %, * and + on
+    BIGINT."""
+    r = len(sig_exprs)
+    mask = 1 << _BAND_BITS_PER_ROW
+    return " + ".join(
+        f"(({e}) % {mask}) * {1 << (_BAND_BITS_PER_ROW * (r - 1 - i))}"
+        for i, e in enumerate(sig_exprs)
+    )
+
 
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k minwise permutations; a is
@@ -221,9 +270,17 @@ def minhash_signatures(
     aggregates run map-side inside whatever tasks the scan produced, so
     the input must be spread across cores BEFORE the explode. Each doc's
     shingles stay in one task, so partial agg already yields one row per
-    doc and the final shuffle moves only #docs rows."""
+    doc and the final shuffle moves only #docs rows.
+
+    The shingle hash is the unrolled base-31 polynomial (round 3):
+    engine-portable — the DuckDB oracle computes the identical value —
+    and all-integer codegen (8 muls + adds, one %), vs xxhash64's
+    UTF8String path."""
     sh = shingles(_spread(documents, spread), n, id_col)
-    h = sh.select(id_col, F.expr("xxhash64(shingle) & 4294967295").alias("h"))
+    h = sh.select(
+        id_col,
+        F.expr(shingle_hash32_sql("shingle", n, char_fn="ascii")).alias("h"),
+    )
     mins = [
         F.expr(f"min((h * {a}L + {b}L) & {_MERSENNE61}L) AS s{i}")
         for i, (a, b) in enumerate(_perm_params(k))
@@ -247,16 +304,21 @@ def minhash_lsh_pairs(
     est_matches / k). Returns (id_a, id_b, est_matches)."""
     rows = k // bands
     sig = minhash_signatures(documents, k=k, n=n, id_col=id_col).cache()
+    # integer band keys (15 bits per row value, disjointly packed) instead
+    # of hash(slice): engine-portable for the oracle, and the banding
+    # shuffle carries one BIGINT per (doc, band) instead of a hash of an
+    # array — false collisions are 2^-60 per non-matching band and only
+    # ever ADD a candidate that est_matches then filters identically in
+    # both engines
+    keys = [
+        band_key_sql([f"signature[{b * rows + i}]" for i in range(rows)])
+        for b in range(bands)
+    ]
     banded = sig.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("signature", b * rows + 1, rows))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr("array(" + ", ".join(keys) + ")")).alias(
+            "band", "band_hash"
+        ),
     )
     cand = (
         banded.alias("x")
@@ -283,50 +345,71 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+# 60-bit simhash (round 3): the token hash is the first 15 hex digits of
+# md5 — identical in every engine — so the whole operator is
+# DuckDB-oracle-paired. 60 bits chunk evenly into 4 x 15 for the
+# pigeonhole banding.
+SIMHASH_BITS = 60
+_SIMHASH_CHUNKS = 4
+_SIMHASH_CHUNK_BITS = SIMHASH_BITS // _SIMHASH_CHUNKS
+
+# Spark SQL text of the 60-bit md5-derived token hash; the DuckDB twin is
+# CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+TOKEN_HASH60_SPARK = "cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint)"
+
+
 def simhash_fingerprints(
     documents: DataFrame, id_col: str = "doc_id", *, spread: bool = True
 ) -> DataFrame:
-    """64-bit SimHash per document: every distinct token votes +-1 on each
-    bit of its xxhash64; fingerprint bit i is 1 iff the vote sum is
-    positive (2*count_of_set_bits > n_tokens).
+    """60-bit SimHash per document: every distinct token votes +-1 on each
+    bit of its 60-bit md5-derived hash; fingerprint bit i is 1 iff the
+    vote sum is positive (2*count_of_set_bits > n_tokens).
 
     Formulation (third iteration, measured at sf0.1): explode distinct
-    tokens -> xxhash64 -> 64 codegen'd ``sum((h >> i) & 1)`` aggregates,
+    tokens -> hash -> 60 codegen'd ``sum((h >> i) & 1)`` aggregates,
     every expression a parsed SQL string. The earlier row-local version
-    (64 interpreted ``F.filter`` passes over a token-hash array) cost 2.6s
+    (interpreted ``F.filter`` passes over a token-hash array) cost 2.6s
     per fresh run — half driver-side plan build (a py4j-composed tree of
-    64 chained bitwiseORs), half interpreted higher-order eval. This form
+    chained bitwiseORs), half interpreted higher-order eval. This form
     is ~1.1s: one parse, whole-stage codegen end-to-end, and the groupBy
     partial aggregates combine map-side so the shuffle moves one row per
-    (doc, 65 longs). ``_spread`` decouples the explode from the scan's
+    (doc, 61 longs). ``_spread`` decouples the explode from the scan's
     split count (single-row-group fixture files -> one task otherwise)."""
     ex = (
         _spread(documents, spread)
         .select(F.col(id_col), F.explode(F.array_distinct(tokens("text"))).alias("tok"))
-        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+        .select(F.col(id_col), F.expr(TOKEN_HASH60_SPARK).alias("h"))
     )
-    aggs = [F.expr(f"sum(cast((h >> {i}) & 1 AS long)) AS b{i}") for i in range(64)]
+    aggs = [
+        F.expr(f"sum(cast((h >> {i}) & 1 AS long)) AS b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
     aggs.append(F.expr("count(1) AS n_tok"))
     votes = ex.groupBy(id_col).agg(*aggs)
-    fp = " + ".join(f"(cast(if(2*b{i} > n_tok, 1, 0) AS long) << {i})" for i in range(64))
+    fp = " + ".join(
+        f"(cast(if(2*b{i} > n_tok, 1, 0) AS long) << {i})" for i in range(SIMHASH_BITS)
+    )
     return votes.select(F.col(id_col), F.expr(f"({fp}) AS simhash"))
 
 
 def simhash_pairs(
     documents: DataFrame, *, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit chunk (pigeonhole: hamming<=3
+    """Near-dup candidates: equal 15-bit chunk (pigeonhole: hamming<=3
     over 4 chunks guarantees one equal chunk), verified by
     bit_count(xor) <= max_hamming."""
     fps = simhash_fingerprints(documents, id_col).cache()
+    chunk_mask = (1 << _SIMHASH_CHUNK_BITS) - 1
     chunked = fps.select(
         F.col(id_col),
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned("simhash", _SIMHASH_CHUNK_BITS * c).bitwiseAND(
+                        F.lit(chunk_mask)
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk", "chunk_val"),

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -54,11 +54,14 @@ def binary_metadata(documents: DataFrame) -> DataFrame:
     return with_binary_payload(documents).select("doc_id", "byte_len", "content_sha256")
 
 
+# features ride as DOUBLE, not FLOAT: f0 carries n_bytes, and float32 is
+# only integer-exact to 2^24 — a >16 MiB payload would round while the
+# DuckDB oracle stays exact. double is integer-exact to 2^53.
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 

@@ -252,16 +252,28 @@ def ivf_topk(
     )
 
 
-def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (LCG, no numpy state
-    dependence) — same constants every run/engine."""
+# vector coordinates are quantized to integers (round(x * 2^20)) before
+# the hyperplane sign test: float32 inputs are < 2^21 after scaling, the
+# plane coefficients are integers in [-10^6, 10^6], so every product is
+# < 2^42 and the 64-term sum < 2^48 — EXACT in int64 and in double, so
+# the sign bit is bit-identical in any engine (a float dot's sign can
+# flip across engines when |dot| ~ summation-order epsilon; an integer
+# dot's cannot). The quantization only perturbs the (random) hyperplane
+# by < 2^-20 relative — LSH recall is indifferent.
+_QUANT_SCALE = 1 << 20
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic pseudo-random INTEGER hyperplanes in [-10^6, 10^6]
+    (LCG, no numpy state dependence) — same constants every run/engine,
+    embedded literally in both the Spark plan and the SQL oracle."""
     planes = []
     state = seed or 1
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            row.append(((state >> 20) % 2_000_001) / 1_000_000.0 - 1.0)  # [-1, 1]
+            row.append((state >> 20) % 2_000_001 - 1_000_000)  # [-1e6, 1e6]
         planes.append(row)
     return planes
 
@@ -288,8 +300,26 @@ def lsh_bucket_pairs(
     """
     e = _doubled(embeddings)
     planes = _hyperplanes(n_bands * band_bits, dim)
+    # quantize once per vector, then every sign bit is an exact integer
+    # dot (see _QUANT_SCALE note) — computed from the SAME literal plane
+    # matrix the SQL oracle embeds
+    eq = F.transform(
+        F.col("e"), lambda x: F.round(x * _QUANT_SCALE).cast("long")
+    )
     bits = [
-        F.when(dot(F.col("e"), F.array(*[F.lit(v) for v in p])) > 0, 1).otherwise(0)
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("eq"),
+                    F.array(*[F.lit(v) for v in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            1,
+        ).otherwise(0)
         for p in planes
     ]
     band_keys = []
@@ -299,7 +329,7 @@ def lsh_bucket_pairs(
             term = F.shiftleft(bits[b * band_bits + i].cast("long"), i)
             key = term if key is None else key.bitwiseOR(term)
         band_keys.append(key)
-    hashed = e.select(
+    hashed = e.withColumn("eq", eq).select(
         "vec_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
     )
     candidates = (

@@ -166,13 +166,119 @@ WHERE s.shared * {_J_DEN} >= {_J_NUM} * (sa.n_shingles + sb.n_shingles - s.share
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark xxhash64-based — no SQL oracle (rows-only check, by design)
+    # engine-portable hashes since round 3 — fully DuckDB-oracle-paired
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark xxhash64-based — no SQL oracle (rows-only check, by design)
+    # engine-portable hashes since round 3 — fully DuckDB-oracle-paired
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- DuckDB twins of the MinHash/SimHash pipelines, generated from the
+# SAME constants the Spark operators use (permutation params, band
+# packing, chunk widths), so the two sides cannot drift. ---
+
+_MINHASH_K = 64
+_MINHASH_BANDS = 16
+_MINHASH_ROWS = _MINHASH_K // _MINHASH_BANDS
+_MINHASH_MIN_EST = 16
+_M61_MASK = (1 << 61) - 1
+
+
+def _sql_minhash_lsh() -> str:
+    perms = dedup._perm_params(_MINHASH_K)
+    h32 = dedup.shingle_hash32_sql("shingle", _NGRAM_N, char_fn="ord")
+    mins = ",\n           ".join(
+        f"MIN(((h * {a}) + {b}) & {_M61_MASK}) AS s{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    keys = ", ".join(
+        dedup.band_key_sql(
+            [f"s{b * _MINHASH_ROWS + i}" for i in range(_MINHASH_ROWS)]
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_MINHASH_K)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), {_NGRAM_N}) AS shingle
+    FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - {_NGRAM_N - 1}, 0))) u(i)
+    WHERE length(substr(t, CAST(i AS INTEGER), {_NGRAM_N})) = {_NGRAM_N}
+),
+h AS (SELECT doc_id, {h32} AS h FROM sh),
+sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM h GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, bnd AS band,
+           ([{keys}])[bnd + 1] AS band_hash
+    FROM sigs, LATERAL unnest(generate_series(0, {_MINHASH_BANDS - 1})) u(bnd)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b, CAST({est} AS INTEGER) AS est_matches
+FROM cand c
+JOIN sigs a ON c.id_a = a.doc_id
+JOIN sigs b ON c.id_b = b.doc_id
+WHERE ({est}) >= {_MINHASH_MIN_EST}
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash_lsh()
+
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_CHUNK_MASK = (1 << 15) - 1
+
+
+def _sql_simhash_pairs() -> str:
+    bits = dedup.SIMHASH_BITS
+    votes = ",\n           ".join(
+        f"SUM((h >> {i}) & 1) AS b{i}" for i in range(bits)
+    )
+    fp = " + ".join(
+        f"((CASE WHEN 2 * b{i} > n_tok THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i in range(bits)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+votes AS (
+    SELECT doc_id,
+           {votes},
+           COUNT(*) AS n_tok
+    FROM h GROUP BY doc_id
+),
+fps AS (SELECT doc_id, ({fp}) AS simhash FROM votes),
+chunked AS (
+    SELECT doc_id, simhash, CAST(c AS INTEGER) AS chunk,
+           (simhash >> (15 * c)) & {_SIMHASH_CHUNK_MASK} AS chunk_val
+    FROM fps, LATERAL unnest(generate_series(0, 3)) u(c)
+),
+pairs AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           x.simhash AS fp_a, y.simhash AS fp_b
+    FROM chunked x
+    JOIN chunked y ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+                AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(fp_a, fp_b)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 
 # similarity search ----------------------------------------------------------
@@ -217,9 +323,70 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deterministic hyperplanes, but the 12x64 literal matrix makes a SQL
-    # twin impractical — rows-only check for the scale path
+    # oracle-paired since round 3: the sign bits are integer-quantized
+    # dots against a literal plane matrix embedded in BOTH the Spark plan
+    # and the generated SQL twin (bit-exact in any engine)
     return similarity.lsh_bucket_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+_LSH_BANDS = 16
+_LSH_BAND_BITS = 4
+_LSH_DIM = 64
+_LSH_MIN_SIM = 400_000
+
+
+def _sql_similarity_lsh() -> str:
+    planes = similarity._hyperplanes(_LSH_BANDS * _LSH_BAND_BITS, _LSH_DIM)
+    scale = similarity._QUANT_SCALE
+    # integer plane coeffs ride as DOUBLE[] literals: every product is an
+    # integer < 2^42 and the 64-term sum an integer < 2^48, both exactly
+    # representable, so list_dot_product is EXACT here and the sign
+    # matches Spark's int64 fold bit-for-bit
+    bit_cols = ",\n           ".join(
+        "(CASE WHEN list_dot_product(eq, [{}]::DOUBLE[]) > 0 THEN 1 ELSE 0 END) AS t{}".format(
+            ", ".join(str(c) for c in p), i
+        )
+        for i, p in enumerate(planes)
+    )
+    keys = ", ".join(
+        " + ".join(
+            f"{1 << i} * t{b * _LSH_BAND_BITS + i}" for i in range(_LSH_BAND_BITS)
+        )
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (
+    SELECT vec_id, e,
+           list_transform(e, x -> CAST(round(x * {scale}) AS BIGINT))::DOUBLE[] AS eq
+    FROM e
+),
+bits AS (
+    SELECT vec_id,
+           {bit_cols}
+    FROM q
+),
+banded AS (
+    SELECT vec_id, bnd AS band, ([{keys}])[bnd + 1] AS key
+    FROM bits, LATERAL unnest(generate_series(0, {_LSH_BANDS - 1})) u(bnd)
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS sim_e6
+FROM cand c
+JOIN e a ON c.id_a = a.vec_id
+JOIN e b ON c.id_b = b.vec_id
+WHERE CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= {_LSH_MIN_SIM}
+"""
+
+
+SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
 # multimodal -----------------------------------------------------------------
@@ -733,7 +900,10 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "source_stats": SQL_SOURCE_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
+    "similarity_lsh": SQL_SIMILARITY_LSH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,

@@ -854,11 +854,65 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# KMV (k-minimum-values) sketch parameters: estimate = (k-1) * 2^44 / v_k
+# where v_k is the k-th smallest distinct 44-bit hash. 44 bits (11 md5 hex
+# digits) keeps every hash < 2^44 — exactly representable as double, so
+# the one float division is bit-identical in any engine. Falls back to the
+# exact count when a group has fewer than k distinct keys.
+_KMV_K = 256
+_KMV_HASH_BITS_RANGE = float((_KMV_K - 1) * (1 << 44))
+_KMV_HASH_SPARK = (
+    "cast(conv(substring(md5(cast(o_custkey AS string)), 1, 11), 16, 10) AS bigint)"
+)
+
+
 def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per priority via a DETERMINISTIC
+    KMV sketch — unlike HLL (whose sketch is engine-private), the
+    estimate is a pure function of md5 values, so DuckDB reproduces it
+    exactly and the driver hash-matches it. Spark's native
+    ``approx_count_distinct`` (HLL, mergeable, single-pass) remains the
+    production scale path — its error bound is pytest-verified
+    (tests/test_extensions.py::test_approx_distinct_within_error_bound);
+    KMV here costs one distinct + one per-group top-k window, the price
+    of cross-engine determinism."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    d = orders.select(
+        "o_orderpriority", F.expr(_KMV_HASH_SPARK).alias("h")
+    ).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    agg = topk.groupBy("o_orderpriority").agg(
+        F.max("h").alias("vk"), F.count(F.lit(1)).alias("n_seen")
     )
+    est = F.when(F.col("n_seen") < _KMV_K, F.col("n_seen")).otherwise(
+        F.floor(F.lit(_KMV_HASH_BITS_RANGE) / F.col("vk"))
+    )
+    return agg.select(
+        "o_orderpriority", est.cast("long").alias("approx_customers")
+    )
+
+
+SQL_APPROX_DISTINCT_CUSTOMERS = f"""
+WITH d AS (
+    SELECT DISTINCT o_orderpriority,
+           CAST('0x' || substr(md5(o_custkey::VARCHAR), 1, 11) AS BIGINT) AS h
+    FROM orders
+),
+r AS (
+    SELECT o_orderpriority, h,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM d
+),
+t AS (
+    SELECT o_orderpriority, MAX(h) AS vk, COUNT(*) AS n_seen
+    FROM r WHERE rn <= {_KMV_K} GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(CASE WHEN n_seen < {_KMV_K} THEN n_seen
+                 ELSE floor({_KMV_HASH_BITS_RANGE!r} / vk) END AS BIGINT) AS approx_customers
+FROM t
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1121,6 +1175,7 @@ ORACLE_SQL: dict[str, str] = {
     "trailing_week_spend": SQL_TRAILING_WEEK_SPEND,
     "active_customers": SQL_ACTIVE_CUSTOMERS,
     "distinct_customers": SQL_DISTINCT_CUSTOMERS,
+    "approx_distinct_customers": SQL_APPROX_DISTINCT_CUSTOMERS,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "priority_mix": SQL_PRIORITY_MIX,
     "prolific_suppliers": SQL_PROLIFIC_SUPPLIERS,

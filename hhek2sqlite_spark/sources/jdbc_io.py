@@ -128,15 +128,21 @@ def write_database_jdbc(
     counts: dict[str, int] = {}
     for name in COPY_ORDER:
         if name in tables:
-            df = tables[name]
-            write_table_jdbc(
-                df,
-                url,
-                name,
-                mode=mode,
-                batch_size=batch_size,
-                max_connections=max_connections,
-                driver=driver,
-            )
-            counts[name] = df.count()
+            # cache so the lineage runs ONCE (the write materializes it) and
+            # the reported count is the same rows the write saw, even for
+            # non-deterministic inputs
+            df = tables[name].cache()
+            try:
+                write_table_jdbc(
+                    df,
+                    url,
+                    name,
+                    mode=mode,
+                    batch_size=batch_size,
+                    max_connections=max_connections,
+                    driver=driver,
+                )
+                counts[name] = df.count()
+            finally:
+                df.unpersist()
     return counts

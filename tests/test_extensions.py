@@ -371,25 +371,37 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
-    """The HLL sketch (rsd=0.02) must land within 10% of the exact
-    count-distinct per group — the rows-only driver check can't see
-    values, so the error bound is asserted here."""
+    """Both sketches must land within 10% of the exact count-distinct per
+    group: the deterministic KMV (the oracle-paired driver query) and
+    Spark's native HLL (approx_count_distinct, the mergeable single-pass
+    production path, whose sketch the driver can't hash-check)."""
+    from pyspark.sql import functions as F
+
     from hhek2sqlite_spark.plans.reference import (
         q_approx_distinct_customers,
         q_distinct_customers,
     )
+    from hhek2sqlite_spark.sources.parquet import load_table
 
     exact = {
         r.o_orderpriority: r.n_customers
         for r in q_distinct_customers(spark, sf_dir).collect()
     }
-    approx = {
+    kmv = {
         r.o_orderpriority: r.approx_customers
         for r in q_approx_distinct_customers(spark, sf_dir).collect()
     }
-    assert set(exact) == set(approx)
+    hll = {
+        r.o_orderpriority: r.approx_customers
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+        .collect()
+    }
+    assert set(exact) == set(kmv) == set(hll)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
+        assert abs(kmv[k] - n) <= max(2, 0.1 * n), ("kmv", k, n, kmv[k])
+        assert abs(hll[k] - n) <= max(2, 0.1 * n), ("hll", k, n, hll[k])
 
 
 def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
