@@ -43,17 +43,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a raw
-    nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
-    convert to a real timestamp (microsecond truncation, matching what a
-    TIMESTAMP_NS -> TIMESTAMP cast does in DuckDB)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    """Normalize ``events.ts`` to a canonical ``TIMESTAMP`` regardless of
+    how the driver wrote the fixture. Known layouts:
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        # integer DIV keeps full precision (epoch nanos overflow double's
-        # 53-bit mantissa, so float division would drift by microseconds)
+    - parquet TIMESTAMP(NANOS) read as a raw nanosecond long (under
+      ``spark.sql.legacy.parquet.nanosAsLong``): integer-DIV to micros
+      (epoch nanos overflow double's 53-bit mantissa, so float division
+      would drift by microseconds);
+    - parquet ``timestamp[us]`` with no UTC annotation, read by Spark as
+      ``TIMESTAMP_NTZ``: cast to ``TIMESTAMP`` — the session TZ is pinned
+      UTC on every build path, so epoch values are unchanged and DuckDB's
+      ``epoch_us(ts)`` oracles keep matching;
+    - already ``TIMESTAMP``: pass through.
+
+    Anything else raises so a driver-side fixture refresh fails loudly at
+    load instead of deep inside a window expression.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif isinstance(dt, TimestampType):
+        pass
+    else:
+        raise TypeError(
+            f"events.ts has unrecognized type {dt}; expected raw nanos LONG, "
+            "TIMESTAMP_NTZ, or TIMESTAMP — fixture layout drifted, update "
+            "_normalize_events"
+        )
     return df
 
 
