@@ -36,21 +36,24 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join resilient to a hot key on the big side: the big side
-    gets a random-ish salt in [0, salt) derived from row content
-    (deterministic — hash of all columns — so retries/recomputes agree),
-    the small side is EXPLODED salt-fold, and the join key becomes
-    (key, salt). A key holding 10^9 rows then spreads over ``salt``
-    tasks instead of one. Cost: small side replicated x salt — use for
-    genuinely small/dimension right sides.
+    gets a salt in [0, salt) from hash(key, scan partition id) — cheap
+    (two narrow ints per row, NOT the whole row: on a wide fact table
+    hashing every column just to pick a bucket is needless per-row work)
+    and stable on recompute (a retried task re-reads the same split, so
+    the same partition id and the same salts). A hot key's rows arrive
+    across many scan partitions, so they fan out over ``salt`` join
+    tasks instead of one. Correctness never depends on WHICH salt a row
+    gets — the small side is EXPLODED over all salt values, so every
+    (key, salt) combination matches. Cost: small side replicated x salt
+    — use for genuinely small/dimension right sides.
 
     Columns: result has big's columns plus small's non-key columns
     (pre-alias collisions away)."""
     overlap = [c for c in small.columns if c != key and c in big.columns]
     if overlap:
         raise ValueError(f"alias small-side columns first, collision: {overlap}")
-    bcols = [c for c in big.columns]
     b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in bcols]), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salt))
     )
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -313,12 +313,21 @@ SELECT q_id, vec_id, sim_e6, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF coarse quantizer (hash-init + 2 Lloyd passes, centroids are the
-    # only driver-side state) probing 4/16 cells — rows-only check (the
-    # oracle tier for top-k is similarity_topk; tests assert recall)
+    # only driver-side state) run at FULL probe: every query probes all 16
+    # cells and each corpus vector lives in exactly one cell, so the
+    # scored set is the complete corpus and the output is exactly the
+    # brute-force top-k — which makes SQL_SIMILARITY_TOPK a true oracle
+    # (the float centroids only route vectors to cells; at full probe
+    # routing cannot change the result, so the engine-portability concern
+    # about distributed float means vanishes). The production pruned-probe
+    # path (n_probe=4) is covered by the recall test
+    # (tests/test_extensions.py::test_similarity_ivf_recall_and_exactness_at_full_probe).
     return similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         n_queries=_TOPK_QUERIES,
         k=_TOPK_K,
+        n_cells=16,
+        n_probe=16,
     )
 
 
@@ -903,6 +912,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
+    # full-probe IVF == exact top-k (see q_similarity_ivf), so the
+    # brute-force SQL is a genuine oracle for it
+    "similarity_ivf": SQL_SIMILARITY_TOPK,
     "similarity_lsh": SQL_SIMILARITY_LSH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,

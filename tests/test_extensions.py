@@ -426,3 +426,73 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT event_id FROM t_stream_dedup")
     assert got.count() == 500
     assert got.distinct().count() == 500
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing _session_func off-stream."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists = True
+        self._v = v
+
+    def remove(self):
+        self.exists = False
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def test_streaming_session_func_us_and_ns_dtypes_agree():
+    """The pandas branch at streaming/sessions.py:87 must convert BOTH
+    datetime64[ns] and datetime64[us] inputs to the same epoch-micros —
+    Arrow hands either depending on version, and the refreshed fixture is
+    now [us] on disk."""
+    import pandas as pd
+
+    from hhek2sqlite_spark.streaming.sessions import _session_func
+
+    gap_us = 30 * 60 * 1_000_000
+    base_us = 1_700_000_000_000_000
+    # two sessions: events at +0s, +60s, then a gap > 30min, then +1h
+    offsets_us = [0, 60_000_000, 3_700_000_000]
+    ts_us = [base_us + o for o in offsets_us]
+
+    def run(dtype):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [7] * 3,
+                "event_id": [1, 2, 3],
+                "ts": pd.Series(pd.to_datetime(ts_us, unit="us", utc=False)).astype(dtype),
+                "value": [1.0, 2.0, 4.0],
+            }
+        )
+        state = _FakeGroupState()
+        out = list(_session_func(gap_us)((7,), iter([pdf]), state))
+        return pd.concat(out, ignore_index=True), state
+
+    for dtype in ("datetime64[ns]", "datetime64[us]"):
+        closed, state = run(dtype)
+        # first session closed by the third event opening session 2
+        assert len(closed) == 1, dtype
+        r = closed.iloc[0]
+        assert (r.session_start_us, r.session_end_us, r.n_events) == (
+            ts_us[0],
+            ts_us[1],
+            2,
+        ), dtype
+        assert abs(r.total_value - 3.0) < 1e-9, dtype
+        # session 2 still open, riding in state with its event-time timeout
+        assert state.exists
+        assert state.get == (ts_us[2], ts_us[2], 1, 4.0), dtype
+        assert state.timeout_ms == ts_us[2] // 1000 + gap_us // 1000, dtype
