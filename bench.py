@@ -60,6 +60,9 @@ BENCH_QUERIES = (
     "doc_chunks",
     "pii_redact",
     "contamination",
+    "token_topk",
+    "tfidf_topk",
+    "stratified_sample",
 )
 
 

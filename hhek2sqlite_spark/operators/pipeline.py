@@ -199,6 +199,49 @@ def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    documents: DataFrame,
+    *,
+    n_per_stratum: int = 25,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Equal-size deterministic sample per stratum (source): within each
+    stratum, order documents by the md5 of their NORMALIZED content (a
+    content-derived uniform order — stable across runs, engines and
+    partitionings, and duplicate-consistent like dataset_split) and keep
+    the first ``n_per_stratum``. The source-balancing step a training
+    mix runs before weighting.
+
+    Scale shape: one shuffle on the stratum; the per-stratum window
+    means one reducer per stratum. For strata too large for one reducer,
+    run the standard two-pass refinement instead: pre-filter by a hash
+    THRESHOLD ~ (n/N_stratum scaled to the key space) estimated from
+    per-stratum counts, then rank only the surviving ~n rows — same
+    output, bounded reducer. The fixture's strata (20 sources) don't
+    need the second pass.
+
+    Returns (id, stratum, sample_key, sample_rank <= n_per_stratum)."""
+    from pyspark.sql.window import Window
+
+    staged = documents.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.md5(normalized("text")).alias("sample_key"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    )
+    return staged.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= n_per_stratum
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark-contamination check
 # ---------------------------------------------------------------------------
 

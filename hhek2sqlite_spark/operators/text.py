@@ -229,6 +229,84 @@ def document_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_topk(
+    documents: DataFrame,
+    *,
+    k: int = 100,
+    min_len: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary mining: the ``k`` most frequent tokens (length
+    >= ``min_len``) with occurrence and document-frequency counts — the
+    stopword-discovery / vocabulary-building step of a corpus pipeline.
+
+    Scale shape: one shuffle on the token for the count, then the global
+    top-k goes through ``orderBy().limit(k)`` which Spark compiles to
+    ``TakeOrderedAndProject`` — each partition keeps its local top-k heap
+    and only k rows per partition reach the driver-side merge, so this
+    never sorts the vocabulary globally (a window over an unpartitioned
+    ORDER BY would run the whole vocab through ONE reducer). The final
+    rank is a row_number over just k rows. Deterministic tiebreak:
+    (count desc, token asc)."""
+    from pyspark.sql.window import Window
+
+    tok = documents.select(
+        F.col(id_col), F.explode(tokens("text")).alias("token")
+    ).filter(F.length("token") >= min_len)
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_topk(
+    documents: DataFrame,
+    *,
+    k: int = 5,
+    min_len: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the keyword-extraction /
+    relevance-weighting step. IDF here is the LINEAR form N/df (constant
+    N drops out of a per-document ranking), so the score is the rational
+    tf/df — computed as ``round(1e6 * tf / df)``: the product is an
+    exact integer < 2^53 and the single division is IEEE
+    correctly-rounded, so the BIGINT score is bit-identical in any
+    engine (a log-idf's libm ``ln`` has no such guarantee at the last
+    ulp, which could flip a round() on a .5 boundary).
+
+    Scale shape: tf is one shuffle on (doc, token); df reuses tf's rows
+    (they are distinct (doc,token) pairs) with one shuffle on token; the
+    score join shuffles on token; the top-k window partitions by doc —
+    every stage is keyed, nothing global. Deterministic tiebreak:
+    (score desc, token asc)."""
+    from pyspark.sql.window import Window
+
+    tok = documents.select(
+        F.col(id_col), F.explode(tokens("text")).alias("token")
+    ).filter(F.length("token") >= min_len)
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").select(
+        id_col,
+        "token",
+        "tf",
+        "df",
+        F.round(F.lit(1000000.0) * F.col("tf") / F.col("df"))
+        .cast("long")
+        .alias("score_e6"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_e6").desc(), F.col("token").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Aggregated per-source corpus stats (one shuffle on ``source``)."""
     p = document_profile(documents)

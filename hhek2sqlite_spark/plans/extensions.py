@@ -118,6 +118,100 @@ FROM profile GROUP BY source
 """
 
 
+_VOCAB_K = 100
+_VOCAB_MIN_LEN = 2
+_TFIDF_K = 5
+_TFIDF_MIN_LEN = 4
+_STRAT_N = 25
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.text import token_topk
+
+    return token_topk(
+        spread(load_table(spark, sf_dir, "documents")),
+        k=_VOCAB_K,
+        min_len=_VOCAB_MIN_LEN,
+    )
+
+
+SQL_TOKEN_TOPK = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (
+    SELECT doc_id, tk AS token
+    FROM n, LATERAL unnest(string_split(t, ' ')) u(tk)
+    WHERE length(tk) >= {_VOCAB_MIN_LEN}
+),
+counts AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY token
+),
+top AS (
+    SELECT * FROM counts ORDER BY n_occurrences DESC, token ASC LIMIT {_VOCAB_K}
+)
+SELECT token, n_occurrences, n_docs,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INTEGER) AS rank
+FROM top
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(
+        spread(load_table(spark, sf_dir, "documents")),
+        k=_TFIDF_K,
+        min_len=_TFIDF_MIN_LEN,
+    )
+
+
+SQL_TFIDF_TOPK = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (
+    SELECT doc_id, tk AS token
+    FROM n, LATERAL unnest(string_split(t, ' ')) u(tk)
+    WHERE length(tk) >= {_TFIDF_MIN_LEN}
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, token
+),
+idf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+           CAST(ROUND(1000000.0 * tf.tf / idf.df) AS BIGINT) AS score_e6
+    FROM tf JOIN idf USING (token)
+),
+ranked AS (
+    SELECT doc_id, token, tf, df, score_e6,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, token ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.stratified_sample(
+        load_table(spark, sf_dir, "documents"), n_per_stratum=_STRAT_N
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH s AS (SELECT doc_id, source, md5({_NORM}) AS sample_key FROM documents),
+r AS (
+    SELECT doc_id, source, sample_key,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY sample_key ASC, doc_id ASC) AS INTEGER) AS sample_rank
+    FROM s
+)
+SELECT * FROM r WHERE sample_rank <= {_STRAT_N}
+"""
+
+
 # dedup ----------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,6 +998,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
+    "token_topk": q_token_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "stratified_sample": q_stratified_sample,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -935,4 +1032,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "pii_redact": SQL_PII_REDACT,
     "contamination": SQL_CONTAMINATION,
+    "token_topk": SQL_TOKEN_TOPK,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

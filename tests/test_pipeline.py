@@ -121,3 +121,70 @@ def test_contamination_flags_planted_duplicate(spark):
     flagged = {(r.doc_id, r.eval_id) for r in out}
     assert (101, 0) in flagged
     assert all(d != 100 for d, _ in flagged)
+
+
+def test_token_topk_counts_and_rank(spark):
+    from hhek2sqlite_spark.operators.text import token_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb bb cc"),
+            (2, "bb cc cc x"),  # "x" dropped by min_len=2
+            (3, "cc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.token: (r.n_occurrences, r.n_docs, r.rank) for r in token_topk(docs, k=2).collect()}
+    # cc: 4 occurrences in 3 docs; bb: 3 in 2; aa excluded by k=2
+    assert out == {"cc": (4, 3, 1), "bb": (3, 2, 2)}
+
+
+def test_token_topk_plan_is_take_ordered(spark, sf_dir):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition heaps), never a global sort or an unpartitioned window
+    over the whole vocabulary."""
+    import contextlib
+    import io
+
+    from hhek2sqlite_spark.plans.extensions import q_token_topk
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_token_topk(spark, sf_dir).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_tfidf_topk_scores(spark):
+    from hhek2sqlite_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.token): (r.tf, r.df, r.score_e6, r.rank)
+            for r in tfidf_topk(docs, k=2, min_len=4).collect()}
+    # doc 1: apple tf=2 df=1 -> 2e6 rank 1; banana tf=1 df=2 -> 0.5e6 rank 2
+    assert rows[(1, "apple")] == (2, 1, 2_000_000, 1)
+    assert rows[(1, "banana")] == (1, 2, 500_000, 2)
+    # doc 2: cherry tf=1 df=1 -> 1e6 rank 1; banana 0.5e6 rank 2
+    assert rows[(2, "cherry")] == (1, 1, 1_000_000, 1)
+    assert rows[(2, "banana")] == (1, 2, 500_000, 2)
+
+
+def test_stratified_sample_equal_strata_and_determinism(spark, sf_dir):
+    from hhek2sqlite_spark.operators.pipeline import stratified_sample
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, n_per_stratum=5)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources
+    assert all(n <= 5 for n in per.values())
+    # deterministic: same rows on recompute
+    a = {(r.doc_id, r.sample_rank) for r in out.collect()}
+    b = {(r.doc_id, r.sample_rank) for r in stratified_sample(docs, n_per_stratum=5).collect()}
+    assert a == b
