@@ -63,6 +63,7 @@ BENCH_QUERIES = (
     "token_topk",
     "tfidf_topk",
     "stratified_sample",
+    "minhash_clusters",
 )
 
 

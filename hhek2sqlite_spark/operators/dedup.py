@@ -340,6 +340,73 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected near-dup pair list
+    (id_a, id_b, ...): the step that turns pairwise candidates into
+    dedup CLUSTERS, so a keep-policy can retain one canonical document
+    per component (kept = rows where cluster_id == doc_id). Returns
+    (doc_id, cluster_id) for every doc appearing in >= 1 pair, with
+    cluster_id = the component's minimum doc id.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbor labels), one keyed shuffle per round,
+    converging in O(component diameter) rounds. Near-dup components are
+    short-diameter (dup groups are near-cliques thanks to LSH banding's
+    OR-construction), so this terminates in a handful of rounds; the
+    driver-side loop only ever reads a CHANGED-COUNT aggregate per round
+    (control flow, not data — same envelope as IVF's centroid state).
+    For adversarial long-chain graphs at 100 TB, swap in the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce"), which converges in
+    O(log^2 n) rounds with the same per-round join shape.
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning a partial clustering."""
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).cache()
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).cache()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("id", "id_b"), "id_b")
+                .groupBy("id_a")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("id_a", "id")
+            )
+            new_labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+            ).cache()
+            changed = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "id")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+                )
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; use the large-star/"
+            "small-star variant for this graph"
+        )
+    finally:
+        sym.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

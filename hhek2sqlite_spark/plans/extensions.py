@@ -332,6 +332,41 @@ WHERE ({est}) >= {_MINHASH_MIN_EST}
 
 SQL_MINHASH_LSH = _sql_minhash_lsh()
 
+
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs -> connected components: the dedup endgame (one
+    canonical doc per cluster). Same pair generation as minhash_lsh,
+    then iterative min-label propagation (operators/dedup.py::
+    neardup_clusters)."""
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.neardup_clusters(pairs)
+
+
+def _sql_minhash_clusters() -> str:
+    # transitive closure via recursive CTE over the SAME pair SQL the
+    # minhash_lsh oracle uses (nested WITH inside a derived table);
+    # cluster_id = min reachable id, exactly the fixpoint the Spark
+    # label propagation converges to
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({SQL_MINHASH_LSH}) q
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+SQL_MINHASH_CLUSTERS = _sql_minhash_clusters()
+
 _SIMHASH_MAX_HAMMING = 3
 _SIMHASH_CHUNK_MASK = (1 << 15) - 1
 
@@ -1001,6 +1036,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk": q_token_topk,
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
+    "minhash_clusters": q_minhash_clusters,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1035,4 +1071,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "token_topk": SQL_TOKEN_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "minhash_clusters": SQL_MINHASH_CLUSTERS,
 }

@@ -188,3 +188,26 @@ def test_stratified_sample_equal_strata_and_determinism(spark, sf_dir):
     a = {(r.doc_id, r.sample_rank) for r in out.collect()}
     b = {(r.doc_id, r.sample_rank) for r in stratified_sample(docs, n_per_stratum=5).collect()}
     assert a == b
+
+
+def test_neardup_clusters_components(spark):
+    from hhek2sqlite_spark.operators.dedup import neardup_clusters
+
+    # components: {1,2,3,4} (chain), {7,9}, singleton 5 never appears
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_neardup_clusters_raises_when_iteration_bound_hit(spark):
+    import pytest
+
+    from hhek2sqlite_spark.operators.dedup import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, max_iter=2)
