@@ -64,6 +64,8 @@ BENCH_QUERIES = (
     "tfidf_topk",
     "stratified_sample",
     "minhash_clusters",
+    "pack_chunks",
+    "repetition_profile",
 )
 
 

@@ -199,6 +199,101 @@ def pii_redact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (context-window filling)
+# ---------------------------------------------------------------------------
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    budget: int = 2000,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-split sequence packing: chunks are laid end-to-end in a
+    deterministic order and cut into ``budget``-char packs — the step
+    that turns variable-length chunks into fixed-size training sequences
+    (boundaries may straddle a chunk, exactly like GPT-style token-stream
+    packing; padding-free by construction).
+
+    Scale shape: a GLOBAL running sum would funnel the corpus through
+    one reducer, so the stream is sharded by ``doc_id % n_shards``
+    (engine-portable, unlike a seeded hash) and each shard packs
+    independently — one window per shard, reducer-bounded, and shards
+    are exactly the parallel writers a 100 TB shard-writer wants. Emits
+    (shard, id, chunk_idx, chunk_len, offset_in_shard, pack_id) where
+    pack_id = offset_in_shard DIV budget, numbered within the shard."""
+    from pyspark.sql.window import Window
+
+    sharded = chunks.withColumn("shard", F.col(id_col) % n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sharded.select(
+        "shard",
+        id_col,
+        "chunk_idx",
+        "chunk_len",
+        (F.sum("chunk_len").over(w) - F.col("chunk_len")).alias("offset_in_shard"),
+    ).withColumn(
+        "pack_id", F.expr(f"offset_in_shard DIV {budget}")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition scoring
+# ---------------------------------------------------------------------------
+
+
+def repetition_profile(
+    documents: DataFrame, *, n: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate/repetition signal: total vs distinct character
+    n-grams per document. A high repeated share marks template spam,
+    scraped boilerplate, and generation loops — a standard quality
+    filter before training. Row-local (the shingle arrays never leave
+    their row), zero shuffles.
+
+    The bucket is decided by integer cross-multiplication (no float
+    ratio, engine-exact): repeated share > 20% <=> 5*(total-distinct) >
+    total. Emits (id, n_shingles, n_distinct_shingles, rep_bucket)."""
+    c = F.col(id_col)
+
+    def counts_of(norm: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+        valid = F.filter(grams, lambda g: F.length(g) == n)
+        return F.struct(
+            F.size(valid).alias("t"),
+            F.size(F.array_distinct(valid)).alias("d"),
+        )
+
+    from hhek2sqlite_spark.operators.text import let_once
+
+    staged = documents.select(
+        c, let_once(normalized("text"), counts_of).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.t").cast("long").alias("n_shingles"),
+        F.col("_c.d").cast("long").alias("n_distinct_shingles"),
+    )
+    return staged.withColumn(
+        "rep_bucket",
+        F.when(F.col("n_shingles") == 0, "empty")
+        .when(
+            (F.col("n_shingles") - F.col("n_distinct_shingles")) * 5
+            > F.col("n_shingles"),
+            "repetitive",
+        )
+        .otherwise("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------
 

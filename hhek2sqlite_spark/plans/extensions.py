@@ -963,6 +963,75 @@ FROM c
 """
 
 
+
+_PACK_BUDGET = 2000
+_PACK_SHARDS = 16
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = pipeline.doc_chunks(
+        spread(load_table(spark, sf_dir, "documents")),
+        size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+    return pipeline.pack_chunks(
+        chunks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+def _sql_pack_chunks() -> str:
+    return f"""
+WITH chunks AS (SELECT doc_id, chunk_idx, chunk_len FROM ({{chunks_sql}}) c),
+packed AS (
+    SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id, chunk_idx, chunk_len,
+           CAST(SUM(chunk_len) OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                     ORDER BY doc_id ASC, chunk_idx ASC
+                                     ROWS UNBOUNDED PRECEDING) - chunk_len
+                AS BIGINT) AS offset_in_shard
+    FROM chunks
+)
+SELECT shard, doc_id, chunk_idx, chunk_len, offset_in_shard,
+       CAST(offset_in_shard // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
+# rendered after the function because it nests the doc_chunks SQL
+SQL_PACK_CHUNKS = _sql_pack_chunks().format(chunks_sql=SQL_DOC_CHUNKS)
+
+
+_REP_N = 8
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.repetition_profile(
+        spread(load_table(spark, sf_dir, "documents")), n=_REP_N
+    )
+
+
+SQL_REPETITION_PROFILE = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_shingles
+    FROM (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(generate_series(1, greatest(length(t) - {_REP_N - 1}, 0)),
+                                  i -> substr(t, CAST(i AS INTEGER), {_REP_N})),
+                   s -> length(s) = {_REP_N}) AS g
+        FROM n
+    )
+)
+SELECT doc_id, n_shingles, n_distinct_shingles,
+       CASE WHEN n_shingles = 0 THEN 'empty'
+            WHEN (n_shingles - n_distinct_shingles) * 5 > n_shingles THEN 'repetitive'
+            ELSE 'ok' END AS rep_bucket
+FROM sh
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.pii_redact(spread(load_table(spark, sf_dir, "documents")))
 
@@ -1037,6 +1106,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
     "minhash_clusters": q_minhash_clusters,
+    "pack_chunks": q_pack_chunks,
+    "repetition_profile": q_repetition_profile,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1072,4 +1143,6 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
+    "pack_chunks": SQL_PACK_CHUNKS,
+    "repetition_profile": SQL_REPETITION_PROFILE,
 }

@@ -211,3 +211,48 @@ def test_neardup_clusters_raises_when_iteration_bound_hit(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(chain, max_iter=2)
+
+
+def test_pack_chunks_offsets_and_boundaries(spark):
+    from hhek2sqlite_spark.operators.pipeline import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            (0, 0, 120),  # shard 0
+            (0, 1, 100),
+            (16, 0, 50),  # doc 16 -> shard 0, after doc 0 in order
+            (1, 0, 400),  # shard 1
+        ],
+        "doc_id long, chunk_idx long, chunk_len long",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.shard, r.offset_in_shard, r.pack_id)
+        for r in pack_chunks(chunks, budget=200, n_shards=16).collect()
+    }
+    # shard 0 stream: doc0c0 [0,120) pack0; doc0c1 [120,220) pack0 (starts
+    # at 120 < 200, straddles the cut); doc16c0 [220,270) pack1
+    assert out[(0, 0)] == (0, 0, 0)
+    assert out[(0, 1)] == (0, 120, 0)
+    assert out[(16, 0)] == (0, 220, 1)
+    # shard 1 independent stream
+    assert out[(1, 0)] == (1, 0, 0)
+
+
+def test_repetition_profile_buckets(spark):
+    from hhek2sqlite_spark.operators.pipeline import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh" * 10),      # period-8 text: every 8-gram repeats
+            (2, "x"),                   # shorter than n -> empty
+            (3, "the quick brown fox jumps over lazy dogs today"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_shingles, r.n_distinct_shingles, r.rep_bucket)
+           for r in repetition_profile(docs, n=8).collect()}
+    assert out[1][2] == "repetitive"
+    assert out[1][1] == 8  # only 8 distinct 8-grams in a period-8 string
+    assert out[2] == (0, 0, "empty")
+    assert out[3][2] == "ok"
+    assert out[3][0] == out[3][1]  # fully distinct
