@@ -66,6 +66,8 @@ BENCH_QUERIES = (
     "minhash_clusters",
     "pack_chunks",
     "repetition_profile",
+    "domain_stats",
+    "value_quantiles",
 )
 
 

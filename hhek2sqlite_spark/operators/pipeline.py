@@ -337,6 +337,33 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# URL / domain statistics
+# ---------------------------------------------------------------------------
+
+# host part of a URL: scheme://HOST[/...]; RE2-safe, applied to the
+# normalized (lowercased) form like the PII patterns
+DOMAIN_RE = r"https?://([a-z0-9.-]+)"
+
+
+def domain_stats(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-domain crawl statistics: how many link mentions and how many
+    distinct documents reference each domain — the input to domain-level
+    quality weighting / blocklisting. One explode over the extracted
+    hosts (regex runs once per row), one shuffle on the domain key.
+    Returns (domain, n_mentions, n_docs)."""
+    hosts = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(normalized("text"), F.lit(DOMAIN_RE), 1)
+        ).alias("domain"),
+    )
+    return hosts.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark-contamination check
 # ---------------------------------------------------------------------------
 

@@ -792,6 +792,105 @@ FROM events e JOIN dim d USING (user_id)
 """
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus contains NO URLs (verified: zero 'http'
+    matches at every sf), so running the extractor raw would be a
+    0-row check proving nothing. The driver query therefore runs over a
+    deterministic URL AUGMENTATION of the corpus — one per-source URL
+    per doc plus a shared CDN URL on every third doc — identically
+    applied in the SQL twin, so the regex extraction, explode and
+    per-domain aggregation are exercised over real data volumes with
+    non-trivial counts. The operator itself (pipeline.domain_stats) is
+    fixture-agnostic; unit tests cover genuine URL-bearing text."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://"),
+            F.lower("source"),
+            F.lit(".example.com/a"),
+            F.when(F.col("doc_id") % 3 == 0, " https://cdn.example.org/x").otherwise(
+                ""
+            ),
+        ),
+    )
+    return pipeline.domain_stats(aug)
+
+
+SQL_DOMAIN_STATS = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' https://' || lower(source) || '.example.com/a' ||
+           CASE WHEN doc_id % 3 = 0 THEN ' https://cdn.example.org/x' ELSE '' END AS text
+    FROM documents
+),
+n AS (SELECT doc_id, {_NORM} AS t FROM aug),
+hosts AS (
+    SELECT doc_id, h AS domain
+    FROM n, LATERAL unnest(regexp_extract_all(t, '{pipeline.DOMAIN_RE}', 1)) u(h)
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hosts GROUP BY domain
+"""
+
+
+_QUANT_PCTS = (25, 50, 75)
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p25/p50/p75 of value in ONE window pass: rank and
+    group size come from the same user-keyed sort, each quantile is the
+    row at rank ceil(n*p/100) (type-1 quantile — an EXISTING value, so
+    the double is exact in any engine; n*p is an exact integer and the
+    /100.0 + ceil are deterministic IEEE ops). The exact-median pattern
+    of plans/reference.py::q_median_order_value generalized to a
+    multi-quantile profile."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.col("n") * F.lit(p) / F.lit(100.0)).cast("long"),
+                F.col("value"),
+            )
+        ).alias(f"p{p}")
+        for p in _QUANT_PCTS
+    ]
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"), *aggs
+    )
+
+
+SQL_VALUE_QUANTILES = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       {", ".join(f"MIN(CASE WHEN rn = CAST(ceil(n * {p} / 100.0) AS BIGINT) THEN value END) AS p{p}" for p in _QUANT_PCTS)}
+FROM ranked GROUP BY event_type
+"""
+
+
 # JSON property extraction ----------------------------------------------------
 
 def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,6 +1207,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_clusters": q_minhash_clusters,
     "pack_chunks": q_pack_chunks,
     "repetition_profile": q_repetition_profile,
+    "domain_stats": q_domain_stats,
+    "value_quantiles": q_value_quantiles,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1145,4 +1246,6 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "pack_chunks": SQL_PACK_CHUNKS,
     "repetition_profile": SQL_REPETITION_PROFILE,
+    "domain_stats": SQL_DOMAIN_STATS,
+    "value_quantiles": SQL_VALUE_QUANTILES,
 }

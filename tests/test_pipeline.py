@@ -256,3 +256,38 @@ def test_repetition_profile_buckets(spark):
     assert out[2] == (0, 0, "empty")
     assert out[3][2] == "ok"
     assert out[3][0] == out[3][1]  # fully distinct
+
+
+def test_domain_stats_extracts_hosts(spark):
+    from hhek2sqlite_spark.operators.pipeline import domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://A.Example.COM/page and http://b.org/x y"),
+            (2, "again https://a.example.com/other plus no url here"),
+            (3, "nothing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.domain: (r.n_mentions, r.n_docs) for r in domain_stats(docs).collect()}
+    # normalization lowercases before extraction
+    assert out == {"a.example.com": (2, 2), "b.org": (1, 1)}
+
+
+def test_value_quantiles_match_sorted_positions(spark, sf_dir):
+    from hhek2sqlite_spark.plans.extensions import q_value_quantiles
+
+    rows = {r.event_type: r for r in q_value_quantiles(spark, sf_dir).collect()}
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    for et, r in rows.items():
+        vals = sorted(
+            v for (v,) in events.filter(F.col("event_type") == et).select("value").collect()
+        )
+        n = len(vals)
+        assert r.n_events == n
+        import math
+
+        for p in (25, 50, 75):
+            assert getattr(r, f"p{p}") == vals[math.ceil(n * p / 100.0) - 1], (et, p)
