@@ -361,15 +361,22 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     O(log^2 n) rounds with the same per-round join shape.
 
     Raises after ``max_iter`` rounds without convergence rather than
-    returning a partial clustering."""
-    edges = pairs.select("id_a", "id_b")
+    returning a partial clustering.
+
+    Cost shape (measured at sf0.1, 290k pairs): the EDGE LIST is cached
+    before the symmetric union so the upstream pair pipeline runs once,
+    not once per union branch; convergence is detected by the label SUM
+    (labels only ever decrease, so an unchanged sum means a fixpoint) —
+    one aggregate action per round instead of a self-join diff."""
+    edges = pairs.select("id_a", "id_b").cache()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).cache()
+    )
     labels = (
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).cache()
     try:
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(labels.withColumnRenamed("id", "id_b"), "id_b")
@@ -386,25 +393,21 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
                     ).alias("label"),
                 )
             ).cache()
-            changed = (
-                new_labels.withColumnRenamed("label", "new_label")
-                .join(labels, "id")
-                .filter(F.col("new_label") != F.col("label"))
-                .count()
-            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels.select(
                     F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
                 )
+            prev_sum = new_sum
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iter} rounds — "
             "component diameter exceeds the bound; use the large-star/"
             "small-star variant for this graph"
         )
     finally:
-        sym.unpersist()
+        edges.unpersist()
 
 
 # ---------------------------------------------------------------------------
