@@ -105,3 +105,51 @@ def test_skew_salted_join_keys_include_salt(spark, sf_dir):
     # bare hot key
     p = plan_text(spark, sf_dir, "skew_salted_join")
     assert "_salt" in p
+
+
+def test_repetition_profile_zero_exchange(spark, sf_dir):
+    # row-local operator: the shingle arrays never leave their row, so the
+    # plan must contain NO Exchange beyond the documented spread()
+    # repartition (RoundRobinPartitioning), and no hash shuffle at all
+    import re
+
+    p = plan_text(spark, sf_dir, "repetition_profile")
+    hash_exchanges = [
+        l for l in p.splitlines() if "hashpartitioning" in l.lower()
+    ]
+    assert not hash_exchanges, p
+
+
+def test_pack_chunks_single_hash_exchange_on_shard(spark, sf_dir):
+    # the packing window must shuffle exactly once, keyed by the shard —
+    # a global (unpartitioned) window would be a scale bug
+    p = plan_text(spark, sf_dir, "pack_chunks")
+    low = p.lower()
+    assert "hashpartitioning(shard" in low, p
+    # no singlepartition exchange (the global-window smell)
+    assert "singlepartition" not in low, p
+
+
+def test_stratified_sample_partitions_by_stratum(spark, sf_dir):
+    p = plan_text(spark, sf_dir, "stratified_sample")
+    low = p.lower()
+    assert "hashpartitioning(source" in low, p
+    assert "singlepartition" not in low, p
+
+
+def test_token_topk_no_global_sort(spark, sf_dir):
+    p = plan_text(spark, sf_dir, "token_topk")
+    assert "TakeOrderedAndProject" in p
+    # the final rank window runs over k rows on one partition — that
+    # SinglePartition is bounded by k and fine; what must NOT appear is a
+    # global Sort of the full vocabulary
+    import re
+
+    sorts = [
+        l
+        for l in p.splitlines()
+        if re.match(r"^\(\d+\) Sort", l.strip()) and "TakeOrdered" not in l
+    ]
+    # any Sort nodes must sit above the TakeOrdered (k rows), not below;
+    # cheap proxy: the plan has at most one Sort and it is for the window
+    assert len(sorts) <= 1, p
