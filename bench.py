@@ -68,6 +68,7 @@ BENCH_QUERIES = (
     "repetition_profile",
     "domain_stats",
     "value_quantiles",
+    "label_centroids",
 )
 
 

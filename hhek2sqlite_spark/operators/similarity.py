@@ -252,6 +252,37 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    embeddings: DataFrame, *, scale: int = 1 << 20, label_col: str = "label"
+) -> DataFrame:
+    """Grouped vector aggregation: per-label coordinate sums of the
+    QUANTIZED embeddings plus the vector count — the exact, mergeable
+    form of class centroids / mean-pooled prototype vectors (consumers
+    divide sum_q / n_vectors / scale for the float mean). Quantizing to
+    round(x * 2^20) first makes every per-dimension sum an exact int64
+    (float32 coords are < 2^21 scaled; 10^9 vectors x 2^21 < 2^51), so
+    the result is bit-identical in any engine and any summation order —
+    the same trick that made the LSH sign bits oracle-pairable, applied
+    to the aggregation that defeated float oracles for IVF centroids.
+
+    Scale shape: posexplode then ONE shuffle on (label, dim) with
+    map-side partial sums; output is |labels| x dim rows (model-sized).
+    Returns (label, dim, n_vectors, sum_q)."""
+    q = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * scale).cast("long"),
+            )
+        ).alias("dim", "qx"),
+    )
+    return q.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("qx").alias("sum_q"),
+    )
+
+
 # vector coordinates are quantized to integers (round(x * 2^20)) before
 # the hyperplane sign test: float32 inputs are < 2^21 after scaling, the
 # plane coefficients are integers in [-10^6, 10^6], so every product is

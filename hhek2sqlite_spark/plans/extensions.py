@@ -529,6 +529,29 @@ WHERE CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
 SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
+_CENTROID_SCALE = 1 << 20
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(
+        spread(load_table(spark, sf_dir, "embeddings")), scale=_CENTROID_SCALE
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH q AS (
+    SELECT label, i - 1 AS dim,
+           CAST(round(embedding[i] * {_CENTROID_SCALE}) AS BIGINT) AS qx
+    FROM embeddings,
+         LATERAL unnest(generate_series(1, len(embedding))) u(i)
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(qx) AS BIGINT) AS sum_q
+FROM q GROUP BY label, dim
+"""
+
+
 # multimodal -----------------------------------------------------------------
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1232,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_profile": q_repetition_profile,
     "domain_stats": q_domain_stats,
     "value_quantiles": q_value_quantiles,
+    "label_centroids": q_label_centroids,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1248,4 +1272,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "repetition_profile": SQL_REPETITION_PROFILE,
     "domain_stats": SQL_DOMAIN_STATS,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "label_centroids": SQL_LABEL_CENTROIDS,
 }

@@ -496,3 +496,22 @@ def test_streaming_session_func_us_and_ns_dtypes_agree():
         assert state.exists
         assert state.get == (ts_us[2], ts_us[2], 1, 4.0), dtype
         assert state.timeout_ms == ts_us[2] // 1000 + gap_us // 1000, dtype
+
+
+def test_label_centroids_exact_sums(spark):
+    from hhek2sqlite_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [0.5, 0.25], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    scale = 1 << 20
+    got = {(r.label, r.dim): (r.n_vectors, r.sum_q) for r in label_centroids(emb, scale=scale).collect()}
+    assert got[(0, 0)] == (2, 4 * scale)
+    assert got[(0, 1)] == (2, 2 * scale)
+    assert got[(1, 0)] == (1, scale // 2)
+    assert got[(1, 1)] == (1, scale // 4)
