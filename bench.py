@@ -24,8 +24,11 @@ from hhek2sqlite_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headliners: the flagship + every shape with real scan/shuffle/join work.
-BENCH_QUERIES = (
+# Every registered query is benched (r4): the list derives from the
+# registry so a new operator automatically gains perf evidence. The
+# original 23-name headline subset is kept for round-over-round total
+# comparability — the JSON reports BOTH totals.
+HEADLINE_23 = (
     "balance_reconciliation",
     "pricing_summary",
     "top_revenue",
@@ -33,7 +36,6 @@ BENCH_QUERIES = (
     "budget_pivot",
     "fk_join_region",
     "orphan_check",
-    # extension tier: dedup / similarity / text / windows
     "dedup_exact",
     "ngram_jaccard",
     "minhash_lsh",
@@ -45,31 +47,14 @@ BENCH_QUERIES = (
     "asof_signup",
     "fingerprint_tokens",
     "rollup_revenue",
-    # analytic-window / grouping-set family
     "topk_per_group",
     "median_order_value",
     "cube_revenue",
     "trailing_week_spend",
     "small_qty_revenue",
-    # pipeline tier: registered + locally oracle-parity-green, but outside
-    # the driver's frozen 50-name gate — benched here so they have perf
-    # evidence (README notes the gate predates them)
-    "user_activity",
-    "edit_distance_pairs",
-    "dataset_split",
-    "doc_chunks",
-    "pii_redact",
-    "contamination",
-    "token_topk",
-    "tfidf_topk",
-    "stratified_sample",
-    "minhash_clusters",
-    "pack_chunks",
-    "repetition_profile",
-    "domain_stats",
-    "value_quantiles",
-    "label_centroids",
 )
+
+BENCH_QUERIES = tuple(sorted(QUERIES))
 
 
 def _sf_from_dir(path: str) -> float:
@@ -104,6 +89,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "headline23_total": round(
+            sum(timings.get(n, 0.0) for n in HEADLINE_23), 4
+        ),
+        "n_queries": len(timings),
     }
     if errors:
         out["errors"] = errors

@@ -82,18 +82,28 @@ def measure_floor_2stage(spark) -> float:
     )
 
 
+SLOW_CUTOFF_SEC = 10.0  # a >10s warm run gets 1 rep, not 3 — the signal
+# doesn't need a median and 4x a slow query would blow the run budget
+
+
 def measure_spark(spark, name: str) -> float:
     fn = QUERIES[name]
+    t0 = time.perf_counter()
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+    warm = time.perf_counter() - t0
+    reps = 1 if warm > SLOW_CUTOFF_SEC else REPS
     return _median_time(
         lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save(),
-        REPS,
+        reps,
     )
 
 
 def measure_oracle(con, sql: str) -> float:
+    t0 = time.perf_counter()
     con.execute(sql).fetchall()  # warm
-    return _median_time(lambda: con.execute(sql).fetchall(), REPS)
+    warm = time.perf_counter() - t0
+    reps = 1 if warm > SLOW_CUTOFF_SEC else REPS
+    return _median_time(lambda: con.execute(sql).fetchall(), reps)
 
 
 def row_group_counts() -> dict[str, dict[str, int]]:
