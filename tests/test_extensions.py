@@ -515,3 +515,47 @@ def test_label_centroids_exact_sums(spark):
     assert got[(0, 1)] == (2, 2 * scale)
     assert got[(1, 0)] == (1, scale // 2)
     assert got[(1, 1)] == (1, scale // 4)
+
+
+def test_streaming_enrichment_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static join: draining the events stream joined to the
+    customer dimension must equal the batch join exactly (stateless —
+    every event matches the current dimension snapshot)."""
+    from hhek2sqlite_spark.streaming.enrich import streaming_enriched_events
+
+    q = (
+        streaming_enriched_events(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched_out")
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    batch = (
+        events.select("event_id", "user_id", "ts", "event_type", "value")
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+            ),
+            "user_id",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    from hhek2sqlite_spark.plans import hhek
+
+    assert batch.count() > 0
+    assert hhek.tables_equivalent(batch, got).count() == 0
