@@ -559,3 +559,30 @@ def test_streaming_enrichment_matches_batch_join(spark, sf_dir, tmp_path):
 
     assert batch.count() > 0
     assert hhek.tables_equivalent(batch, got).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (purchase attribution)
+    drained with availableNow must equal the batch interval join."""
+    from hhek2sqlite_spark.streaming.joins import (
+        batch_purchase_attribution,
+        streaming_purchase_attribution,
+    )
+
+    q = (
+        streaming_purchase_attribution(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("attrib_out")
+
+    batch = batch_purchase_attribution(load_table(spark, sf_dir, "events"))
+    from hhek2sqlite_spark.plans import hhek
+
+    assert batch.count() > 0
+    assert hhek.tables_equivalent(batch, got).count() == 0
