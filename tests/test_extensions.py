@@ -586,3 +586,44 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
 
     assert batch.count() > 0
     assert hhek.tables_equivalent(batch, got).count() == 0
+
+
+def test_approx_quantiles_within_error_bound(spark, sf_dir):
+    """Spark's native quantile sketch (approx_percentile, the mergeable
+    single-pass scale path — same role HLL plays next to the KMV exact
+    sketch) must land within the requested rank error of the exact
+    type-1 quantiles from q_value_quantiles."""
+    from hhek2sqlite_spark.plans.extensions import q_value_quantiles
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    acc = 100  # rank error <= 1/acc = 1%
+    approx = {
+        r.event_type: r.qs
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.25, 0.5, 0.75], acc).alias("qs")
+        )
+        .collect()
+    }
+    exact = {r.event_type: r for r in q_value_quantiles(spark, sf_dir).collect()}
+    for et, r in exact.items():
+        vals = sorted(
+            v
+            for (v,) in events.filter(F.col("event_type") == et)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        for i, p in enumerate((25, 50, 75)):
+            got = approx[et][i]
+            # rank of the sketch's answer must be within 1% of n of the
+            # true rank (the sketch guarantee is on RANK, not value)
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = n * p / 100.0
+            # +-1 row on top of the rank-error bound: ranks are discrete
+            # and the target rank n*p/100 is generally fractional
+            assert lo - n / acc - 1 <= target <= hi + n / acc + 1, (et, p, got)
