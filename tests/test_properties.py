@@ -111,3 +111,87 @@ def test_iso_date_roundtrip(spark, dates):
     ).collect()
     for r in out:
         assert r.rt == r.s
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator invariants (batch-style: one Spark job per property)
+# ---------------------------------------------------------------------------
+
+doc_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x17F),
+    min_size=0,
+    max_size=300,
+)
+
+
+@given(st.lists(doc_text, min_size=1, max_size=25))
+@_SETTINGS
+def test_pack_chunks_offsets_contiguous(spark, texts):
+    """Within every shard, pack offsets are exactly the running sum of
+    chunk lengths in (doc, chunk) order — no gaps, no overlaps — and a
+    pack never starts at a non-boundary the budget math wouldn't give."""
+    from hhek2sqlite_spark.operators.pipeline import doc_chunks, pack_chunks
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = pack_chunks(
+        doc_chunks(docs, size=50, overlap=10), budget=120, n_shards=4
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_idx))
+        run = 0
+        for r in rows:
+            assert r.offset_in_shard == run, (shard, r)
+            assert r.pack_id == run // 120, (shard, r)
+            run += r.chunk_len
+
+
+@given(st.lists(doc_text, min_size=1, max_size=25))
+@_SETTINGS
+def test_repetition_profile_count_invariants(spark, texts):
+    """0 <= distinct <= total, and total == max(0, len(norm)-7) computed
+    from the Python-side normalization ground truth. NOTE: the ground
+    truth must use ASCII whitespace semantics — Java regex and RE2 agree
+    that \\s is [ \\t\\n\\r\\f\\x0b] while PYTHON's \\s also matches
+    \\xa0 (NBSP) and other unicode spaces; Spark and DuckDB match each
+    other (which is why oracle parity holds), Python is the outlier."""
+    import re
+
+    from hhek2sqlite_spark.operators.pipeline import repetition_profile
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_profile(docs, n=8).collect()}
+    ws = " \t\n\r\f\x0b"
+    for i, t in enumerate(texts):
+        norm = re.sub(f"[{ws}]+", " ", t.lower()).strip(ws)
+        expect_total = max(0, len(norm) - 7)
+        r = got[i]
+        assert r.n_shingles == expect_total, (t, r)
+        assert 0 <= r.n_distinct_shingles <= max(r.n_shingles, 0)
+        if r.n_shingles == 0:
+            assert r.rep_bucket == "empty"
+
+
+@given(st.lists(st.tuples(doc_text, st.sampled_from("abc")), min_size=1, max_size=30))
+@_SETTINGS
+def test_stratified_sample_ranks_dense_and_bounded(spark, rows):
+    from hhek2sqlite_spark.operators.pipeline import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    n = 3
+    out = stratified_sample(docs, n_per_stratum=n, stratum_col="source").collect()
+    by_stratum: dict[str, list[int]] = {}
+    for r in out:
+        assert 1 <= r.sample_rank <= n
+        by_stratum.setdefault(r.source, []).append(r.sample_rank)
+    from collections import Counter
+
+    totals = Counter(s for _, s in rows)
+    for s, ranks in by_stratum.items():
+        # ranks are dense 1..min(n, stratum size), each exactly once
+        assert sorted(ranks) == list(range(1, min(n, totals[s]) + 1)), (s, ranks)
