@@ -1127,6 +1127,85 @@ FROM packed
 SQL_PACK_CHUNKS = _sql_pack_chunks().format(chunks_sql=SQL_DOC_CHUNKS)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation capstone — the pipeline a corpus team
+    actually ships, as ONE composed plan: exact dedup (keep-first) →
+    quality filter (profile 'ok') → leakage-safe content-hash split
+    (train only) → chunk → pack into fixed budgets. Exercises operator
+    COMPOSITION: every stage is the already-oracle-paired operator,
+    chained; Catalyst fuses the row-local stages into the same scan."""
+    from hhek2sqlite_spark.operators.dedup import exact_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    kept = exact_dedup(docs)
+    prof = document_profile(kept).filter(F.col("quality") == "ok").select("doc_id")
+    ok_docs = kept.join(prof, "doc_id")
+    train = (
+        pipeline.dataset_split(ok_docs)
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    survivors = ok_docs.join(train, "doc_id")
+    chunks = pipeline.doc_chunks(
+        survivors, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    return pipeline.pack_chunks(
+        chunks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+def _sql_corpus_curation() -> str:
+    # compose the existing SQL fragments: keepers (dedup), quality from
+    # the shared profile CTE, split threshold, then chunk+pack — all
+    # rendered from the same constants as the Spark plan
+    profile_body = _PROFILE_CTE.replace("WITH ", "", 1)
+    return f"""
+WITH keepers AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+),
+{profile_body},
+ok_train AS (
+    SELECT p.doc_id
+    FROM profile p
+    JOIN keepers k ON p.doc_id = k.doc_id
+    JOIN documents d ON d.doc_id = p.doc_id
+    WHERE p.quality = 'ok'
+      AND substr(md5({_NORM.replace("text", "d.text")}), 1, 2) <= '{pipeline.SPLIT_TRAIN_MAX}'
+),
+n AS (
+    SELECT d.doc_id, {_NORM.replace("text", "d.text")} AS t
+    FROM documents d JOIN ok_train USING (doc_id)
+),
+c AS (
+    SELECT doc_id, i AS chunk_idx,
+           substr(t, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_SIZE}) AS chunk
+    FROM n, LATERAL unnest(generate_series(0,
+         CASE WHEN length(t) <= {_CHUNK_SIZE} THEN 0
+              ELSE CAST(floor((length(t) - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+         END)) u(i)
+),
+chunks AS (
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(length(chunk) AS BIGINT) AS chunk_len
+    FROM c
+),
+packed AS (
+    SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id, chunk_idx, chunk_len,
+           CAST(SUM(chunk_len) OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                     ORDER BY doc_id ASC, chunk_idx ASC
+                                     ROWS UNBOUNDED PRECEDING) - chunk_len
+                AS BIGINT) AS offset_in_shard
+    FROM chunks
+)
+SELECT shard, doc_id, chunk_idx, chunk_len, offset_in_shard,
+       CAST(offset_in_shard // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
+SQL_CORPUS_CURATION = _sql_corpus_curation()
+
+
 _REP_N = 8
 
 
@@ -1238,6 +1317,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "value_quantiles": q_value_quantiles,
     "label_centroids": q_label_centroids,
+    "corpus_curation": q_corpus_curation,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1278,4 +1358,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "domain_stats": SQL_DOMAIN_STATS,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "corpus_curation": SQL_CORPUS_CURATION,
 }

@@ -291,3 +291,25 @@ def test_value_quantiles_match_sorted_positions(spark, sf_dir):
 
         for p in (25, 50, 75):
             assert getattr(r, f"p{p}") == vals[math.ceil(n * p / 100.0) - 1], (et, p)
+
+
+def test_corpus_curation_monotone_and_train_only(spark, sf_dir):
+    """Every packed chunk's doc must be a dedup keeper, quality-ok and in
+    the train split — the composition preserves each stage's filter."""
+    from hhek2sqlite_spark.operators.dedup import exact_dedup_keepers
+    from hhek2sqlite_spark.operators.text import document_profile
+    from hhek2sqlite_spark.plans.extensions import q_corpus_curation
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_docs = {r.doc_id for r in q_corpus_curation(spark, sf_dir).select("doc_id").distinct().collect()}
+    keepers = {r.keeper_id for r in exact_dedup_keepers(docs).collect()}
+    ok = {r.doc_id for r in document_profile(docs).filter(F.col("quality") == "ok").collect()}
+    train = {
+        r.doc_id
+        for r in pipeline.dataset_split(docs).filter(F.col("split") == "train").collect()
+    }
+    assert out_docs
+    assert out_docs <= keepers
+    assert out_docs <= ok
+    assert out_docs <= train
