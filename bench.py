@@ -83,15 +83,19 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 4)
+    # a partial headline total would look FASTER than prior rounds — emit
+    # null + a completeness flag instead when any headline query errored
+    hl_complete = all(n in timings for n in HEADLINE_23)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-        "headline23_total": round(
-            sum(timings.get(n, 0.0) for n in HEADLINE_23), 4
-        ),
+        "headline23_total": round(sum(timings[n] for n in HEADLINE_23), 4)
+        if hl_complete
+        else None,
+        "headline23_complete": hl_complete,
         "n_queries": len(timings),
     }
     if errors:

@@ -114,6 +114,8 @@ def doc_chunks(
     size: int = 200,
     overlap: int = 40,
     id_col: str = "doc_id",
+    norm_col: str | None = None,
+    with_fp: bool = True,
 ) -> DataFrame:
     """Split each normalized document into ``size``-char windows with
     ``overlap``-char overlap (stride = size - overlap) — the standard
@@ -121,31 +123,73 @@ def doc_chunks(
     zero shuffles; emits (id, chunk_idx, chunk_len, chunk_fp) with the
     md5 fingerprint standing in for the chunk body so the output stays
     narrow (downstream shard writers re-derive the text by offset).
-    A document shorter than ``size`` yields exactly one chunk."""
+    A document shorter than ``size`` yields exactly one chunk.
+
+    ``norm_col`` names an ALREADY-normalized text column: composed
+    pipelines that computed the normal form upstream (corpus curation)
+    pass it so the normalization regex is not re-run; references to a
+    real column are slot reads, so no let-binding is needed either.
+
+    ``with_fp=False`` drops chunk_fp and derives chunk_len
+    ARITHMETICALLY (least(size, len - i*stride)) — consumers that only
+    need offsets/lengths (sequence packing) then never materialize a
+    single chunk string; Catalyst prunes the fp column either way, but
+    it cannot prune the substr feeding length(chunk)."""
     stride = size - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than size")
 
-    def chunks_of(t: Column) -> Column:
-        ln = F.length(t)
+    def _last_idx(ln: Column) -> Column:
         # n_chunks-1 = ceil((ln-size)/stride) via integer-exact floor
-        last_idx = F.when(ln <= size, F.lit(0)).otherwise(
+        return F.when(ln <= size, F.lit(0)).otherwise(
             F.floor((ln - size + (stride - 1)) / F.lit(stride)).cast("long")
         )
+
+    from hhek2sqlite_spark.operators.text import let_once
+
+    if not with_fp:
+
+        def lens_of(ln: Column) -> Column:
+            # every chunk but the last is exactly `size` chars; the last
+            # is the remainder ln - i*stride — identical to
+            # length(substr(...)) without cutting the string
+            return F.transform(
+                F.sequence(F.lit(0).cast("long"), _last_idx(ln)),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.least(F.lit(size).cast("long"), ln - i * stride).alias(
+                        "chunk_len"
+                    ),
+                ),
+            )
+
+        lens = (
+            lens_of(F.length(F.col(norm_col)).cast("long"))
+            if norm_col is not None
+            else let_once(F.length(normalized("text")).cast("long"), lens_of)
+        )
+        return documents.select(F.col(id_col), F.explode(lens).alias("c")).select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_len").cast("long").alias("chunk_len"),
+        )
+
+    def chunks_of(t: Column) -> Column:
         return F.transform(
-            F.sequence(F.lit(0).cast("long"), last_idx),
+            F.sequence(F.lit(0).cast("long"), _last_idx(F.length(t))),
             lambda i: F.struct(
                 i.alias("chunk_idx"),
                 t.substr((i * stride + 1).cast("int"), F.lit(size)).alias("chunk"),
             ),
         )
 
-    from hhek2sqlite_spark.operators.text import let_once
-
+    chunked = (
+        chunks_of(F.col(norm_col))
+        if norm_col is not None
+        else let_once(normalized("text"), chunks_of)
+    )
     return (
-        documents.select(
-            F.col(id_col), F.explode(let_once(normalized("text"), chunks_of)).alias("c")
-        )
+        documents.select(F.col(id_col), F.explode(chunked).alias("c"))
         .select(
             id_col,
             F.col("c.chunk_idx").alias("chunk_idx"),

@@ -180,6 +180,20 @@ def _nearest_cell(e: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
+def build_ivf_index(
+    embeddings: DataFrame, *, centroids: list[list[float]]
+) -> DataFrame:
+    """The IVF INDEX: every corpus vector assigned to its nearest
+    centroid's inverted list — (vec_id, e, n, cell). Like quantizer
+    training, this is offline index-BUILD work (assign once, serve many
+    queries); callers serving repeated queries should cache/persist the
+    result rather than re-deriving it per query. The assignment is the
+    expensive row-local part of IVF (n_cells fold-distances per vector),
+    which is exactly why real systems materialize it."""
+    e = _doubled(embeddings)
+    return e.withColumn("cell", _nearest_cell(F.col("e"), centroids))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     *,
@@ -188,17 +202,19 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: vectors are bucketed by nearest
-    centroid once; each query probes only its ``n_probe`` nearest cells
-    (n_probe/n_cells of the corpus) with exact cosine + window rank
-    inside the probed subset. Same output contract as brute_force_topk;
-    recall rises with n_probe and equals exact search at
-    n_probe == n_cells."""
+    centroid once (``indexed`` — pass a cached build_ivf_index result to
+    amortize, else it is derived here); each query probes only its
+    ``n_probe`` nearest cells (n_probe/n_cells of the corpus) with exact
+    cosine + window rank inside the probed subset. Same output contract
+    as brute_force_topk; recall rises with n_probe and equals exact
+    search at n_probe == n_cells."""
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_cells=n_cells)
-    e = _doubled(embeddings)
-    indexed = e.withColumn("cell", _nearest_cell(F.col("e"), centroids))
+    if indexed is None:
+        indexed = build_ivf_index(embeddings, centroids=centroids)
 
     q = indexed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("n").alias("qn")
@@ -233,8 +249,12 @@ def ivf_topk(
         q.select("q_id", "qe", "qn", *dists)
         .select("q_id", "qe", "qn", F.explode(cells_sorted).alias("cell"))
     )
+    # the probe side is |Q| x n_probe rows — broadcast it so the corpus
+    # index never shuffles on the (low-cardinality) cell key; without the
+    # hint the equi-join hashes both sides onto n_cells partitions,
+    # collapsing the scoring parallelism to n_cells tasks
     scored = (
-        probes.join(indexed, "cell")
+        F.broadcast(probes).join(indexed, "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

@@ -42,14 +42,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+PUNCT_CHARS = ".,;:!?'\"()[]{}-"
+
+
 def digit_count(text: Column | str) -> Column:
+    # translate (a char-map delete) counts the same characters the regex
+    # class [0-9] would, minus the regex engine: measurably cheaper on
+    # the profile hot path, value-identical
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.length(c) - F.length(F.translate(c, "0123456789", ""))
 
 
 def punct_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+    return F.length(c) - F.length(F.translate(c, PUNCT_CHARS, ""))
 
 
 def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:

@@ -34,26 +34,38 @@ def salted_join(
     *,
     salt: int = 8,
     how: str = "inner",
+    row_id_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Equi-join resilient to a hot key on the big side: the big side
-    gets a salt in [0, salt) from hash(key, scan partition id) — cheap
-    (two narrow ints per row, NOT the whole row: on a wide fact table
-    hashing every column just to pick a bucket is needless per-row work)
-    and stable on recompute (a retried task re-reads the same split, so
-    the same partition id and the same salts). A hot key's rows arrive
-    across many scan partitions, so they fan out over ``salt`` join
-    tasks instead of one. Correctness never depends on WHICH salt a row
-    gets — the small side is EXPLODED over all salt values, so every
+    """Equi-join resilient to a hot key on the big side: each big-side
+    row gets a salt in [0, salt) so a hot key fans out over ``salt``
+    join tasks instead of one. Correctness never depends on WHICH salt a
+    row gets — the small side is EXPLODED over all salt values, so every
     (key, salt) combination matches. Cost: small side replicated x salt
     — use for genuinely small/dimension right sides.
+
+    Salt derivation — pass ``row_id_cols`` whenever the fact table has
+    a cheap always-present id column: the salt is then
+    hash(key, *row_id_cols), which is LAYOUT-INDEPENDENT (spreads a hot
+    key no matter how its rows are physically arranged) and stable on
+    task retry (pure function of row values). Without it, the fallback
+    hash(key, scan partition id) is cheap and retry-stable, but silently
+    no-ops when a hot key's rows are CO-LOCATED in one scan partition
+    (clustered/sorted input, or an upstream shuffle already partitioned
+    by the key — the common skew layout): every row then shares one
+    partition id, gets the same salt, and the hot key still lands in a
+    single join task. Hashing the whole row would spread regardless but
+    pays per-row hashing of every column on a wide fact table.
 
     Columns: result has big's columns plus small's non-key columns
     (pre-alias collisions away)."""
     overlap = [c for c in small.columns if c != key and c in big.columns]
     if overlap:
         raise ValueError(f"alias small-side columns first, collision: {overlap}")
+    salt_src = (
+        [F.col(c) for c in row_id_cols] if row_id_cols else [F.spark_partition_id()]
+    )
     b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(F.col(key), *salt_src), F.lit(salt))
     )
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return b.join(s, [key, "_salt"], how).drop("_salt")
