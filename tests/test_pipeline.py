@@ -201,16 +201,63 @@ def test_neardup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
 
 
-def test_neardup_clusters_raises_when_iteration_bound_hit(spark):
-    import pytest
-
+def test_neardup_clusters_falls_back_to_star_on_long_chains(spark):
     from hhek2sqlite_spark.operators.dedup import neardup_clusters
 
+    # a path of length 11 has diameter >> max_iter=2: min-label
+    # propagation cannot converge, so the star fallback must take over
+    # and still produce the exact component labelling
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(10, 20)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_clusters(chain, max_iter=2)
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(chain, max_iter=2).collect()}
+    assert got == {i: 10 for i in range(10, 21)}
+
+
+def test_star_cc_path_longer_than_propagation_bound(spark):
+    from hhek2sqlite_spark.operators.dedup import star_connected_components
+
+    # path 0-1-...-40 (diameter 40 > the default 25-round propagation
+    # bound) plus a disjoint triangle and an out-of-order component
+    pairs = [(i, i + 1) for i in range(40)]
+    pairs += [(100, 101), (101, 102), (102, 100)]
+    pairs += [(205, 203), (203, 209)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in star_connected_components(df).collect()}
+    want = {i: 0 for i in range(41)}
+    want.update({100: 100, 101: 100, 102: 100, 203: 203, 205: 203, 209: 203})
+    assert got == want
+
+
+def test_star_cc_matches_union_find_on_random_graph(spark):
+    import random
+
+    from hhek2sqlite_spark.operators.dedup import star_connected_components
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    # plain union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        if a != b:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    got = {r.doc_id: r.cluster_id for r in star_connected_components(df).collect()}
+    assert got == want
 
 
 def test_pack_chunks_offsets_and_boundaries(spark):
