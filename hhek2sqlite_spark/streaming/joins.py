@@ -13,68 +13,43 @@ watermark-bounded on both sides, not grow-forever. An unbounded
 equi-join on user_id alone would accumulate every row seen.
 
 Both streams here read the same events fixture filtered by type; in
-production they would be two sources. The join is INNER: a purchase
-with no qualifying signup is dropped (left-outer stream-stream joins
-emit nulls only at watermark expiry, which an availableNow drain of a
-static fixture never reaches for the tail — the inner form keeps the
-batch-parity test exact).
+production they would be two sources.
+
+Join modes:
+
+- ``how="inner"`` (default): a purchase with no qualifying signup is
+  dropped. Exact under a single availableNow drain — matched rows never
+  depend on watermark progression.
+- ``how="left_outer"``: a purchase with no qualifying signup emits ONCE
+  with null signup columns — but only when the watermark passes
+  purchase_ts + horizon (Spark can then prove no future signup can
+  match it; emitting earlier could produce a retracted row). Null rows
+  therefore require the watermark to ADVANCE past the expiry point,
+  which a one-batch drain of a static fixture never does: the test
+  protocol feeds multiple files with ``max_files_per_trigger=1`` so
+  later files (far-future heartbeat events on both sides) push the
+  watermark forward and flush the expired left rows
+  (tests/test_extensions.py::test_stream_stream_left_outer_drain).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def streaming_purchase_attribution(
-    spark: SparkSession,
-    sf_dir: str,
-    *,
-    horizon_hours: int = 72,
-    watermark: str = "0 seconds",
-) -> DataFrame:
-    from hhek2sqlite_spark.sources.parquet import _normalize_events
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def stream() -> DataFrame:
-        return _normalize_events(
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
-
-    signups = (
-        stream()
-        .filter(F.col("event_type") == "signup")
-        .select(
-            F.col("user_id").alias("s_user_id"),
-            F.col("ts").alias("signup_ts"),
-            F.col("event_id").alias("signup_event_id"),
-        )
-        .withWatermark("signup_ts", watermark)
-    )
-    purchases = (
-        stream()
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_event_id"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    joined = purchases.join(
-        signups,
+def _interval_cond(horizon_hours: int) -> Column:
+    return (
         (F.col("p_user_id") == F.col("s_user_id"))
         & (F.col("purchase_ts") >= F.col("signup_ts"))
         & (
             F.col("purchase_ts")
             <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon_hours} HOURS")
-        ),
+        )
     )
+
+
+def _select_attrib(joined: DataFrame) -> DataFrame:
     return joined.select(
         F.col("purchase_event_id").alias("purchase_id"),
         F.col("signup_event_id").alias("signup_id"),
@@ -85,11 +60,7 @@ def streaming_purchase_attribution(
     )
 
 
-def batch_purchase_attribution(
-    events: DataFrame, *, horizon_hours: int = 72
-) -> DataFrame:
-    """Batch twin of the stream-stream join (the parity oracle for the
-    availableNow drain)."""
+def _split_sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     signups = events.filter(F.col("event_type") == "signup").select(
         F.col("user_id").alias("s_user_id"),
         F.col("ts").alias("signup_ts"),
@@ -101,22 +72,59 @@ def batch_purchase_attribution(
         F.col("event_id").alias("purchase_event_id"),
         F.col("value").alias("purchase_value"),
     )
-    return (
-        purchases.join(
-            signups,
-            (F.col("p_user_id") == F.col("s_user_id"))
-            & (F.col("purchase_ts") >= F.col("signup_ts"))
-            & (
-                F.col("purchase_ts")
-                <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon_hours} HOURS")
-            ),
-        )
-        .select(
-            F.col("purchase_event_id").alias("purchase_id"),
-            F.col("signup_event_id").alias("signup_id"),
-            F.col("p_user_id").alias("user_id"),
-            F.unix_micros("purchase_ts").alias("purchase_us"),
-            F.unix_micros("signup_ts").alias("signup_us"),
-            "purchase_value",
-        )
+    return purchases, signups
+
+
+def streaming_purchase_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon_hours: int = 72,
+    watermark: str = "0 seconds",
+    how: str = "inner",
+    events_glob: str | None = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Purchases attributed to a same-user signup within ``horizon_hours``.
+
+    ``sf_dir`` is a directory of event parquet files; ``events_glob``
+    narrows it to the fixture's events table (pass ``None`` to stream
+    every file — the multi-file drain protocol). ``max_files_per_trigger``
+    caps files per micro-batch so an availableNow drain runs one batch
+    per file, letting the watermark advance between files.
+    """
+    from hhek2sqlite_spark.sources.parquet import _normalize_events
+
+    sample = spark.read
+    if events_glob is not None:
+        sample = sample.option("pathGlobFilter", events_glob)
+    raw_schema = sample.parquet(sf_dir).schema
+
+    def stream() -> DataFrame:
+        reader = spark.readStream.schema(raw_schema).format("parquet")
+        if events_glob is not None:
+            reader = reader.option("pathGlobFilter", events_glob)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return _normalize_events(reader.load(sf_dir))
+
+    purchases, signups = _split_sides(stream())
+    purchases = purchases.withWatermark("purchase_ts", watermark)
+    signups = signups.withWatermark("signup_ts", watermark)
+    return _select_attrib(
+        purchases.join(signups, _interval_cond(horizon_hours), how)
+    )
+
+
+def batch_purchase_attribution(
+    events: DataFrame, *, horizon_hours: int = 72, how: str = "inner"
+) -> DataFrame:
+    """Batch twin of the stream-stream join (the parity oracle for the
+    availableNow drain). For ``how="left_outer"`` it is the FULL-DRAIN
+    oracle: the streaming form only reaches it once the watermark has
+    passed every purchase's expiry — the multi-file drain test restricts
+    the comparison to rows the final watermark has flushed."""
+    purchases, signups = _split_sides(events)
+    return _select_attrib(
+        purchases.join(signups, _interval_cond(horizon_hours), how)
     )

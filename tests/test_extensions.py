@@ -588,6 +588,115 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     assert hhek.tables_equivalent(batch, got).count() == 0
 
 
+def test_stream_stream_left_outer_drain(spark, tmp_path):
+    """Left-outer stream-stream interval join: a purchase with no
+    qualifying signup must emit EXACTLY ONCE with null signup columns —
+    and only after the watermark passes its expiry. The drain protocol
+    feeds three files one-per-micro-batch (maxFilesPerTrigger=1 under
+    availableNow): file 1 carries the real data, files 2-3 carry
+    far-future heartbeat events on BOTH sides (the global watermark is
+    the min across the two withWatermark nodes, so both must advance)
+    so the next data batch runs with a watermark far past the horizon
+    and flushes the expired unmatched purchase."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hhek2sqlite_spark.streaming.joins import (
+        batch_purchase_attribution,
+        streaming_purchase_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    hour, day = dt.timedelta(hours=1), dt.timedelta(days=1)
+    src = tmp_path / "ev_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us", tz="UTC")),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        path = src / name
+        pq.write_table(table, path)
+        os.utime(path, (mtime, mtime))  # file source orders by mtime
+
+    # file 1: s1 matches p1; p2 (user 2) has no signup -> must null-pad
+    write_file(
+        "batch1.parquet",
+        [
+            (100, 1, t0, "signup", 0.0),
+            (101, 1, t0 + hour, "purchase", 10.0),
+            (102, 2, t0 + 2 * hour, "purchase", 20.0),
+        ],
+        1_000_000_000.0,
+    )
+    # files 2-3: heartbeats advancing the watermark past p2's expiry
+    # (purchase_ts + horizon); two are needed because eviction in batch N
+    # uses the watermark computed from batches < N
+    write_file(
+        "batch2.parquet",
+        [
+            (900, 900, t0 + 100 * day, "signup", 0.0),
+            (901, 901, t0 + 100 * day, "purchase", 0.0),
+        ],
+        1_000_000_010.0,
+    )
+    write_file(
+        "batch3.parquet",
+        [
+            (902, 902, t0 + 200 * day, "signup", 0.0),
+            (903, 903, t0 + 200 * day, "purchase", 0.0),
+        ],
+        1_000_000_020.0,
+    )
+
+    q = (
+        streaming_purchase_attribution(
+            spark,
+            str(src),
+            how="left_outer",
+            events_glob=None,
+            max_files_per_trigger=1,
+        )
+        .writeStream.format("memory")
+        .queryName("attrib_outer_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("attrib_outer_out").collect()}
+    got_rows = spark.table("attrib_outer_out").collect()
+    assert len(got) == len(got_rows), "left-outer drain emitted a duplicate row"
+
+    # two-sided bound: everything emitted must be a batch left-outer row
+    # (matched rows exact, null rows only for truly matchless purchases) ...
+    batch_events = spark.read.parquet(str(src))
+    oracle = {
+        tuple(r) for r in batch_purchase_attribution(batch_events, how="left_outer").collect()
+    }
+    assert got <= oracle
+    # ... and the match + the expired no-match purchase MUST be present:
+    t0_us = int(t0.timestamp()) * 1_000_000
+    p1 = (101, 100, 1, t0_us + 3_600_000_000, t0_us, 10.0)
+    p2_null = (102, None, 2, t0_us + 7_200_000_000, None, 20.0)
+    assert p1 in got
+    assert p2_null in got
+    assert sum(1 for r in got_rows if r.purchase_id == 102) == 1
+    # heartbeat purchases' expiry never passes the final watermark: they
+    # may remain buffered, but must never emit a MATCHED row
+    assert all(r.signup_id is None for r in got_rows if r.purchase_id in (901, 903))
+
+
 def test_approx_quantiles_within_error_bound(spark, sf_dir):
     """Spark's native quantile sketch (approx_percentile, the mergeable
     single-pass scale path — same role HLL plays next to the KMV exact
