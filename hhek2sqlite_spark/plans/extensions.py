@@ -1380,6 +1380,58 @@ HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
 """
 
 
+_ATTRIB_HORIZON_HOURS = 72
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/joins.py): purchases attributed to a same-user signup
+    within the horizon. The streaming form is availableNow-parity-tested
+    against exactly this plan (test_stream_stream_join_matches_batch);
+    registering the batch twin puts the JOIN SEMANTICS — equi-key plus
+    event-time interval — under the DuckDB oracle gate too."""
+    from hhek2sqlite_spark.streaming.joins import batch_purchase_attribution
+
+    return batch_purchase_attribution(
+        load_table(spark, sf_dir, "events"), horizon_hours=_ATTRIB_HORIZON_HOURS
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = f"""
+WITH s AS (
+    SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+    FROM events WHERE event_type = 'signup'
+),
+p AS (
+    SELECT user_id, ts AS purchase_ts, event_id AS purchase_event_id,
+           value AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_event_id AS purchase_id,
+       s.signup_event_id AS signup_id,
+       p.user_id AS user_id,
+       epoch_us(p.purchase_ts) AS purchase_us,
+       epoch_us(s.signup_ts) AS signup_us,
+       p.purchase_value AS purchase_value
+FROM p JOIN s ON p.user_id = s.user_id
+ AND p.purchase_ts >= s.signup_ts
+ AND p.purchase_ts <= s.signup_ts + INTERVAL {_ATTRIB_HORIZON_HOURS} HOUR
+"""
+
+
+def q_stratified_sample_2p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass hash-threshold stratified sample (the bounded-reducer
+    scale path, operators/pipeline.py::stratified_sample two_pass=True).
+    Bit-exact equal to the one-pass form by construction, so it shares
+    SQL_STRATIFIED_SAMPLE as its oracle — the parity gate proves the
+    threshold+recount refinement end-to-end, not just in unit tests."""
+    return pipeline.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        n_per_stratum=_STRAT_N,
+        two_pass=True,
+    )
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1419,6 +1471,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles": q_value_quantiles,
     "label_centroids": q_label_centroids,
     "corpus_curation": q_corpus_curation,
+    "purchase_attribution": q_purchase_attribution,
+    "stratified_sample_2p": q_stratified_sample_2p,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1460,4 +1514,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    # the two-pass refinement is bit-exact equal to the one-pass form,
+    # so it shares the same oracle — that equality IS the check
+    "stratified_sample_2p": SQL_STRATIFIED_SAMPLE,
 }

@@ -56,6 +56,14 @@ def get_spark(app_name: str = "hhek2sqlite_spark", *, shuffle_partitions: int | 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # layout-matched scan tuning, e.g. the multi-row-group fixture run
+    # (scripts/make_multirg.py) lowers maxPartitionBytes/openCostInBytes
+    # so a many-small-files layout actually yields one task per file:
+    #   SPARK_GRAFT_EXTRA_CONF="spark.sql.files.maxPartitionBytes=1048576,..."
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 

@@ -110,7 +110,19 @@ def row_group_counts() -> dict[str, dict[str, int]]:
     out = {}
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):  # multirg layout: directory of part files
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            rg = rows = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                rg += md.num_row_groups
+                rows += md.num_rows
+            out[t] = {"row_groups": rg, "rows": rows, "files": len(files)}
+        elif os.path.exists(path):
             md = pq.ParquetFile(path).metadata
             out[t] = {"row_groups": md.num_row_groups, "rows": md.num_rows}
     return out
@@ -124,7 +136,11 @@ def main() -> None:
     con.execute(f"SET threads={os.cpu_count()}")
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):  # multirg layout: glob the part files
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     floor = measure_floor(spark)
@@ -170,7 +186,7 @@ def main() -> None:
     }
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "PERF_FLOOR.json",
+        os.environ.get("SPARK_GRAFT_PERF_OUT", "PERF_FLOOR.json"),
     )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)

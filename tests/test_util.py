@@ -55,3 +55,17 @@ def test_materialize_access_path_prunes_partitions(spark, sf_dir, tmp_path):
         back.filter(F.col("o_orderstatus") == "F").explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_spread_env_disable(spark, monkeypatch):
+    """SPARK_GRAFT_SPREAD=0 (the multirg/cluster-layout run protocol)
+    must make spread() a true no-op — same DataFrame object, no
+    repartition node — while the default keeps the pre-shuffle."""
+    from hhek2sqlite_spark.operators.util import spread
+
+    df = spark.range(10)
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "0")
+    assert spread(df) is df
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "1")
+    assert spread(df) is not df
+    assert spread(df, enabled=False) is df
