@@ -71,6 +71,44 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    broadcast_seen: bool = False,
+) -> DataFrame:
+    """Incremental ingest dedup — the shape a CONTINUOUSLY-FED corpus
+    actually runs: dedup the new batch within itself (keep-first), then
+    drop everything whose fingerprint already exists in the ingested
+    corpus's materialized fingerprint store (``seen_fps``: one ``fp``
+    column, md5 of normalized text — the store a production pipeline
+    maintains instead of re-deduping 100 TB per batch).
+
+    Scale shape: batch-internal dedup is exact_dedup (two fixed-width
+    hash shuffles over the BATCH only); the history check is one
+    LEFT ANTI join against the store — shuffle-hash on fp by default
+    (the store is corpus-sized; session-wide runtime bloom-filter
+    pruning cuts the probe side before the shuffle), or broadcast when
+    the caller knows the store fits (``broadcast_seen=True``). Nothing
+    ever re-scans the ingested corpus itself."""
+    store = seen_fps.select("fp").distinct()
+    if broadcast_seen:
+        store = F.broadcast(store)
+    batch_unique = exact_dedup(new_docs, id_col).withColumn(
+        "fp", fingerprint("text")
+    )
+    return batch_unique.join(store, "fp", "left_anti").drop("fp")
+
+
+def fingerprint_store(documents: DataFrame) -> DataFrame:
+    """The materialized fingerprint side of incremental_dedup: distinct
+    md5(normalized text) of the ingested corpus. At scale this is
+    written once (e.g. materialize_access_path bucketed by fp) and
+    unioned with each batch's fingerprints after ingest."""
+    return documents.select(fingerprint("text").alias("fp")).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Character shingles + exact n-gram Jaccard
 # ---------------------------------------------------------------------------

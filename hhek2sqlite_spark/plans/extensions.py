@@ -1380,6 +1380,63 @@ HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
 """
 
 
+_INC_BATCH_MAX = 250
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id < _INC_BATCH_MAX play
+    the NEW BATCH, the rest play the already-ingested corpus whose
+    fingerprint store the batch is checked against (keep-first within
+    the batch, anti-join against the store). The continuous-feed shape
+    of dedup_exact — nothing re-scans the ingested corpus itself.
+
+    The fixture corpus is overlap-free (every doc unique, verified:
+    raw batch survives 250/250), so the raw shape would prove the
+    plumbing but never exercise a drop. The batch is therefore
+    AUGMENTED — identically in the SQL twin — with (a) re-id'd copies
+    of 50 INGESTED docs (must all be dropped by the history anti-join)
+    and (b) re-id'd copies of 10 BATCH docs (must all lose keep-first
+    to their lower-id originals): survivors == the original 250, with
+    both drop paths live."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    base = docs.filter(F.col("doc_id") < _INC_BATCH_MAX).select(*cols)
+    history_dups = (
+        docs.filter(
+            (F.col("doc_id") >= _INC_BATCH_MAX)
+            & (F.col("doc_id") < _INC_BATCH_MAX + 50)
+        ).select((F.col("doc_id") + 10000).alias("doc_id"), *cols[1:])
+    )
+    batch_dups = (
+        docs.filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), *cols[1:])
+    )
+    batch = base.unionByName(history_dups).unionByName(batch_dups)
+    store = dedup.fingerprint_store(docs.filter(F.col("doc_id") >= _INC_BATCH_MAX))
+    return dedup.incremental_dedup(batch, store).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH n AS (SELECT doc_id, text, lang, source, n_chars, md5({_NORM}) AS fp FROM documents),
+batch AS (
+    SELECT doc_id, lang, source, n_chars, fp FROM n WHERE doc_id < {_INC_BATCH_MAX}
+    UNION ALL
+    SELECT doc_id + 10000, lang, source, n_chars, fp FROM n
+    WHERE doc_id >= {_INC_BATCH_MAX} AND doc_id < {_INC_BATCH_MAX} + 50
+    UNION ALL
+    SELECT doc_id + 20000, lang, source, n_chars, fp FROM n WHERE doc_id < 10
+),
+store AS (SELECT DISTINCT fp FROM n WHERE doc_id >= {_INC_BATCH_MAX}),
+keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM batch GROUP BY fp)
+SELECT b.doc_id, b.lang, b.source, b.n_chars
+FROM batch b
+JOIN keepers k ON b.fp = k.fp AND b.doc_id = k.keeper
+WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = b.fp)
+"""
+
+
 _ATTRIB_HORIZON_HOURS = 72
 
 
@@ -1473,6 +1530,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "purchase_attribution": q_purchase_attribution,
     "stratified_sample_2p": q_stratified_sample_2p,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1518,4 +1576,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     # the two-pass refinement is bit-exact equal to the one-pass form,
     # so it shares the same oracle — that equality IS the check
     "stratified_sample_2p": SQL_STRATIFIED_SAMPLE,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

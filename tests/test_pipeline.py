@@ -426,3 +426,37 @@ def test_corpus_curation_monotone_and_train_only(spark, sf_dir):
     assert out_docs <= keepers
     assert out_docs <= ok
     assert out_docs <= train
+
+
+def test_incremental_dedup_semantics(spark):
+    """Batch-internal keep-first + anti-join against the history store:
+    a doc already in the store is dropped even if unique in the batch;
+    batch-internal copies keep only the lowest id; fresh docs survive."""
+    from hhek2sqlite_spark.operators.dedup import fingerprint_store, incremental_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = spark.createDataFrame(
+        [(100, "already ingested", "en", "s", 16)], schema
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "already   INGESTED", "en", "s", 18),  # dup of history (normalized)
+            (2, "fresh document", "en", "s", 14),
+            (3, "fresh document", "en", "s", 14),      # batch-internal copy of 2
+            (4, "another fresh one", "en", "s", 17),
+        ],
+        schema,
+    )
+    got = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, fingerprint_store(corpus)).collect()
+    )
+    assert got == [2, 4]
+    # broadcast variant identical
+    got_b = sorted(
+        r.doc_id
+        for r in incremental_dedup(
+            batch, fingerprint_store(corpus), broadcast_seen=True
+        ).collect()
+    )
+    assert got_b == [2, 4]
