@@ -1,0 +1,63 @@
+"""Slowly-changing-dimension type-2 history construction.
+
+Reference anchor: none — extension tier. The reference
+(/root/reference/hhek2sqlite.go) copies dimension snapshots verbatim;
+a warehouse feeding a 100 TB pipeline instead keeps versioned history
+for its dimensions (customer segment changes, supplier region moves) so
+facts can join the attribute AS OF their event time. SCD2 is that
+history: one row per (key, version) with [valid_from, valid_to).
+
+Design rules (100 TB):
+- One union + two window passes over a single hash Exchange on the key
+  (lag for change-collapse, lead for interval close) — no self-joins,
+  no driver-side state, scales with the dimension not the fact table.
+- Change detection compares each update against the immediately
+  preceding raw row: rows equal to their predecessor are no-ops and
+  collapse away (correct because a dropped row never changed the
+  running state). Deterministic tiebreak (eff, attr) for same-day
+  updates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+END_OF_TIME = "9999-12-31"
+
+
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str,
+    attr: str,
+    base_from: str,
+    end_of_time: str = END_OF_TIME,
+) -> DataFrame:
+    """Build the type-2 history for one tracked attribute.
+
+    ``base``: current snapshot, one row per ``key`` (attr value as of
+    ``base_from``). ``updates``: (key, attr, eff) change feed, any
+    number of rows per key, possibly no-ops. Returns one row per
+    surviving version: (key, attr, valid_from, valid_to, is_current)
+    with half-open intervals chained per key and the last version open
+    until ``end_of_time``."""
+    rows = base.select(
+        F.col(key), F.col(attr), F.lit(base_from).alias("eff")
+    ).unionByName(updates.select(F.col(key), F.col(attr), F.col("eff")))
+    w = Window.partitionBy(key).orderBy(F.col("eff").asc(), F.col(attr).asc())
+    marked = rows.withColumn("_prev", F.lag(attr).over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr))
+    )
+    versions = marked.withColumn(
+        "valid_to", F.coalesce(F.lead("eff").over(w), F.lit(end_of_time))
+    )
+    return versions.select(
+        key,
+        attr,
+        F.col("eff").alias("valid_from"),
+        "valid_to",
+        (F.col("valid_to") == end_of_time).alias("is_current"),
+    )

@@ -1,0 +1,102 @@
+"""Statistical profiling operators that stay cross-engine exact:
+z-score outlier detection from integer moments, exponentially-decayed
+counts with power-of-two weights.
+
+Reference anchor: none — extension tier. Both exist because a training
+pipeline monitors its feeds (anomalous metric values, trending event
+mix) and the naive float formulations are NOT oracle-pairable: float
+sums depend on aggregation order. The trick throughout (same family as
+the quantized label_centroids and the rational TF-IDF): accumulate in
+exact integers, convert to float only for per-row FINAL arithmetic
+whose operand values are bit-identical in any engine.
+
+Design rules (100 TB):
+- One scan + one keyed shuffle for the moments; the per-group stats are
+  a tiny aggregate broadcast back over the stream — no second shuffle
+  of the facts.
+- Quantized value bounds are documented per operator; past them, widen
+  to DecimalType (Spark) / HUGEINT (DuckDB) — the comparisons are
+  already division-free so the swap is mechanical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def value_outliers(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z: int = 2,
+    quant: int = 1000,
+) -> DataFrame:
+    """Rows whose value deviates more than ``z`` standard deviations
+    from their group mean. Exact cross-engine: values quantize to
+    integers q = floor(value * quant); per-group moments n, S = sum(q),
+    S2 = sum(q^2) are exact integer aggregates (no order sensitivity);
+    the flag is the division-free comparison
+
+        (n*q - S)^2  >  z^2 * (n*S2 - S^2)
+
+    evaluated in DOUBLE from those exact integers — every conversion
+    and multiply is a single deterministic IEEE op on identical inputs,
+    so both engines compute identical booleans. int64 bounds: needs
+    n * q^2 < 2^63, i.e. ~10^8 rows/group at q <= 10^6; past that use
+    decimal accumulators.
+
+    Scale shape: one shuffle on the group for the moments, then the
+    tiny stats aggregate is broadcast-joined back onto the scan —
+    the fact stream itself is never reshuffled."""
+    q = F.floor(F.col(value_col) * quant).cast("long")
+    qd = events.withColumn("_q", q)
+    stats = qd.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.expr("_q * _q")).alias("_s2"),
+    )
+    joined = qd.join(F.broadcast(stats), group_col)
+    lhs = (F.col("_n") * F.col("_q") - F.col("_s")).cast("double")
+    rhs = (z * z) * (
+        F.col("_n").cast("double") * F.col("_s2").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+    )
+    return joined.filter(lhs * lhs > rhs).drop("_q", "_n", "_s", "_s2")
+
+
+def decayed_counts(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    max_age_days: int = 30,
+    unit_bits: int = 30,
+) -> DataFrame:
+    """Per-group exponentially-decayed event count, half-life one day,
+    anchored at the newest event date in the input — the trending-mix
+    monitor of a feed. A row aged ``a`` days weighs 2^-a; weights are
+    accumulated as integers 2^(unit_bits - a) (zero past
+    ``max_age_days``), so the sum is exact in any engine and the
+    returned ``decayed_units`` is in units of 2^-unit_bits events.
+    int64 bound: group_count * 2^unit_bits < 2^63.
+
+    Scale shape: the anchor date is a one-row aggregate broadcast onto
+    the scan (at cluster scale, pass the watermark in instead of
+    scanning twice), then one shuffle on the group."""
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("_anchor"))
+    aged = events.crossJoin(F.broadcast(anchor)).withColumn(
+        "_age", F.datediff("_anchor", F.to_date(ts_col))
+    )
+    # shiftleft with a COLUMN shift count needs the SQL form (the
+    # PySpark wrapper only takes a literal int)
+    weight = F.expr(
+        f"CASE WHEN _age <= {max_age_days}"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {unit_bits} - _age)"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    return aged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(weight).alias("decayed_units"),
+    )

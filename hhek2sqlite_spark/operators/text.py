@@ -313,6 +313,64 @@ def tfidf_topk(
     )
 
 
+def inverted_index(
+    documents: DataFrame,
+    *,
+    min_len: int = 6,
+    min_df: int = 5,
+    max_df: int = 500,
+    k_postings: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index construction: token -> (document frequency, capped
+    posting list) — the retrieval-index / keyword-lookup structure a
+    corpus pipeline materializes next to the training shards. Postings
+    are the ``k_postings`` LOWEST doc ids ascending, serialized as a
+    comma-joined string so the result is hashable in any engine.
+
+    Scale shape — skew-safe by construction, because the hot keys here
+    are exactly the stopwords: (1) distinct (doc, token) pairs shuffle
+    on the PAIR (no hot key — pairs are unique); (2) df per token via
+    groupBy, where map-side partial aggregation absorbs a stopword's
+    fan-in before the wire; (3) the df-window [min_df, max_df] filter is
+    applied by broadcast-joining the surviving vocabulary back onto the
+    pairs — hot-token pairs die MAP-SIDE, before any token-keyed
+    shuffle; (4) only then does the posting-rank window shuffle on the
+    token, and every window group is now <= max_df rows, so no reducer
+    ever sees an unbounded group. ``k_postings`` caps the materialized
+    list, ``min_df`` drops the hapax tail. (If the mid-df vocabulary
+    outgrows broadcast at extreme scale, the join degrades to a
+    shuffle-hash join and stays correct — the skew guard it provides is
+    then partial, but the dominant stopword keys are dropped either
+    way since the filtered vocab no longer contains them.)"""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") >= min_len)
+        .distinct()
+    )
+    vocab = (
+        pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    kept = pairs.join(F.broadcast(vocab), "token")
+    w_rank = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
+    return (
+        kept.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k_postings)
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("postings")
+        )
+        .select("token", F.col("df").cast("long").alias("n_docs"), "postings")
+    )
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Aggregated per-source corpus stats (one shuffle on ``source``)."""
     p = document_profile(documents)

@@ -194,6 +194,236 @@ ranked AS (
 SELECT * FROM ranked WHERE rank <= {_TFIDF_K}
 """
 
+# constants sized so every pruning path is LIVE at sf0.01: the fixture
+# vocabulary has ~24 tokens of length >= 4, df up to 402 — max_df=400
+# actually drops the stopword-grade token and k_postings=16 actually
+# truncates posting lists
+_IDX_MIN_LEN = 4
+_IDX_MIN_DF = 3
+_IDX_MAX_DF = 400
+_IDX_K_POSTINGS = 16
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.text import inverted_index
+
+    return inverted_index(
+        spread(load_table(spark, sf_dir, "documents")),
+        min_len=_IDX_MIN_LEN,
+        min_df=_IDX_MIN_DF,
+        max_df=_IDX_MAX_DF,
+        k_postings=_IDX_K_POSTINGS,
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (
+    SELECT DISTINCT doc_id, tk AS token
+    FROM n, LATERAL unnest(string_split(t, ' ')) u(tk)
+    WHERE length(tk) >= {_IDX_MIN_LEN}
+),
+ranked AS (
+    SELECT token, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY token) AS df
+    FROM tok
+)
+SELECT token, CAST(df AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id ASC) AS postings
+FROM ranked
+WHERE df BETWEEN {_IDX_MIN_DF} AND {_IDX_MAX_DF} AND rn <= {_IDX_K_POSTINGS}
+GROUP BY token, df
+"""
+
+
+_PR_ITERS = 5
+_PR_DAMP_NUM = 85
+_PR_DAMP_DEN = 100
+
+
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-purchase graph (suppliers linked
+    when they supply the same order). Fixed 5 integer-quantized rounds
+    — exactly what the unrolled-CTE oracle computes."""
+    from hhek2sqlite_spark.operators.graph import cooccurrence_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_suppkey")
+    pr = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_num=_PR_DAMP_NUM,
+        damping_den=_PR_DAMP_DEN,
+    )
+    return pr.select(F.col("node").alias("s_suppkey"), "rank_micros")
+
+
+def _pagerank_oracle_sql() -> str:
+    from hhek2sqlite_spark.operators.graph import RANK_SCALE
+
+    base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * RANK_SCALE) // _PR_DAMP_DEN
+    ctes = [
+        "base AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)",
+        "edges AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst"
+        " FROM base a JOIN base b USING (l_orderkey)"
+        " WHERE a.l_suppkey <> b.l_suppkey)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT src AS node, CAST({RANK_SCALE} AS BIGINT) AS rank_micros FROM deg)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT e.dst AS node,"
+            f" CAST({base} + ({_PR_DAMP_NUM} * SUM(r.rank_micros // d.out_deg))"
+            f" // {_PR_DAMP_DEN} AS BIGINT) AS rank_micros"
+            f" FROM edges e JOIN deg d ON e.src = d.src"
+            f" JOIN r{i} r ON r.node = e.src GROUP BY e.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS s_suppkey, rank_micros FROM r{_PR_ITERS}"
+    )
+
+
+SQL_SUPPLIER_PAGERANK = _pagerank_oracle_sql()
+
+_SCD_BASE_FROM = "1992-01-01"
+_SCD_EFF1 = "1996-06-01"
+_SCD_EFF2 = "1997-03-01"
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history for customer market segment. The update
+    feed is derived deterministically from the snapshot (the fixture
+    has no CDC feed): batch 1 re-segments every 5th customer to
+    MIGRATED — except every 10th, whose update is a NO-OP (same value,
+    must collapse); batch 2 moves every 15th to PREMIUM. Identical
+    derivation in the SQL twin, so both change-detection paths (real
+    change, no-op collapse) are live under the oracle."""
+    from hhek2sqlite_spark.operators.scd import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    u1 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("MIGRATED"))
+        .alias("c_mktsegment"),
+        F.lit(_SCD_EFF1).alias("eff"),
+    )
+    u2 = cust.filter(F.col("c_custkey") % 15 == 0).select(
+        "c_custkey",
+        F.lit("PREMIUM").alias("c_mktsegment"),
+        F.lit(_SCD_EFF2).alias("eff"),
+    )
+    return scd2_merge(
+        cust,
+        u1.unionByName(u2),
+        key="c_custkey",
+        attr="c_mktsegment",
+        base_from=_SCD_BASE_FROM,
+    )
+
+
+SQL_SCD2_HISTORY = f"""
+WITH base AS (
+    SELECT c_custkey, c_mktsegment, '{_SCD_BASE_FROM}' AS eff FROM customer
+),
+u1 AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'MIGRATED' END AS c_mktsegment,
+           '{_SCD_EFF1}' AS eff
+    FROM customer WHERE c_custkey % 5 = 0
+),
+u2 AS (
+    SELECT c_custkey, 'PREMIUM' AS c_mktsegment, '{_SCD_EFF2}' AS eff
+    FROM customer WHERE c_custkey % 15 = 0
+),
+rows_ AS (
+    SELECT * FROM base UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM u2
+),
+marked AS (
+    SELECT c_custkey, c_mktsegment, eff,
+           LAG(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY eff ASC, c_mktsegment ASC) AS prev
+    FROM rows_
+),
+kept AS (
+    SELECT c_custkey, c_mktsegment, eff FROM marked
+    WHERE prev IS NULL OR prev <> c_mktsegment
+),
+v AS (
+    SELECT c_custkey, c_mktsegment, eff AS valid_from,
+           COALESCE(LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff ASC, c_mktsegment ASC), '9999-12-31') AS valid_to
+    FROM kept
+)
+SELECT c_custkey, c_mktsegment, valid_from, valid_to,
+       valid_to = '9999-12-31' AS is_current
+FROM v
+"""
+
+_OUTLIER_Z = 2
+_OUTLIER_QUANT = 1000
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.stats import value_outliers
+
+    out = value_outliers(
+        load_table(spark, sf_dir, "events"),
+        z=_OUTLIER_Z,
+        quant=_OUTLIER_QUANT,
+    )
+    return out.select("event_id", "event_type", "value")
+
+
+SQL_VALUE_OUTLIERS = f"""
+WITH q AS (
+    SELECT event_id, event_type, value,
+           CAST(FLOOR(value * {_OUTLIER_QUANT}) AS BIGINT) AS qv
+    FROM events
+),
+stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qv) AS BIGINT) AS s,
+           CAST(SUM(qv * qv) AS BIGINT) AS s2
+    FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, q.value
+FROM q JOIN stats USING (event_type)
+WHERE CAST(n * qv - s AS DOUBLE) * CAST(n * qv - s AS DOUBLE)
+      > {_OUTLIER_Z * _OUTLIER_Z} * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+"""
+
+_DECAY_MAX_AGE = 30
+_DECAY_UNIT_BITS = 30
+
+
+def q_decayed_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.stats import decayed_counts
+
+    return decayed_counts(
+        load_table(spark, sf_dir, "events"),
+        max_age_days=_DECAY_MAX_AGE,
+        unit_bits=_DECAY_UNIT_BITS,
+    )
+
+
+SQL_DECAYED_TYPE_COUNTS = f"""
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+aged AS (
+    SELECT event_type, datediff('day', CAST(ts AS DATE), anchor.a) AS age
+    FROM events, anchor
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN age <= {_DECAY_MAX_AGE}
+                     THEN CAST(1 AS BIGINT) << ({_DECAY_UNIT_BITS} - age)
+                     ELSE 0 END) AS BIGINT) AS decayed_units
+FROM aged GROUP BY event_type
+"""
+
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.stratified_sample(
@@ -1519,6 +1749,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
     "token_topk": q_token_topk,
+    "inverted_index": q_inverted_index,
+    "supplier_pagerank": q_supplier_pagerank,
+    "scd2_history": q_scd2_history,
+    "value_outliers": q_value_outliers,
+    "decayed_type_counts": q_decayed_type_counts,
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
     "minhash_clusters": q_minhash_clusters,
@@ -1563,6 +1798,11 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "contamination": SQL_CONTAMINATION,
     "token_topk": SQL_TOKEN_TOPK,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "supplier_pagerank": SQL_SUPPLIER_PAGERANK,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "value_outliers": SQL_VALUE_OUTLIERS,
+    "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,

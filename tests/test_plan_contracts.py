@@ -153,3 +153,34 @@ def test_token_topk_no_global_sort(spark, sf_dir):
     # any Sort nodes must sit above the TakeOrdered (k rows), not below;
     # cheap proxy: the plan has at most one Sort and it is for the window
     assert len(sorts) <= 1, p
+
+
+def test_scd2_history_single_key_exchange(spark, sf_dir):
+    # union + lag-collapse + lead-close must share ONE hash Exchange on
+    # the key — self-join SCD implementations shuffle 3x
+    import re
+
+    p = plan_text(spark, sf_dir, "scd2_history")
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) == 1, p
+    assert "singlepartition" not in p.lower(), p
+
+
+def test_inverted_index_prefilters_vocab_mapside(spark, sf_dir):
+    # the df-window filter must reach the pairs via a BROADCAST join so
+    # stopword-grade hot tokens die map-side, before any token-keyed
+    # shuffle ever sees them
+    p = plan_text(spark, sf_dir, "inverted_index")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_value_outliers_broadcasts_stats_back(spark, sf_dir):
+    # one moments shuffle; the per-group stats come back as a broadcast —
+    # the event stream itself is never reshuffled
+    import re
+
+    p = plan_text(spark, sf_dir, "value_outliers")
+    assert "BroadcastHashJoin" in p, p
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) <= 2, p  # moments partial/final pair at most

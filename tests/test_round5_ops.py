@@ -1,0 +1,153 @@
+"""Semantic tests for the round-5 operators: inverted index, PageRank,
+SCD2 history, exact z-score outliers, decayed counts. Oracle parity is
+covered by test_oracle_parity; these pin semantics on constructed inputs
+where the right answer is known by hand (or by a pure-python re-derivation
+for the iterative PageRank)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from hhek2sqlite_spark.operators.graph import RANK_SCALE, cooccurrence_edges, pagerank
+from hhek2sqlite_spark.operators.scd import scd2_merge
+from hhek2sqlite_spark.operators.stats import decayed_counts, value_outliers
+from hhek2sqlite_spark.operators.text import inverted_index
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+# inverted index -------------------------------------------------------------
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    docs = _docs(
+        spark,
+        [
+            "alpha beta",  # doc 0
+            "alpha gamma",  # doc 1
+            "alpha beta",  # doc 2
+            "delta",  # doc 3
+        ],
+    )
+    out = inverted_index(docs, min_len=4, min_df=2, max_df=2, k_postings=2)
+    rows = {r.token: r for r in out.collect()}
+    # alpha: df=3 > max_df -> dropped (stopword-grade); delta: df=1 < min_df
+    assert set(rows) == {"beta"}
+    assert rows["beta"].n_docs == 2
+    assert rows["beta"].postings == "0,2"
+
+
+def test_inverted_index_caps_postings_but_keeps_full_df(spark):
+    docs = _docs(spark, ["word"] * 5)
+    out = inverted_index(docs, min_len=4, min_df=1, max_df=10, k_postings=3)
+    row = out.collect()[0]
+    assert row.n_docs == 5  # df counted over ALL docs
+    assert row.postings == "0,1,2"  # lowest three ids only
+
+
+# pagerank -------------------------------------------------------------------
+
+
+def _py_pagerank(edges, iterations=5, damping_num=85, damping_den=100):
+    """Pure-python re-derivation of the integer-quantized recurrence."""
+    from collections import defaultdict
+
+    base = ((damping_den - damping_num) * RANK_SCALE) // damping_den
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    rank = {n: RANK_SCALE for n in deg}
+    for _ in range(iterations):
+        incoming = defaultdict(int)
+        for s, d in edges:
+            incoming[d] += rank[s] // deg[s]
+        rank = {n: base + (damping_num * c) // damping_den for n, c in incoming.items()}
+    return rank
+
+
+def test_pagerank_symmetric_triangle_is_fixed_point(spark):
+    edges_py = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    out = {r.node: r.rank_micros for r in pagerank(edges).collect()}
+    assert out == {1: RANK_SCALE, 2: RANK_SCALE, 3: RANK_SCALE}
+
+
+def test_pagerank_star_matches_python_recurrence(spark):
+    # center 0 <-> leaves 1..3: asymmetric degrees exercise the floor
+    # divisions; compare bit-exactly against the python re-derivation
+    edges_py = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    out = {r.node: r.rank_micros for r in pagerank(edges).collect()}
+    assert out == _py_pagerank(edges_py)
+    assert out[0] > out[1]  # the hub outranks the leaves
+
+
+def test_cooccurrence_edges_symmetric_distinct(spark):
+    items = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("A", 3), ("B", 3), ("B", 4), ("B", 3)],
+        "g string, item long",
+    )
+    got = {(r.src, r.dst) for r in cooccurrence_edges(items, group_col="g", item_col="item").collect()}
+    want = {(1, 2), (1, 3), (2, 3), (3, 4)}
+    assert got == want | {(b, a) for a, b in want}
+
+
+# scd2 -----------------------------------------------------------------------
+
+
+def test_scd2_collapses_noops_and_chains_intervals(spark):
+    base = spark.createDataFrame([(1, "X"), (2, "K")], "k long, seg string")
+    updates = spark.createDataFrame(
+        [(1, "X", "1996-06-01"), (1, "Y", "1997-03-01")],  # first is a NO-OP
+        "k long, seg string, eff string",
+    )
+    out = scd2_merge(base, updates, key="k", attr="seg", base_from="1992-01-01")
+    rows = sorted(out.collect(), key=lambda r: (r.k, r.valid_from))
+    assert [(r.k, r.seg, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        (1, "X", "1992-01-01", "1997-03-01", False),  # no-op collapsed away
+        (1, "Y", "1997-03-01", "9999-12-31", True),
+        (2, "K", "1992-01-01", "9999-12-31", True),  # untouched key: one row
+    ]
+
+
+def test_scd2_reverting_to_original_value_is_a_new_version(spark):
+    base = spark.createDataFrame([(1, "A")], "k long, seg string")
+    updates = spark.createDataFrame(
+        [(1, "B", "1995-01-01"), (1, "A", "1996-01-01")],
+        "k long, seg string, eff string",
+    )
+    out = scd2_merge(base, updates, key="k", attr="seg", base_from="1992-01-01")
+    assert out.count() == 3  # A, B, A — the revert is a distinct version
+
+
+# stats ----------------------------------------------------------------------
+
+
+def test_value_outliers_flags_only_the_spike(spark):
+    rows = [(i, "t", 10.0) for i in range(20)] + [(99, "t", 1000.0)]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = value_outliers(events)
+    assert [r.event_id for r in out.collect()] == [99]
+
+
+def test_value_outliers_zero_variance_group_flags_nothing(spark):
+    rows = [(i, "t", 42.5) for i in range(10)]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    assert value_outliers(events).count() == 0
+
+
+def test_decayed_counts_power_of_two_weights(spark):
+    d0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    d1 = datetime.datetime(2024, 1, 9, 3, 0, 0)
+    far = datetime.datetime(2020, 1, 1, 0, 0, 0)  # past max_age -> weight 0
+    events = spark.createDataFrame(
+        [(1, "a", d0), (2, "a", d0), (3, "a", d1), (4, "a", far)],
+        "event_id long, event_type string, ts timestamp",
+    )
+    row = decayed_counts(events, max_age_days=30, unit_bits=30).collect()[0]
+    assert row.n_events == 4
+    assert row.decayed_units == 2 * 2**30 + 2**29
