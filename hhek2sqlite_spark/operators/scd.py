@@ -61,3 +61,29 @@ def scd2_merge(
         "valid_to",
         (F.col("valid_to") == end_of_time).alias("is_current"),
     )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, *, key: str) -> DataFrame:
+    """MERGE INTO (type-1 upsert): matched keys take the source row's
+    values wholesale — including genuine NULLs, which a naive
+    per-column ``coalesce(source, target)`` would silently revert —
+    unmatched target rows survive, unmatched source rows insert. Both
+    sides must share the schema. One full-outer equi-join on the key:
+    shuffle-partitioned on both sides, no skew beyond the key's own
+    (broadcast the source when it is a small changeset — Catalyst does
+    when it fits). Deletes are out of scope (pair with an anti-join)."""
+    cols = [c for c in target.columns if c != key]
+    if set(source.columns) != set(target.columns):
+        raise ValueError(f"schema mismatch: {source.columns} vs {target.columns}")
+    s = source.withColumn("_src", F.lit(True)).alias("s")
+    t = target.alias("t")
+    picked = [
+        F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias(key),
+        *[
+            F.when(F.col("s._src").isNotNull(), F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in cols
+        ],
+    ]
+    return t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(*picked)

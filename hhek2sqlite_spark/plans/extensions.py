@@ -361,6 +361,49 @@ SELECT c_custkey, c_mktsegment, valid_from, valid_to,
 FROM v
 """
 
+_UPSERT_NEWKEY_OFFSET = 10_000_000
+
+
+def q_customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the customer dimension. The changeset is derived
+    deterministically from the snapshot (no CDC feed in the fixture):
+    every 7th customer is UPDATED (segment + acctbal bump — the matched
+    path), and every 997th spawns a new key far above the domain (the
+    not-matched insert path). Identical derivation in the SQL twin."""
+    from hhek2sqlite_spark.operators.scd import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 997 == 0).select(
+        (F.col("c_custkey") + _UPSERT_NEWKEY_OFFSET).alias("c_custkey"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    return merge_upsert(cust, updates.unionByName(inserts), key="c_custkey")
+
+
+SQL_CUSTOMER_UPSERT = f"""
+WITH tgt AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+src AS (
+    SELECT c_custkey, 'UPDATED' AS c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + {_UPSERT_NEWKEY_OFFSET}, 'INSERTED', c_acctbal
+    FROM customer WHERE c_custkey % 997 = 0
+),
+marked AS (SELECT *, TRUE AS has_src FROM src)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN s.has_src THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+       CASE WHEN s.has_src THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+FROM tgt t FULL OUTER JOIN marked s ON t.c_custkey = s.c_custkey
+"""
+
 _OUTLIER_Z = 2
 _OUTLIER_QUANT = 1000
 
@@ -1752,6 +1795,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "supplier_pagerank": q_supplier_pagerank,
     "scd2_history": q_scd2_history,
+    "customer_upsert": q_customer_upsert,
     "value_outliers": q_value_outliers,
     "decayed_type_counts": q_decayed_type_counts,
     "tfidf_topk": q_tfidf_topk,
@@ -1801,6 +1845,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "inverted_index": SQL_INVERTED_INDEX,
     "supplier_pagerank": SQL_SUPPLIER_PAGERANK,
     "scd2_history": SQL_SCD2_HISTORY,
+    "customer_upsert": SQL_CUSTOMER_UPSERT,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -1,0 +1,126 @@
+"""Exactly-once streaming sink into SQLite via foreachBatch.
+
+The reference's whole purpose is loading rows into an SQLite file
+(/root/reference/hhek2sqlite.go:139-153 batched INSERTs, :241-271
+transactional writes). Its batch-only pipeline re-runs from scratch;
+a streaming pipeline instead delivers micro-batches AT LEAST ONCE —
+after a crash, Structured Streaming replays the last unacknowledged
+batch. A transactional sink turns that into exactly-once: the data
+insert and a (table, batch_id) bookkeeping record commit in ONE SQLite
+transaction, so a replayed batch is detected and skipped before any row
+is written twice. This is the standard idempotent-foreachBatch pattern
+(the same contract Delta's txn-version sink implements), expressed
+against the reference's own target store.
+
+Scale notes: foreachBatch hands the driver a normal DataFrame; the
+SQLite interchange path streams it through ``toLocalIterator`` with
+bounded memory (same documented single-file envelope as
+sources/sqlite_io.py — SQLite is a single-writer store, so the sink is
+inherently driver-side; a cluster deployment would swap the JDBC url
+and keep the batch-id bookkeeping identical).
+"""
+
+from __future__ import annotations
+
+import datetime
+import sqlite3
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+COMMITS_TABLE = "_stream_commits"
+
+
+def _sqlite_type(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)):
+        return "INTEGER"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "REAL"
+    return "TEXT"  # strings, decimals (exact text), dates, timestamps
+
+
+def _to_sqlite(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def write_batch_idempotent(
+    batch_df: DataFrame, batch_id: int, *, db_path: str, table: str, batch_size: int = 10_000
+) -> int:
+    """Insert one micro-batch, exactly once. Returns rows written
+    (0 when ``batch_id`` was already committed — the replay path)."""
+    schema = batch_df.schema
+    cols = [f.name for f in schema.fields]
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{COMMITS_TABLE}"'
+            " (sink_table TEXT NOT NULL, batch_id INTEGER NOT NULL,"
+            " PRIMARY KEY (sink_table, batch_id))"
+        )
+        coldefs = ", ".join(f'"{f.name}" {_sqlite_type(f.dataType)}' for f in schema.fields)
+        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({coldefs})')
+        seen = con.execute(
+            f'SELECT 1 FROM "{COMMITS_TABLE}" WHERE sink_table = ? AND batch_id = ?',
+            (table, batch_id),
+        ).fetchone()
+        if seen:
+            return 0
+        placeholders = ", ".join("?" for _ in cols)
+        collist = ", ".join(f'"{c}"' for c in cols)
+        sql = f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders})'
+        n = 0
+        batch: list[tuple] = []
+        for row in batch_df.toLocalIterator(prefetchPartitions=True):
+            batch.append(tuple(_to_sqlite(v) for v in row))
+            if len(batch) >= batch_size:
+                con.executemany(sql, batch)
+                n += len(batch)
+                batch.clear()
+        if batch:
+            con.executemany(sql, batch)
+            n += len(batch)
+        con.execute(
+            f'INSERT INTO "{COMMITS_TABLE}" (sink_table, batch_id) VALUES (?, ?)',
+            (table, batch_id),
+        )
+        # ONE commit covers data + bookkeeping: replay after a crash
+        # between insert and commit sees neither and redoes both
+        con.commit()
+        return n
+    except Exception:
+        con.rollback()
+        raise
+    finally:
+        con.close()
+
+
+def stream_to_sqlite(
+    stream_df: DataFrame,
+    *,
+    db_path: str,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """writeStream -> idempotent SQLite sink. ``available_now=True``
+    drains everything currently in the source then stops (the batch-mode
+    run of a streaming pipeline); pass False for a continuous run."""
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(batch_df, batch_id, db_path=db_path, table=table)
+
+    writer = stream_df.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

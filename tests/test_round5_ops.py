@@ -151,3 +151,84 @@ def test_decayed_counts_power_of_two_weights(spark):
     row = decayed_counts(events, max_age_days=30, unit_bits=30).collect()[0]
     assert row.n_events == 4
     assert row.decayed_units == 2 * 2**30 + 2**29
+
+
+# merge upsert ---------------------------------------------------------------
+
+
+def test_merge_upsert_update_insert_keep_and_null_overwrite(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, seg string, bal double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", None), (9, "new", 90.0)], "k long, seg string, bal double"
+    )
+    from hhek2sqlite_spark.operators.scd import merge_upsert
+
+    out = {r.k: (r.seg, r.bal) for r in merge_upsert(target, source, key="k").collect()}
+    assert out == {
+        1: ("a", 10.0),  # untouched target survives
+        2: ("B", None),  # matched: source wins WHOLESALE, incl. its NULL
+        3: ("c", 30.0),
+        9: ("new", 90.0),  # not-matched source inserts
+    }
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest as _pytest
+
+    t = spark.createDataFrame([(1, "a")], "k long, seg string")
+    s = spark.createDataFrame([(1, 2.0)], "k long, bal double")
+    from hhek2sqlite_spark.operators.scd import merge_upsert
+
+    with _pytest.raises(ValueError):
+        merge_upsert(t, s, key="k")
+
+
+# streaming sqlite sink ------------------------------------------------------
+
+
+def test_streaming_sqlite_sink_exactly_once(spark, tmp_path):
+    import sqlite3
+
+    from hhek2sqlite_spark.streaming.sink import (
+        COMMITS_TABLE,
+        stream_to_sqlite,
+        write_batch_idempotent,
+    )
+
+    src = str(tmp_path / "src")
+    db = str(tmp_path / "out.db")
+    spark.range(0, 100).selectExpr("id", "CAST(id % 3 AS STRING) AS grp").write.parquet(src)
+    batch_schema = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch_schema.schema).parquet(src)
+    q = stream_to_sqlite(
+        stream, db_path=db, table="events_out", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    con = sqlite3.connect(db)
+    assert con.execute('SELECT COUNT(*) FROM "events_out"').fetchone()[0] == 100
+    committed = con.execute(
+        f'SELECT batch_id FROM "{COMMITS_TABLE}" WHERE sink_table = ?', ("events_out",)
+    ).fetchall()
+    con.close()
+    assert committed  # bookkeeping row written atomically with the data
+
+    # replay the SAME batch id (what a post-crash restart does): no dupes
+    n = write_batch_idempotent(
+        batch_schema, committed[0][0], db_path=db, table="events_out"
+    )
+    assert n == 0
+    con = sqlite3.connect(db)
+    assert con.execute('SELECT COUNT(*) FROM "events_out"').fetchone()[0] == 100
+    con.close()
+
+    # a NEW batch id appends
+    n = write_batch_idempotent(
+        batch_schema.limit(5), 9999, db_path=db, table="events_out"
+    )
+    assert n == 5
+    con = sqlite3.connect(db)
+    assert con.execute('SELECT COUNT(*) FROM "events_out"').fetchone()[0] == 105
+    con.close()
