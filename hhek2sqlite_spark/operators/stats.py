@@ -66,6 +66,51 @@ def value_outliers(
     return joined.filter(lhs * lhs > rhs).drop("_q", "_n", "_s", "_s2")
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_sketch(
+    items: DataFrame,
+    *,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of an item stream: ``depth`` x ``width`` counter
+    matrix where row r increments cell h_r(item) % width. Point
+    estimates (min over rows of the item's cells) never undercount and
+    overcount by <= stream_size * e/width with prob 1 - e^-depth — the
+    fixed-size MERGEABLE frequency summary (sketches from different
+    partitions/days add cell-wise), complementing the KMV/HLL
+    cardinality sketches with a frequency one.
+
+    Cross-engine exact: h_r = first 60 bits of md5(r || ':' || item) —
+    the same portable recipe as SimHash's token hashes
+    (operators/dedup.py TOKEN_HASH60_SPARK) — so the sketch table is
+    oracle-pairable cell for cell.
+
+    Scale shape: one shuffle keyed by (row, cell) whose domain is
+    depth*width REGARDLESS of stream size or item skew — map-side
+    partial counts collapse each partition to <= depth*width rows
+    before the wire; a hot item only makes its cells' partial counts
+    larger, never a hotter shuffle key distribution."""
+    cells = F.array(
+        *[
+            F.expr(
+                f"cast(conv(substring(md5(concat('{r}:', {item_col})), 1, 15),"
+                f" 16, 10) as bigint) % {width}"
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        items.select(F.posexplode(cells).alias("hash_row", "cell"))
+        .groupBy("hash_row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def decayed_counts(
     events: DataFrame,
     *,

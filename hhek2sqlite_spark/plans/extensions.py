@@ -439,6 +439,42 @@ WHERE CAST(n * qv - s AS DOUBLE) * CAST(n * qv - s AS DOUBLE)
                                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
 """
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_MIN_LEN = 2
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream — the mergeable
+    frequency summary a fleet of ingest workers would each build and
+    add cell-wise. The driver compares the full counter matrix."""
+    from hhek2sqlite_spark.operators.stats import cms_sketch
+    from hhek2sqlite_spark.operators.text import tokens
+
+    tok = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") >= _CMS_MIN_LEN)
+    )
+    return cms_sketch(tok, item_col="token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+SQL_CMS_TOKEN_COUNTS = f"""
+WITH n AS (SELECT {_NORM} AS t FROM documents),
+tok AS (
+    SELECT tk AS token
+    FROM n, LATERAL unnest(string_split(t, ' ')) u(tk)
+    WHERE length(tk) >= {_CMS_MIN_LEN}
+),
+cells AS (
+    SELECT r AS hash_row,
+           CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15) AS BIGINT) % {_CMS_WIDTH} AS cell
+    FROM tok, LATERAL unnest([{", ".join(str(r) for r in range(_CMS_DEPTH))}]) u(r)
+)
+SELECT hash_row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY hash_row, cell
+"""
+
 _DECAY_MAX_AGE = 30
 _DECAY_UNIT_BITS = 30
 
@@ -1798,6 +1834,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_upsert": q_customer_upsert,
     "value_outliers": q_value_outliers,
     "decayed_type_counts": q_decayed_type_counts,
+    "cms_token_counts": q_cms_token_counts,
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
     "minhash_clusters": q_minhash_clusters,
@@ -1848,6 +1885,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "customer_upsert": SQL_CUSTOMER_UPSERT,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
+    "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,

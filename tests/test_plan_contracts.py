@@ -184,3 +184,34 @@ def test_value_outliers_broadcasts_stats_back(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
     assert len(exchanges) <= 2, p  # moments partial/final pair at most
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    # the lakehouse layout story (materialize_access_path / partitionBy)
+    # only pays off if a dimension filter actually prunes fact partitions
+    # at RUNTIME — assert Spark inserts the dynamic pruning subquery when
+    # the fact is Hive-partitioned on the join key
+    import contextlib
+    import io
+
+    fact_dir = str(tmp_path / "fact_part")
+    dim_dir = str(tmp_path / "dim")
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    # the dim filter must be on a NON-join column: a predicate on the
+    # join key itself constant-propagates into a STATIC partition filter
+    # (no DPP needed — also worth knowing), so filter on a derived flag
+    orders.selectExpr(
+        "o_orderpriority", "substring(o_orderpriority, 1, 1) AS prio_digit"
+    ).distinct().write.parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter("prio_digit = '1'")
+    j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan

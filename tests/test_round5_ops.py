@@ -232,3 +232,32 @@ def test_streaming_sqlite_sink_exactly_once(spark, tmp_path):
     con = sqlite3.connect(db)
     assert con.execute('SELECT COUNT(*) FROM "events_out"').fetchone()[0] == 105
     con.close()
+
+
+# count-min sketch -----------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    # stream with known exact counts: 'hot' x 500, 50 singletons
+    items = ["hot"] * 500 + [f"rare{i}" for i in range(50)]
+    df = spark.createDataFrame([(x,) for x in items], "token string")
+    from hhek2sqlite_spark.operators.stats import CMS_WIDTH, cms_sketch
+
+    sketch = {(r.hash_row, r.cell): r.cnt for r in cms_sketch(df, item_col="token").collect()}
+    assert sum(v for (r, _), v in sketch.items() if r == 0) == len(items)  # each row sees every item
+
+    def estimate(token):
+        import hashlib
+
+        est = None
+        for r in range(4):
+            h = int(hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:15], 16) % CMS_WIDTH
+            est = min(est, sketch.get((r, h), 0)) if est is not None else sketch.get((r, h), 0)
+        return est
+
+    n = len(items)
+    assert estimate("hot") >= 500  # never undercounts
+    assert estimate("hot") <= 500 + 3 * n // CMS_WIDTH + 3  # tight at this width
+    for i in range(0, 50, 10):
+        e = estimate(f"rare{i}")
+        assert 1 <= e <= 1 + 3 * n // CMS_WIDTH + 3
