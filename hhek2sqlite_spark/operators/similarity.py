@@ -305,6 +305,41 @@ def label_centroids(
     )
 
 
+def quantize_profile(embeddings: DataFrame, *, bits: int = 8) -> DataFrame:
+    """Per-vector symmetric int quantization profile — the vector-store
+    compression step (float32 -> int8 cuts an embedding corpus 4x). For
+    each vector: scale = max|x| (symmetric range), code_i =
+    round(x_i / scale * L) with L = 2^(bits-1) - 1, and the profile
+    reports the max absolute reconstruction error |x - code*scale/L| —
+    the number a pipeline monitors to pick ``bits``.
+
+    Cross-engine exact WITHOUT integer tricks: every per-element step is
+    a fixed sequence of IEEE ops on identical inputs, and both reported
+    aggregates are MAX over dims (order-independent, unlike a float
+    sum) — so the profile is oracle-pairable as-is. Row-local, zero
+    shuffles. Returns (vec_id, scale_e6, max_err_e9)."""
+    levels = (1 << (bits - 1)) - 1
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    staged = e.withColumn(
+        "_s", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    )
+    err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(
+                x - F.round(x / F.col("_s") * levels) * F.col("_s") / levels
+            ),
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("_s") * 1e6).cast("long").alias("scale_e6"),
+        F.round(err * 1e9).cast("long").alias("max_err_e9"),
+    )
+
+
 # vector coordinates are quantized to integers (round(x * 2^20)) before
 # the hyperplane sign test: float32 inputs are < 2^21 after scaling, the
 # plane coefficients are integers in [-10^6, 10^6], so every product is

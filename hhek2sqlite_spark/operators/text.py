@@ -371,6 +371,49 @@ def inverted_index(
     )
 
 
+def ngram_lm_counts(
+    documents: DataFrame,
+    *,
+    n_max: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Word n-gram count tables for n = 1..``n_max`` — the counting step
+    of n-gram language modeling (the inputs Kneser-Ney smoothing and
+    contamination n-gram screens consume). All orders are built in ONE
+    row-local pass (one struct array per document, flattened), so the
+    scan is read once, then a single shuffle on the gram counts
+    everything; stopword-grade unigrams are hot values but map-side
+    partial aggregation collapses them before the wire. ``min_count``
+    drops the singleton tail that dominates the raw table (Zipf) and is
+    useless for smoothing anyway. Returns (n, gram, cnt)."""
+    toks = tokens("text")
+
+    def grams_for(arr: Column, n: int) -> Column:
+        cnt = F.size(arr) - (n - 1)
+        g = F.transform(
+            # guard: Spark's sequence(1, stop) runs DESCENDING for
+            # stop < 1, so clamp and swap in a typed empty array below
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.array_join(F.slice(arr, i, n), " ").alias("gram"),
+            ),
+        )
+        return F.when(cnt >= 1, g).otherwise(F.slice(g, 1, 0))
+
+    all_grams = let_once(
+        toks,
+        lambda arr: F.flatten(F.array(*[grams_for(arr, k) for k in range(1, n_max + 1)])),
+    )
+    return (
+        documents.select(F.explode(all_grams).alias("g"))
+        .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Aggregated per-source corpus stats (one shuffle on ``source``)."""
     p = document_profile(documents)

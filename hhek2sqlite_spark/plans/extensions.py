@@ -439,6 +439,54 @@ WHERE CAST(n * qv - s AS DOUBLE) * CAST(n * qv - s AS DOUBLE)
                                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
 """
 
+_QUANT_BITS = 8
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_profile(
+        load_table(spark, sf_dir, "embeddings"), bits=_QUANT_BITS
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+s AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS sc FROM e)
+SELECT vec_id,
+       CAST(ROUND(sc * 1000000) AS BIGINT) AS scale_e6,
+       CAST(ROUND(list_max(list_transform(ed,
+            x -> abs(x - round(x / sc * {(1 << (_QUANT_BITS - 1)) - 1}) * sc / {(1 << (_QUANT_BITS - 1)) - 1})))
+            * 1000000000) AS BIGINT) AS max_err_e9
+FROM s
+"""
+
+_LM_N_MAX = 3
+_LM_MIN_COUNT = 2
+
+
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.text import ngram_lm_counts
+
+    return ngram_lm_counts(
+        spread(load_table(spark, sf_dir, "documents")),
+        n_max=_LM_N_MAX,
+        min_count=_LM_MIN_COUNT,
+    )
+
+
+SQL_NGRAM_LM_COUNTS = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+grams AS (
+    SELECT g.n AS n, array_to_string(list_slice(toks, i, i + g.n - 1), ' ') AS gram
+    FROM tok,
+         LATERAL unnest([{", ".join(str(k) for k in range(1, _LM_N_MAX + 1))}]) g(n),
+         LATERAL unnest(generate_series(1, len(toks) - g.n + 1)) s(i)
+)
+SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM grams GROUP BY n, gram
+HAVING COUNT(*) >= {_LM_MIN_COUNT}
+"""
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 1024
 _CMS_MIN_LEN = 2
@@ -1835,6 +1883,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "decayed_type_counts": q_decayed_type_counts,
     "cms_token_counts": q_cms_token_counts,
+    "ngram_lm_counts": q_ngram_lm_counts,
+    "embedding_quantize": q_embedding_quantize,
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
     "minhash_clusters": q_minhash_clusters,
@@ -1886,6 +1936,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
+    "ngram_lm_counts": SQL_NGRAM_LM_COUNTS,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,

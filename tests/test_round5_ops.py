@@ -261,3 +261,43 @@ def test_cms_never_undercounts_and_bounds_overcount(spark):
     for i in range(0, 50, 10):
         e = estimate(f"rare{i}")
         assert 1 <= e <= 1 + 3 * n // CMS_WIDTH + 3
+
+
+# ngram LM counts ------------------------------------------------------------
+
+
+def test_ngram_lm_counts_orders_and_min_count(spark):
+    docs = _docs(spark, ["a b c", "a b d", "x"])
+    from hhek2sqlite_spark.operators.text import ngram_lm_counts
+
+    out = {(r.n, r.gram): r.cnt for r in ngram_lm_counts(docs, min_count=2).collect()}
+    assert out == {(1, "a"): 2, (1, "b"): 2, (2, "a b"): 2}  # trigrams unique -> dropped
+    # min_count=1 keeps the full table, incl. the order-3 grams
+    all_ = {(r.n, r.gram): r.cnt for r in ngram_lm_counts(docs, min_count=1).collect()}
+    assert all_[(3, "a b c")] == 1
+    assert all_[(1, "x")] == 1
+
+
+def test_ngram_lm_counts_doc_shorter_than_order(spark):
+    docs = _docs(spark, ["solo"])
+    from hhek2sqlite_spark.operators.text import ngram_lm_counts
+
+    out = {(r.n, r.gram): r.cnt for r in ngram_lm_counts(docs, min_count=1).collect()}
+    assert out == {(1, "solo"): 1}  # no phantom 2/3-grams from the guard
+
+
+# embedding quantization -----------------------------------------------------
+
+
+def test_quantize_profile_error_bound_and_scale(spark):
+    from hhek2sqlite_spark.operators.similarity import quantize_profile
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.1, 0.1, 0.1, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_profile(emb, bits=8).collect()}
+    assert rows[1].scale_e6 == 1_000_000  # max|x| = 1.0
+    # int8 reconstruction error is bounded by scale/(2*127)
+    for r in rows.values():
+        assert 0 <= r.max_err_e9 <= int(1e9 * (r.scale_e6 / 1e6) / (2 * 127)) + 1
