@@ -301,3 +301,50 @@ def test_quantize_profile_error_bound_and_scale(spark):
     # int8 reconstruction error is bounded by scale/(2*127)
     for r in rows.values():
         assert 0 <= r.max_err_e9 <= int(1e9 * (r.scale_e6 / 1e6) / (2 * 127)) + 1
+
+
+def test_sink_failure_mid_batch_leaves_no_partial_state(spark, tmp_path, monkeypatch):
+    # crash INSIDE a batch (after some executemany calls): the shared
+    # transaction must roll back BOTH the rows and the bookkeeping, so
+    # the replay redoes the batch from zero instead of double-writing
+    import sqlite3
+
+    from hhek2sqlite_spark.streaming import sink as sinkmod
+
+    db = str(tmp_path / "crash.db")
+    df = spark.range(0, 250).selectExpr("id")
+
+    real_connect = sqlite3.connect
+
+    class FlakyCon:
+        def __init__(self, con):
+            self._con = con
+            self._inserts = 0
+
+        def executemany(self, *a, **kw):
+            self._inserts += 1
+            if self._inserts == 2:  # fail after the first 100-row chunk
+                raise RuntimeError("injected crash")
+            return self._con.executemany(*a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(self._con, name)
+
+    monkeypatch.setattr(
+        sinkmod.sqlite3, "connect", lambda p: FlakyCon(real_connect(p))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        sinkmod.write_batch_idempotent(df, 0, db_path=db, table="t", batch_size=100)
+    monkeypatch.setattr(sinkmod.sqlite3, "connect", real_connect)
+
+    con = real_connect(db)
+    assert con.execute('SELECT COUNT(*) FROM "t"').fetchone()[0] == 0  # rolled back
+    assert con.execute(f'SELECT COUNT(*) FROM "{sinkmod.COMMITS_TABLE}"').fetchone()[0] == 0
+    con.close()
+    # the replay now succeeds and writes exactly once
+    assert sinkmod.write_batch_idempotent(df, 0, db_path=db, table="t", batch_size=100) == 250
+    con = real_connect(db)
+    assert con.execute('SELECT COUNT(*) FROM "t"').fetchone()[0] == 250
+    con.close()
