@@ -45,6 +45,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parity no-op: Spark never mutates the source (S9)")
     c.add_argument("--backa", action="store_true",
                    help="parity no-op: direction is inferred from the endpoints")
+    q = sub.add_parser(
+        "query",
+        help="run a registered analytic query against a test-data scale dir",
+    )
+    q.add_argument("name", nargs="?", metavar="NAME",
+                   help="query name (omit with --list to enumerate)")
+    q.add_argument("--list", action="store_true", dest="list_queries",
+                   help="list every registered query name and exit")
+    q.add_argument("--sf-dir", default=None,
+                   help="parquet table directory (default $SPARK_GRAFT_SF_DIR "
+                        "or /root/testdata/sf0.1)")
+    q.add_argument("--limit", type=int, default=20,
+                   help="max rows to print (default 20; 0 = count only)")
     return p
 
 
@@ -59,6 +72,30 @@ def main(argv: list[str] | None = None) -> int:
         for name, n in counts.items():
             print(f"{name}: {n} rows")
         print(f"converted {len(counts)} tables: {args.optin} -> {args.optout}")
+        return 0
+    if args.cmd == "query":
+        from hhek2sqlite_spark.plans import QUERIES
+
+        if args.list_queries:
+            for name in sorted(QUERIES):
+                print(name)
+            return 0
+        if not args.name:
+            print("error: NAME required (or --list)", file=sys.stderr)
+            return 2
+        if args.name not in QUERIES:
+            print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)
+            return 2
+        from hhek2sqlite_spark.session import get_spark
+        from hhek2sqlite_spark.sources.parquet import DEFAULT_SF_DIR
+
+        sf_dir = args.sf_dir or DEFAULT_SF_DIR
+        spark = get_spark("hhek2sqlite_spark-cli")
+        df = QUERIES[args.name](spark, sf_dir)
+        n = df.count()
+        if args.limit:
+            df.show(args.limit, truncate=False)
+        print(f"{args.name}: {n} rows ({sf_dir})")
         return 0
     return 2  # pragma: no cover - argparse enforces a subcommand
 

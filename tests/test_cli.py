@@ -52,3 +52,16 @@ def test_cli_rejects_missing_args(capsys):
     except SystemExit:
         raised = True
     assert raised
+
+
+def test_cli_query_list_and_run(capsys):
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "balance_reconciliation" in names and len(names) >= 78
+
+    assert main(["query", "row_counts", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "row_counts: " in out and "rows" in out
+
+    assert main(["query", "no_such_query"]) == 2
+    assert main(["query"]) == 2
