@@ -69,6 +69,20 @@ SUBSET = [
     # vector tier
     "similarity_topk",
     "label_centroids",
+    # round-5 additions, all linear-work under replicate-and-shift:
+    # key shifts keep the supplier co-purchase graph K DISJOINT copies
+    # (pagerank rounds touch each edge once), sketches/counts/windows
+    # scale with row count. inverted_index is EXCLUDED: its max_df cap
+    # is an absolute threshold, so growing K changes which tokens
+    # survive (the surviving set shrinks toward empty) — the work would
+    # not be comparable across scales.
+    "supplier_pagerank",
+    "cms_token_counts",
+    "ngram_lm_counts",
+    "value_outliers",
+    "decayed_type_counts",
+    "scd2_history",
+    "customer_upsert",
 ]
 
 SLOW_CUTOFF_SEC = 15.0
