@@ -103,6 +103,102 @@ def write_batch_idempotent(
         con.close()
 
 
+def merge_counts_idempotent(
+    partial_df: DataFrame,
+    batch_id: int,
+    *,
+    db_path: str,
+    table: str,
+    key_cols: tuple[str, ...],
+    count_col: str = "n",
+) -> int:
+    """Merge one micro-batch's PARTIAL counts additively into a running
+    aggregate table (``INSERT .. ON CONFLICT DO UPDATE SET n = n +
+    excluded.n``), exactly once via the same (table, batch_id)
+    bookkeeping as ``write_batch_idempotent``. This is incremental
+    materialized-view maintenance with ZERO streaming state: the
+    running totals live in the sink, each batch ships only its own
+    group counts, and a crash replay is detected before it would
+    double-add. Returns merged group-rows (0 on replay)."""
+    schema = partial_df.schema
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{COMMITS_TABLE}"'
+            " (sink_table TEXT NOT NULL, batch_id INTEGER NOT NULL,"
+            " PRIMARY KEY (sink_table, batch_id))"
+        )
+        keydefs = ", ".join(
+            f'"{f.name}" {_sqlite_type(f.dataType)}'
+            for f in schema.fields
+            if f.name in key_cols
+        )
+        pk = ", ".join(f'"{c}"' for c in key_cols)
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}"'
+            f' ({keydefs}, "{count_col}" INTEGER NOT NULL, PRIMARY KEY ({pk}))'
+        )
+        seen = con.execute(
+            f'SELECT 1 FROM "{COMMITS_TABLE}" WHERE sink_table = ? AND batch_id = ?',
+            (table, batch_id),
+        ).fetchone()
+        if seen:
+            return 0
+        cols = [*key_cols, count_col]
+        collist = ", ".join(f'"{c}"' for c in cols)
+        placeholders = ", ".join("?" for _ in cols)
+        sql = (
+            f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders})'
+            f' ON CONFLICT ({pk}) DO UPDATE SET'
+            f' "{count_col}" = "{count_col}" + excluded."{count_col}"'
+        )
+        n = 0
+        for row in partial_df.select(*cols).toLocalIterator(prefetchPartitions=True):
+            con.execute(sql, tuple(_to_sqlite(v) for v in row))
+            n += 1
+        con.execute(
+            f'INSERT INTO "{COMMITS_TABLE}" (sink_table, batch_id) VALUES (?, ?)',
+            (table, batch_id),
+        )
+        con.commit()
+        return n
+    except Exception:
+        con.rollback()
+        raise
+    finally:
+        con.close()
+
+
+def stream_running_counts(
+    stream_df: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    db_path: str,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming incremental view: per-batch groupBy counts merged
+    additively into SQLite. The streaming query itself is STATELESS —
+    no state store, no watermark bookkeeping — because the running
+    totals are maintained by the transactional sink; at 100 TB/day this
+    is the shape that keeps executor state flat forever."""
+    from pyspark.sql import functions as F
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+        merge_counts_idempotent(
+            partial, batch_id, db_path=db_path, table=table, key_cols=group_cols
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_sqlite(
     stream_df: DataFrame,
     *,

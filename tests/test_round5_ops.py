@@ -348,3 +348,54 @@ def test_sink_failure_mid_batch_leaves_no_partial_state(spark, tmp_path, monkeyp
     con = real_connect(db)
     assert con.execute('SELECT COUNT(*) FROM "t"').fetchone()[0] == 250
     con.close()
+
+
+def test_streaming_running_counts_incremental_view(spark, tmp_path):
+    import sqlite3
+
+    from hhek2sqlite_spark.streaming.sink import (
+        merge_counts_idempotent,
+        stream_running_counts,
+    )
+
+    src = str(tmp_path / "ev")
+    db = str(tmp_path / "view.db")
+    base = spark.range(0, 300).selectExpr("id", "CAST(id % 4 AS STRING) AS typ")
+    # two source files -> maxFilesPerTrigger=1 forces >= 2 micro-batches,
+    # so the additive merge across batches is actually exercised
+    base.filter("id < 150").coalesce(1).write.parquet(src)
+    base.filter("id >= 150").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_running_counts(
+        stream,
+        group_cols=("typ",),
+        db_path=db,
+        table="type_counts",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    con = sqlite3.connect(db)
+    got = dict(con.execute('SELECT typ, n FROM "type_counts"').fetchall())
+    batches = con.execute(
+        'SELECT COUNT(*) FROM "_stream_commits" WHERE sink_table = ?',
+        ("type_counts",),
+    ).fetchone()[0]
+    con.close()
+    assert batches >= 2  # merged across micro-batches, not one big batch
+    want = {r.typ: r.n for r in base.groupBy("typ").count().withColumnRenamed("count", "n").collect()}
+    assert got == want
+
+    # replaying a committed batch must NOT double-add
+    partial = base.limit(10).groupBy("typ").count().withColumnRenamed("count", "n")
+    assert (
+        merge_counts_idempotent(partial, 0, db_path=db, table="type_counts", key_cols=("typ",)) == 0
+    )
+    con = sqlite3.connect(db)
+    assert dict(con.execute('SELECT typ, n FROM "type_counts"').fetchall()) == want
+    con.close()
