@@ -66,6 +66,32 @@ def value_outliers(
     return joined.filter(lhs * lhs > rhs).drop("_q", "_n", "_s", "_s2")
 
 
+def key_skew_profile(df: DataFrame, *, key_col: str) -> DataFrame:
+    """Key-distribution histogram: per-key counts bucketed by
+    floor(log2(count)) — the diagnostic a pipeline runs BEFORE choosing
+    a join strategy (a fat top bucket says salt or broadcast; a flat
+    profile says plain hash join is fine). The bucket is computed as
+    ``length(bin(cnt)) - 1``: an integer bit-length, exact in any
+    engine, where libm's ``floor(log2())`` can flip at exact powers of
+    two depending on the platform's last-ulp behavior.
+
+    Scale shape: one shuffle on the key with map-side partials (the
+    profile never materializes per-key rows beyond the count), then a
+    trivial bucket aggregation. Returns (log2_bucket, n_keys, n_rows,
+    max_cnt)."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy(
+            (F.length(F.expr("bin(cnt)")) - 1).cast("int").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 

@@ -487,6 +487,23 @@ FROM grams GROUP BY n, gram
 HAVING COUNT(*) >= {_LM_MIN_COUNT}
 """
 
+def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.stats import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf_dir, "events"), key_col="user_id")
+
+
+SQL_USER_KEY_SKEW = """
+WITH counts AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt
+FROM counts GROUP BY log2_bucket
+"""
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 1024
 _CMS_MIN_LEN = 2
@@ -1883,6 +1900,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "decayed_type_counts": q_decayed_type_counts,
     "cms_token_counts": q_cms_token_counts,
+    "user_key_skew": q_user_key_skew,
     "ngram_lm_counts": q_ngram_lm_counts,
     "embedding_quantize": q_embedding_quantize,
     "tfidf_topk": q_tfidf_topk,
@@ -1936,6 +1954,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
+    "user_key_skew": SQL_USER_KEY_SKEW,
     "ngram_lm_counts": SQL_NGRAM_LM_COUNTS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -399,3 +399,46 @@ def test_streaming_running_counts_incremental_view(spark, tmp_path):
     con = sqlite3.connect(db)
     assert dict(con.execute('SELECT typ, n FROM "type_counts"').fetchall()) == want
     con.close()
+
+
+def test_streaming_running_counts_resumes_from_checkpoint(spark, tmp_path):
+    import sqlite3
+
+    from hhek2sqlite_spark.streaming.sink import stream_running_counts
+
+    src = str(tmp_path / "ev2")
+    db = str(tmp_path / "view2.db")
+    ck = str(tmp_path / "ck2")
+    base = spark.range(0, 100).selectExpr("id", "CAST(id % 2 AS STRING) AS typ")
+    base.coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(base.schema).parquet(src)
+        q = stream_running_counts(
+            stream, group_cols=("typ",), db_path=db, table="tc", checkpoint_dir=ck
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # RESTART with the same checkpoint after new data lands: only the
+    # new file may be processed — a recount of the old one would show up
+    # as typ-counts > the true totals
+    spark.range(100, 160).selectExpr("id", "CAST(id % 2 AS STRING) AS typ").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+
+    con = sqlite3.connect(db)
+    got = dict(con.execute('SELECT typ, n FROM "tc"').fetchall())
+    con.close()
+    assert got == {"0": 80, "1": 80}
+
+
+def test_key_skew_profile_buckets_by_bit_length(spark):
+    from hhek2sqlite_spark.operators.stats import key_skew_profile
+
+    # key A x1 (bucket 0), B x2, C x3 (bucket 1), D x8 (bucket 3)
+    rows = [("A",)] + [("B",)] * 2 + [("C",)] * 3 + [("D",)] * 8
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.log2_bucket: (r.n_keys, r.n_rows, r.max_cnt) for r in key_skew_profile(df, key_col="k").collect()}
+    assert got == {0: (1, 1, 1), 1: (2, 5, 3), 3: (1, 8, 8)}
