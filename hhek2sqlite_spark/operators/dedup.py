@@ -58,17 +58,18 @@ def exact_dedup_keepers(documents: DataFrame, id_col: str = "doc_id") -> DataFra
 
 def exact_dedup(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep-first exact dedup: semi-join on (fp, keeper_id). Two hash
-    shuffles on a fixed-width key; no window over the full corpus."""
-    keepers = exact_dedup_keepers(documents, id_col)
-    with_fp = documents.withColumn("fp", fingerprint("text"))
-    return (
-        with_fp.join(
-            keepers.select("fp", F.col("keeper_id").alias(id_col)),
-            ["fp", id_col],
-            "left_semi",
-        )
-        .drop("fp")
+    shuffles on a fixed-width key; no window over the full corpus.
+
+    NULL text maps to a non-hex sentinel fingerprint (md5 hex can never
+    collide with it): groupBy would keep NULLs as one group, but an
+    equi-join key of NULL matches NOTHING, so without the sentinel the
+    semi-join silently dropped every NULL-text document instead of
+    keeping the first."""
+    with_fp = documents.withColumn(
+        "fp", F.coalesce(fingerprint("text"), F.lit("<null-doc>"))
     )
+    keepers = with_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keepers, ["fp", id_col], "left_semi").drop("fp")
 
 
 def incremental_dedup(

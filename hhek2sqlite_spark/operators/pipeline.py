@@ -92,7 +92,10 @@ def dataset_split(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     because exact duplicates hash to the same bucket and therefore land
     in the same split (splitting on doc_id sends copies of one document
     to both train and test). Returns (id, bucket_hex, split)."""
-    b = F.substring(F.md5(normalized("text")), 1, 2)
+    # coalesce BEFORE hashing: md5(NULL) is NULL, which would dump every
+    # NULL-text document into the 'test' split via the CASE fallthrough;
+    # treating NULL as empty content routes them with the empty docs
+    b = F.substring(F.md5(F.coalesce(normalized("text"), F.lit(""))), 1, 2)
     return documents.select(
         F.col(id_col),
         b.alias("bucket_hex"),

@@ -158,7 +158,11 @@ def quality_bucket(text: Column | str) -> Column:
     n_punct = punct_count(c)
     n_digit = digit_count(c)
     return (
-        F.when(n_chars < 20, "too_short")
+        # NULL text first: every comparison below is NULL on it, so
+        # without this branch a NULL document falls through to 'ok' —
+        # the one grade it must never get
+        F.when(c.isNull(), "null")
+        .when(n_chars < 20, "too_short")
         .when(n_tok < 5, "too_few_tokens")
         # punct ratio > 20%: 5*punct > chars
         .when(n_punct * 5 > n_chars, "punct_heavy")
@@ -213,7 +217,10 @@ def document_profile(documents: DataFrame) -> DataFrame:
         ]
     )
     quality = (
-        F.when(F.col("_nc") < 20, "too_short")
+        # NULL-text guard first (same reason as quality_bucket: every
+        # numeric comparison is NULL on it and would fall through to 'ok')
+        F.when(F.col("_nc").isNull(), "null")
+        .when(F.col("_nc") < 20, "too_short")
         .when(F.col("_nt") < 5, "too_few_tokens")
         .when(F.col("_np") * 5 > F.col("_nc"), "punct_heavy")
         .when(F.col("_nd") * 10 > F.col("_nc") * 3, "digit_heavy")

@@ -74,7 +74,8 @@ WITH base AS (
            CAST(n_chars AS INTEGER) AS n_chars,
            n_tokens, n_uniq_tokens, n_digits, n_punct,
            {_lang_case()} AS lang_pred,
-           CASE WHEN n_chars < 20 THEN 'too_short'
+           CASE WHEN n_chars IS NULL THEN 'null'
+                WHEN n_chars < 20 THEN 'too_short'
                 WHEN n_tokens < 5 THEN 'too_few_tokens'
                 WHEN n_punct * 5 > n_chars THEN 'punct_heavy'
                 WHEN n_digits * 10 > n_chars * 3 THEN 'digit_heavy'
@@ -1483,9 +1484,9 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DATASET_SPLIT = f"""
 SELECT doc_id,
-       substr(md5({_NORM}), 1, 2) AS bucket_hex,
-       CASE WHEN substr(md5({_NORM}), 1, 2) <= '{pipeline.SPLIT_TRAIN_MAX}' THEN 'train'
-            WHEN substr(md5({_NORM}), 1, 2) <= '{pipeline.SPLIT_VAL_MAX}' THEN 'val'
+       substr(md5(COALESCE({_NORM}, '')), 1, 2) AS bucket_hex,
+       CASE WHEN substr(md5(COALESCE({_NORM}, '')), 1, 2) <= '{pipeline.SPLIT_TRAIN_MAX}' THEN 'train'
+            WHEN substr(md5(COALESCE({_NORM}, '')), 1, 2) <= '{pipeline.SPLIT_VAL_MAX}' THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """

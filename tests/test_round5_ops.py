@@ -442,3 +442,26 @@ def test_key_skew_profile_buckets_by_bit_length(spark):
     df = spark.createDataFrame(rows, "k string")
     got = {r.log2_bucket: (r.n_keys, r.n_rows, r.max_cnt) for r in key_skew_profile(df, key_col="k").collect()}
     assert got == {0: (1, 1, 1), 1: (2, 5, 3), 3: (1, 8, 8)}
+
+
+def test_null_text_documents_handled_not_ok(spark):
+    # real corpora contain NULL text rows; they must never grade 'ok',
+    # never vanish from dedup, and must split deterministically
+    from hhek2sqlite_spark.operators import dedup, pipeline
+    from hhek2sqlite_spark.operators.text import document_profile
+
+    docs = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "", "en", "s", 0),
+         (2, "real content here with enough words to pass", "en", "s", 44),
+         (3, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    prof = {r.doc_id: r.quality for r in document_profile(docs).collect()}
+    assert prof[0] == "null" and prof[3] == "null"
+    assert prof[0] != "ok"
+
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(docs).collect())
+    assert kept == [0, 1, 2]  # one NULL doc kept (first), none silently dropped
+
+    splits = {r.doc_id: r.split for r in pipeline.dataset_split(docs).collect()}
+    assert splits[0] == splits[1] == splits[3]  # NULL routed with empty content
