@@ -52,8 +52,11 @@ def value_outliers(
     the fact stream itself is never reshuffled."""
     q = F.floor(F.col(value_col) * quant).cast("long")
     qd = events.withColumn("_q", q)
+    # count(_q), not count(*): sums already skip NULL values, so a
+    # count(*) n would mix null rows into the moments and shift every
+    # mean/variance in groups containing NULL values
     stats = qd.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.count("_q").alias("_n"),
         F.sum("_q").alias("_s"),
         F.sum(F.expr("_q * _q")).alias("_s2"),
     )
@@ -64,6 +67,44 @@ def value_outliers(
         - F.col("_s").cast("double") * F.col("_s").cast("double")
     )
     return joined.filter(lhs * lhs > rhs).drop("_q", "_n", "_s", "_s2")
+
+
+def table_stats(df: DataFrame, *, columns: tuple[str, ...]) -> DataFrame:
+    """ANALYZE-style column statistics: one output row per column with
+    (n_rows, n_nonnull, n_distinct, min, max as strings) — the catalog
+    stats a cost-based optimizer feeds on, computed as ONE aggregation
+    pass then unpivoted driver-free with explode.
+
+    Exact ``countDistinct`` per column expands the aggregate (one
+    duplicate of the stream per distinct agg) — acceptable for a batch
+    ANALYZE job; at extreme widths swap in ``approx_count_distinct``
+    (the HLL path the registry already error-bounds elsewhere). min/max
+    compute on the NATIVE type (so '9' < '10' stays numeric) and cast
+    to string only for the uniform output schema."""
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"_{c}_nn"),
+            F.countDistinct(c).alias(f"_{c}_nd"),
+            F.min(c).cast("string").alias(f"_{c}_min"),
+            F.max(c).cast("string").alias(f"_{c}_max"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_{c}_nn").alias("n_nonnull"),
+                F.col(f"_{c}_nd").alias("n_distinct"),
+                F.col(f"_{c}_min").alias("min_value"),
+                F.col(f"_{c}_max").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return row.select(
+        F.col("_rows").alias("n_rows"), F.explode(per_col).alias("_s")
+    ).select("_s.col_name", "n_rows", "_s.n_nonnull", "_s.n_distinct", "_s.min_value", "_s.max_value")
 
 
 def key_skew_profile(df: DataFrame, *, key_col: str) -> DataFrame:

@@ -428,7 +428,7 @@ WITH q AS (
 ),
 stats AS (
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(qv) AS BIGINT) AS n,
            CAST(SUM(qv) AS BIGINT) AS s,
            CAST(SUM(qv * qv) AS BIGINT) AS s2
     FROM q GROUP BY event_type
@@ -487,6 +487,33 @@ SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM grams GROUP BY n, gram
 HAVING COUNT(*) >= {_LM_MIN_COUNT}
 """
+
+# BIGINT/VARCHAR columns only: their string rendering is identical in
+# both engines, where a DOUBLE min/max would hash-differ ('1.0E7' vs
+# '10000000.0')
+_STATS_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.stats import table_stats
+
+    return table_stats(load_table(spark, sf_dir, "orders"), columns=_STATS_COLS)
+
+
+def _table_stats_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT({c}) AS BIGINT) AS n_nonnull,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST(MIN({c}) AS VARCHAR) AS min_value,"
+        f" CAST(MAX({c}) AS VARCHAR) AS max_value FROM orders"
+        for c in _STATS_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_TABLE_STATS = _table_stats_sql()
+
 
 def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hhek2sqlite_spark.operators.stats import key_skew_profile
@@ -1902,6 +1929,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_type_counts": q_decayed_type_counts,
     "cms_token_counts": q_cms_token_counts,
     "user_key_skew": q_user_key_skew,
+    "table_stats": q_table_stats,
     "ngram_lm_counts": q_ngram_lm_counts,
     "embedding_quantize": q_embedding_quantize,
     "tfidf_topk": q_tfidf_topk,
@@ -1956,6 +1984,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
     "user_key_skew": SQL_USER_KEY_SKEW,
+    "table_stats": SQL_TABLE_STATS,
     "ngram_lm_counts": SQL_NGRAM_LM_COUNTS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "tfidf_topk": SQL_TFIDF_TOPK,

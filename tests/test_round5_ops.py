@@ -465,3 +465,31 @@ def test_null_text_documents_handled_not_ok(spark):
 
     splits = {r.doc_id: r.split for r in pipeline.dataset_split(docs).collect()}
     assert splits[0] == splits[1] == splits[3]  # NULL routed with empty content
+
+
+def test_value_outliers_null_values_do_not_shift_moments(spark):
+    # 20 tight values + 1 spike + NULLs: the NULLs must not inflate n
+    # (sums skip them, so a count(*) n would understate the variance
+    # threshold and misflag)
+    rows = (
+        [(i, "t", 10.0) for i in range(20)]
+        + [(99, "t", 1000.0)]
+        + [(200 + i, "t", None) for i in range(30)]
+    )
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    from hhek2sqlite_spark.operators.stats import value_outliers
+
+    assert [r.event_id for r in value_outliers(events).collect()] == [99]
+
+
+def test_table_stats_counts_nulls_and_distinct(spark):
+    from hhek2sqlite_spark.operators.stats import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")], "k long, s string"
+    )
+    got = {r.col_name: r for r in table_stats(df, columns=("k", "s")).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nonnull == 3 and got["k"].n_distinct == 3
+    assert got["k"].min_value == "1" and got["k"].max_value == "3"
+    assert got["s"].n_nonnull == 3 and got["s"].n_distinct == 2
+    assert got["s"].min_value == "a" and got["s"].max_value == "b"
