@@ -494,6 +494,48 @@ HAVING COUNT(*) >= {_LM_MIN_COUNT}
 _STATS_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
 
+_GAPFILL_QUANT = 1000
+
+
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.timeseries import daily_gapfill_locf
+
+    out = daily_gapfill_locf(
+        load_table(spark, sf_dir, "events"), quant=_GAPFILL_QUANT
+    )
+    # boundary type: DATE reaches pandas as datetime64 from DuckDB but
+    # as date objects from Spark — ISO strings are the hash-stable form
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+SQL_DAILY_GAPFILL = f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(value * {_GAPFILL_QUANT}) AS BIGINT)) AS BIGINT) AS sq,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, day
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+grid AS (
+    SELECT user_id, CAST(u.d AS DATE) AS day
+    FROM span, LATERAL unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) u(d)
+),
+j AS (
+    SELECT g.user_id, g.day, d.sq, COALESCE(d.n, 0) AS n
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+),
+marked AS (
+    SELECT *, COUNT(sq) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS island
+    FROM j
+)
+SELECT user_id, strftime(CAST(day AS DATE), '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_events,
+       MAX(sq) OVER (PARTITION BY user_id, island) AS sum_q_filled,
+       sq IS NULL AS is_gap
+FROM marked
+"""
+
+
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hhek2sqlite_spark.operators.stats import table_stats
 
@@ -1930,6 +1972,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_counts": q_cms_token_counts,
     "user_key_skew": q_user_key_skew,
     "table_stats": q_table_stats,
+    "daily_gapfill": q_daily_gapfill,
     "ngram_lm_counts": q_ngram_lm_counts,
     "embedding_quantize": q_embedding_quantize,
     "tfidf_topk": q_tfidf_topk,
@@ -1985,6 +2028,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
     "user_key_skew": SQL_USER_KEY_SKEW,
     "table_stats": SQL_TABLE_STATS,
+    "daily_gapfill": SQL_DAILY_GAPFILL,
     "ngram_lm_counts": SQL_NGRAM_LM_COUNTS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "tfidf_topk": SQL_TFIDF_TOPK,

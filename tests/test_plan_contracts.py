@@ -215,3 +215,15 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
         j.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_daily_gapfill_two_hash_exchanges_only(spark, sf_dir):
+    # rollup shuffles on (key, day); span/grid/windows share the key
+    # partitioning, and the island window's (key, island) clustering is
+    # satisfied by HashPartitioning(key) — no third Exchange
+    import re
+
+    p = plan_text(spark, sf_dir, "daily_gapfill")
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) <= 3, p  # (key,day) rollup + key span/window (+AQE variance)
+    assert "singlepartition" not in p.lower(), p

@@ -493,3 +493,30 @@ def test_table_stats_counts_nulls_and_distinct(spark):
     assert got["k"].min_value == "1" and got["k"].max_value == "3"
     assert got["s"].n_nonnull == 3 and got["s"].n_distinct == 2
     assert got["s"].min_value == "a" and got["s"].max_value == "b"
+
+
+def test_daily_gapfill_locf_semantics(spark):
+    import datetime
+
+    from hhek2sqlite_spark.operators.timeseries import daily_gapfill_locf
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d, 12, 0, 0)
+
+    # user 1: events on days 1 (v=2.0) and 4 (v=5.0) -> gaps on 2,3
+    # user 2: single day -> no gaps
+    events = spark.createDataFrame(
+        [(1, ts(1), 2.0), (1, ts(4), 5.0), (2, ts(9), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = sorted(
+        daily_gapfill_locf(events).collect(), key=lambda r: (r.user_id, r.day)
+    )
+    got = [(r.user_id, r.day.isoformat(), r.n_events, r.sum_q_filled, r.is_gap) for r in rows]
+    assert got == [
+        (1, "2024-01-01", 1, 2000, False),
+        (1, "2024-01-02", 0, 2000, True),   # carried forward
+        (1, "2024-01-03", 0, 2000, True),
+        (1, "2024-01-04", 1, 5000, False),
+        (2, "2024-01-09", 1, 7000, False),
+    ]
