@@ -27,6 +27,48 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def daily_ohlc(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    quant: int = 1000,
+) -> DataFrame:
+    """Downsample to daily OHLC bars (open/high/low/close + count) per
+    key — the metrics/candlestick compaction step. Open/close are
+    picked by row_number over the deterministic (ts, id) order — not
+    by arg_min/arg_max, whose tie behavior differs across engines —
+    and all values are integer-quantized, so the bars are
+    oracle-exact. One shuffle on (key, day) serves both windows (asc
+    and desc share the partitioning; the second order is a sort, not
+    an Exchange) and the final aggregation."""
+    staged = events.select(
+        F.col(key_col),
+        F.to_date(ts_col).alias("day"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.floor(F.col(value_col) * quant).cast("long").alias("_q"),
+    )
+    w_asc = Window.partitionBy(key_col, "day").orderBy(
+        F.col("_ts").asc(), F.col("_id").asc()
+    )
+    w_desc = Window.partitionBy(key_col, "day").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    marked = staged.withColumn("_ra", F.row_number().over(w_asc)).withColumn(
+        "_rd", F.row_number().over(w_desc)
+    )
+    return marked.groupBy(key_col, "day").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("_q"))).alias("open_q"),
+        F.max("_q").alias("high_q"),
+        F.min("_q").alias("low_q"),
+        F.max(F.when(F.col("_rd") == 1, F.col("_q"))).alias("close_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def daily_gapfill_locf(
     events: DataFrame,
     *,

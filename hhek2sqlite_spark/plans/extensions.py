@@ -494,6 +494,34 @@ HAVING COUNT(*) >= {_LM_MIN_COUNT}
 _STATS_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
 
+def q_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.timeseries import daily_ohlc
+
+    out = daily_ohlc(load_table(spark, sf_dir, "events"))
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+SQL_DAILY_OHLC = """
+WITH staged AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS q
+    FROM events
+),
+marked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts ASC, event_id ASC) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rd
+    FROM staged
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(MAX(CASE WHEN ra = 1 THEN q END) AS BIGINT) AS open_q,
+       CAST(MAX(q) AS BIGINT) AS high_q,
+       CAST(MIN(q) AS BIGINT) AS low_q,
+       CAST(MAX(CASE WHEN rd = 1 THEN q END) AS BIGINT) AS close_q,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked GROUP BY event_type, day
+"""
+
 _GAPFILL_QUANT = 1000
 
 
@@ -1973,6 +2001,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_key_skew": q_user_key_skew,
     "table_stats": q_table_stats,
     "daily_gapfill": q_daily_gapfill,
+    "daily_ohlc": q_daily_ohlc,
     "ngram_lm_counts": q_ngram_lm_counts,
     "embedding_quantize": q_embedding_quantize,
     "tfidf_topk": q_tfidf_topk,
@@ -2029,6 +2058,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "user_key_skew": SQL_USER_KEY_SKEW,
     "table_stats": SQL_TABLE_STATS,
     "daily_gapfill": SQL_DAILY_GAPFILL,
+    "daily_ohlc": SQL_DAILY_OHLC,
     "ngram_lm_counts": SQL_NGRAM_LM_COUNTS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -520,3 +520,26 @@ def test_daily_gapfill_locf_semantics(spark):
         (1, "2024-01-04", 1, 5000, False),
         (2, "2024-01-09", 1, 7000, False),
     ]
+
+
+def test_daily_ohlc_bars(spark):
+    import datetime
+
+    from hhek2sqlite_spark.operators.timeseries import daily_ohlc
+
+    d = datetime.datetime
+    events = spark.createDataFrame(
+        [
+            (1, "t", d(2024, 1, 1, 9), 10.0),   # open
+            (2, "t", d(2024, 1, 1, 12), 50.0),  # high
+            (3, "t", d(2024, 1, 1, 13), 5.0),   # low
+            (4, "t", d(2024, 1, 1, 17), 20.0),  # close
+            (5, "t", d(2024, 1, 2, 9), 7.0),    # next day, single event
+        ],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    rows = {r.day.isoformat(): r for r in daily_ohlc(events).collect()}
+    b = rows["2024-01-01"]
+    assert (b.open_q, b.high_q, b.low_q, b.close_q, b.n_events) == (10000, 50000, 5000, 20000, 4)
+    b2 = rows["2024-01-02"]
+    assert (b2.open_q, b2.close_q, b2.n_events) == (7000, 7000, 1)
