@@ -69,6 +69,59 @@ def value_outliers(
     return joined.filter(lhs * lhs > rhs).drop("_q", "_n", "_s", "_s2")
 
 
+def equi_depth_bins(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Equi-depth (quartile) binning — the fit-then-transform feature
+    prep step: fit per-group p25/p50/p75 fences, broadcast them back,
+    assign each row a bucket. Fences are TYPE-1 quantiles (an existing
+    value picked by exact integer rank arithmetic, same formulation as
+    the registry's value_quantiles), so they are bit-identical across
+    engines and every ``<=`` fence comparison is an exact double
+    compare — the whole transform is oracle-pairable.
+
+    Scale shape: the fit is one group-keyed window shuffle; the
+    transform is a broadcast join back onto the scan (fences are
+    groups x 3 doubles — model-sized); NULL values get their own
+    bucket instead of polluting q4 via three-way NULL comparisons.
+    At scale, persist the fences and skip the fit per run."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    ranked = events.select(
+        group_col,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_rn")
+                == F.ceil(F.col("_n") * F.lit(p) / F.lit(100.0)).cast("long"),
+                F.col(value_col),
+            )
+        ).alias(f"_p{p}")
+        for p in (25, 50, 75)
+    ]
+    fences = ranked.groupBy(group_col).agg(*aggs)
+    joined = events.join(F.broadcast(fences), group_col)
+    bucket = (
+        F.when(F.col(value_col).isNull(), "null")
+        .when(F.col(value_col) <= F.col("_p25"), "q1")
+        .when(F.col(value_col) <= F.col("_p50"), "q2")
+        .when(F.col(value_col) <= F.col("_p75"), "q3")
+        .otherwise("q4")
+    )
+    return joined.select(id_col, group_col, bucket.alias("bucket"))
+
+
 def table_stats(df: DataFrame, *, columns: tuple[str, ...]) -> DataFrame:
     """ANALYZE-style column statistics: one output row per column with
     (n_rows, n_nonnull, n_distinct, min, max as strings) — the catalog

@@ -585,6 +585,36 @@ def _table_stats_sql() -> str:
 SQL_TABLE_STATS = _table_stats_sql()
 
 
+def q_value_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hhek2sqlite_spark.operators.stats import equi_depth_bins
+
+    return equi_depth_bins(load_table(spark, sf_dir, "events"))
+
+
+SQL_VALUE_BINNED = """
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC NULLS LAST, event_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+fences AS (
+    SELECT event_type,
+           MIN(CASE WHEN rn = CAST(CEIL(n * 25 / 100.0) AS BIGINT) THEN value END) AS p25,
+           MIN(CASE WHEN rn = CAST(CEIL(n * 50 / 100.0) AS BIGINT) THEN value END) AS p50,
+           MIN(CASE WHEN rn = CAST(CEIL(n * 75 / 100.0) AS BIGINT) THEN value END) AS p75
+    FROM ranked GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN 'null'
+            WHEN e.value <= f.p25 THEN 'q1'
+            WHEN e.value <= f.p50 THEN 'q2'
+            WHEN e.value <= f.p75 THEN 'q3'
+            ELSE 'q4' END AS bucket
+FROM events e JOIN fences f USING (event_type)
+"""
+
+
 def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hhek2sqlite_spark.operators.stats import key_skew_profile
 
@@ -1999,6 +2029,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_type_counts": q_decayed_type_counts,
     "cms_token_counts": q_cms_token_counts,
     "user_key_skew": q_user_key_skew,
+    "value_binned": q_value_binned,
     "table_stats": q_table_stats,
     "daily_gapfill": q_daily_gapfill,
     "daily_ohlc": q_daily_ohlc,
@@ -2056,6 +2087,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
     "user_key_skew": SQL_USER_KEY_SKEW,
+    "value_binned": SQL_VALUE_BINNED,
     "table_stats": SQL_TABLE_STATS,
     "daily_gapfill": SQL_DAILY_GAPFILL,
     "daily_ohlc": SQL_DAILY_OHLC,

@@ -543,3 +543,15 @@ def test_daily_ohlc_bars(spark):
     assert (b.open_q, b.high_q, b.low_q, b.close_q, b.n_events) == (10000, 50000, 5000, 20000, 4)
     b2 = rows["2024-01-02"]
     assert (b2.open_q, b2.close_q, b2.n_events) == (7000, 7000, 1)
+
+
+def test_equi_depth_bins_quartiles_and_null_bucket(spark):
+    from hhek2sqlite_spark.operators.stats import equi_depth_bins
+
+    rows = [(i, "t", float(i)) for i in range(1, 9)] + [(99, "t", None)]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id: r.bucket for r in equi_depth_bins(events).collect()}
+    # n=9 (incl. the null): p25 = value at rank ceil(9*.25)=3 -> 3.0,
+    # p50 at rank 5 -> 5.0, p75 at rank 7 -> 7.0
+    assert got[99] == "null"
+    assert [got[i] for i in range(1, 9)] == ["q1", "q1", "q1", "q2", "q2", "q3", "q3", "q4"]
