@@ -86,20 +86,41 @@ def main() -> None:
     # a partial headline total would look FASTER than prior rounds — emit
     # null + a completeness flag instead when any headline query errored
     hl_complete = all(n in timings for n in HEADLINE_23)
-    out = {
+    headline23_total = (
+        round(sum(timings[n] for n in HEADLINE_23), 4) if hl_complete else None
+    )
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # JSON line it finds there (BENCH_r05 had parsed:null because the full
+    # 83-query map pushed the line start out of that window). So: SHORT
+    # final stdout line — headline-23 timings only — and the complete
+    # per-query map + errors goes to BENCH_DETAIL.json next to this file.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-        "headline23_total": round(sum(timings[n] for n in HEADLINE_23), 4)
-        if hl_complete
-        else None,
+        "headline23_total": headline23_total,
         "headline23_complete": hl_complete,
         "n_queries": len(timings),
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE_23 if n in timings},
+        "sf": _sf_from_dir(SF_DIR),
+        "headline23_total": headline23_total,
+        "headline23_complete": hl_complete,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
     print(json.dumps(out))
     spark.stop()
 

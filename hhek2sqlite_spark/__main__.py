@@ -92,10 +92,20 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = args.sf_dir or DEFAULT_SF_DIR
         spark = get_spark("hhek2sqlite_spark-cli")
         df = QUERIES[args.name](spark, sf_dir)
-        n = df.count()
+        # ONE evaluation: count() + show() each trigger a full job, so a
+        # heavy analytic query would run twice (round-5 advice). Collect
+        # limit+1 rows when printing (enough to know if output was
+        # truncated) and pay the full count only in count-only mode.
         if args.limit:
-            df.show(args.limit, truncate=False)
-        print(f"{args.name}: {n} rows ({sf_dir})")
+            rows = df.take(args.limit + 1)  # the single job
+            shown = rows[: args.limit]
+            # re-wrap the already-collected rows so show()'s formatting
+            # runs driver-local instead of re-evaluating the query
+            spark.createDataFrame(shown, df.schema).show(args.limit, truncate=False)
+            more = " (truncated)" if len(rows) > args.limit else ""
+            print(f"{args.name}: showing {len(shown)} rows{more} ({sf_dir})")
+        else:
+            print(f"{args.name}: {df.count()} rows ({sf_dir})")
         return 0
     return 2  # pragma: no cover - argparse enforces a subcommand
 

@@ -16,6 +16,11 @@ Design rules (100 TB):
   collapse away (correct because a dropped row never changed the
   running state). Deterministic tiebreak (eff, attr) for same-day
   updates.
+- NULL attribute values are first-class: the comparison is null-safe
+  (``eqNullSafe`` / SQL ``IS DISTINCT FROM``) and first-row detection
+  uses an explicit row_number marker, so a change TO NULL opens a
+  version and a non-null value AFTER a NULL is a real change — a plain
+  ``_prev != attr`` filter silently drops both (round-5 advice).
 """
 
 from __future__ import annotations
@@ -47,9 +52,15 @@ def scd2_merge(
     rows = base.select(
         F.col(key), F.col(attr), F.lit(base_from).alias("eff")
     ).unionByName(updates.select(F.col(key), F.col(attr), F.col("eff")))
-    w = Window.partitionBy(key).orderBy(F.col("eff").asc(), F.col(attr).asc())
-    marked = rows.withColumn("_prev", F.lag(attr).over(w)).filter(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr))
+    w = Window.partitionBy(key).orderBy(F.col("eff").asc(), F.col(attr).asc_nulls_first())
+    # null-safe change filter: `_prev != attr` would evaluate to NULL (and
+    # drop the row) whenever either side is NULL, losing changes to/from
+    # NULL; and `_prev IS NULL` cannot distinguish "first row" from
+    # "previous value was NULL" — hence the explicit row_number marker.
+    marked = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(attr).over(w))
+        .filter((F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(attr)))
     )
     versions = marked.withColumn(
         "valid_to", F.coalesce(F.lead("eff").over(w), F.lit(end_of_time))

@@ -88,13 +88,20 @@ def equi_depth_bins(
     transform is a broadcast join back onto the scan (fences are
     groups x 3 doubles — model-sized); NULL values get their own
     bucket instead of polluting q4 via three-way NULL comparisons.
-    At scale, persist the fences and skip the fit per run."""
+    At scale, persist the fences and skip the fit per run.
+
+    Fences are fit over NON-NULL values only: ranking NULLs (which
+    sort last) and counting them in ``_n`` would push the p25/p50/p75
+    ranks into the NULL tail for high-NULL columns — NULL fences, every
+    value collapsing into q4, and quartiles biased upward below that
+    point (round-5 advice). NULL rows still get their own bucket at
+    transform time."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(group_col).orderBy(
-        F.col(value_col).asc_nulls_last(), F.col(id_col).asc()
+        F.col(value_col).asc(), F.col(id_col).asc()
     )
-    ranked = events.select(
+    ranked = events.filter(F.col(value_col).isNotNull()).select(
         group_col,
         value_col,
         F.row_number().over(w).alias("_rn"),
@@ -111,7 +118,9 @@ def equi_depth_bins(
         for p in (25, 50, 75)
     ]
     fences = ranked.groupBy(group_col).agg(*aggs)
-    joined = events.join(F.broadcast(fences), group_col)
+    # left join: a group whose values are ALL NULL has no fences row but
+    # its rows must still land in the 'null' bucket, not vanish
+    joined = events.join(F.broadcast(fences), group_col, "left")
     bucket = (
         F.when(F.col(value_col).isNull(), "null")
         .when(F.col(value_col) <= F.col("_p25"), "q1")

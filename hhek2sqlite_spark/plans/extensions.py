@@ -345,16 +345,18 @@ rows_ AS (
 ),
 marked AS (
     SELECT c_custkey, c_mktsegment, eff,
-           LAG(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY eff ASC, c_mktsegment ASC) AS prev
+           ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY eff ASC, c_mktsegment ASC NULLS FIRST) AS rn,
+           LAG(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY eff ASC, c_mktsegment ASC NULLS FIRST) AS prev
     FROM rows_
 ),
 kept AS (
+    -- null-safe, mirrors the Spark-side eqNullSafe + first-row marker
     SELECT c_custkey, c_mktsegment, eff FROM marked
-    WHERE prev IS NULL OR prev <> c_mktsegment
+    WHERE rn = 1 OR prev IS DISTINCT FROM c_mktsegment
 ),
 v AS (
     SELECT c_custkey, c_mktsegment, eff AS valid_from,
-           COALESCE(LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff ASC, c_mktsegment ASC), '9999-12-31') AS valid_to
+           COALESCE(LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff ASC, c_mktsegment ASC NULLS FIRST), '9999-12-31') AS valid_to
     FROM kept
 )
 SELECT c_custkey, c_mktsegment, valid_from, valid_to,
@@ -593,10 +595,12 @@ def q_value_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_VALUE_BINNED = """
 WITH ranked AS (
+    -- non-null only, mirroring the Spark fit: NULLs in rn/n would push
+    -- the quartile ranks into the NULL tail (round-5 advice)
     SELECT event_type, value,
-           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC NULLS LAST, event_id ASC) AS rn,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 fences AS (
     SELECT event_type,
@@ -611,7 +615,7 @@ SELECT e.event_id, e.event_type,
             WHEN e.value <= f.p50 THEN 'q2'
             WHEN e.value <= f.p75 THEN 'q3'
             ELSE 'q4' END AS bucket
-FROM events e JOIN fences f USING (event_type)
+FROM events e LEFT JOIN fences f USING (event_type)
 """
 
 

@@ -18,8 +18,15 @@ Design rules (100 TB):
   shuffle of the data being compacted, which a compaction job accepts
   (it IS the write amplification), and round-robin requires no key.
 - Partitioned layouts: pass ``partition_by`` to keep Hive-style
-  directory partitioning; files are then sized per partition by Spark's
-  write path.
+  directory partitioning. The data is then repartitioned ON the
+  partition columns plus a per-partition salt sized from that
+  partition's estimated bytes — NOT round-robin. Round-robin +
+  partitionBy makes every one of the n_files tasks write one file per
+  partition value it holds (up to n_files x n_partitions tiny files —
+  the opposite of compaction, round-5 advice); keying the shuffle on
+  (partition cols, salt) means each Hive partition is written by
+  exactly its own salt-count of tasks, honoring the size target per
+  partition.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import math
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def dataset_bytes(path: str) -> int:
@@ -52,13 +60,53 @@ def compact_parquet(
     partition_by: tuple[str, ...] = (),
 ) -> int:
     """Rewrite the parquet dataset at ``in_path`` to ``out_path`` with
-    files of roughly ``target_file_mb``. Returns the file count used.
+    files of roughly ``target_file_mb``. Returns the planned file count
+    (total of per-partition slot counts when ``partition_by`` is set;
+    the shuffle routes each (partition, salt) slot by hash, so a hash
+    collision can merge two slots into one task — actual files are
+    <= the returned count, never more, and never the round-robin
+    n_files x n_partitions explosion).
     Row-identical rewrite: no dedup, no reorder semantics promised
     (parquet carries no order)."""
-    n_files = max(1, math.ceil(dataset_bytes(in_path) / (target_file_mb * 1024 * 1024)))
+    target_bytes = target_file_mb * 1024 * 1024
+    total_bytes = dataset_bytes(in_path)
     df = spark.read.parquet(in_path)
-    writer = df.repartition(n_files).write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(out_path)
+    if not partition_by:
+        n_files = max(1, math.ceil(total_bytes / target_bytes))
+        df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+        return n_files
+
+    # Per-partition sizing: row counts are the cheap per-partition
+    # measure (one map-combined agg over the scan); scale rows -> bytes
+    # with the dataset-wide bytes/row. The collect is control-plane —
+    # one row per Hive partition VALUE, not per data row.
+    per = df.groupBy(*partition_by).agg(F.count(F.lit(1)).alias("_rows")).collect()
+    total_rows = sum(r["_rows"] for r in per)
+    if total_rows == 0:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(out_path)
+        return 0
+    bytes_per_row = total_bytes / total_rows
+    slot_rows = [
+        tuple(r[c] for c in partition_by)
+        + (max(1, math.ceil(r["_rows"] * bytes_per_row / target_bytes)),)
+        for r in per
+    ]
+    n_files = sum(r[-1] for r in slot_rows)
+    slots = spark.createDataFrame(
+        slot_rows, schema=df.select(*partition_by).schema.add("_nslots", "integer")
+    )
+    data_cols = [c for c in df.columns if c not in partition_by]
+    # deterministic within-partition spread; pmod keeps 0 <= salt < nslots
+    spread = F.hash(*data_cols) if data_cols else F.monotonically_increasing_id()
+    salted = (
+        df.join(F.broadcast(slots), list(partition_by))
+        .withColumn("_salt", F.pmod(spread, F.col("_nslots")))
+    )
+    (
+        salted.repartition(n_files, *partition_by, F.col("_salt"))
+        .drop("_nslots", "_salt")
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(out_path)
+    )
     return n_files

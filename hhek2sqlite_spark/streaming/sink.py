@@ -6,11 +6,23 @@ transactional writes). Its batch-only pipeline re-runs from scratch;
 a streaming pipeline instead delivers micro-batches AT LEAST ONCE —
 after a crash, Structured Streaming replays the last unacknowledged
 batch. A transactional sink turns that into exactly-once: the data
-insert and a (table, batch_id) bookkeeping record commit in ONE SQLite
-transaction, so a replayed batch is detected and skipped before any row
-is written twice. This is the standard idempotent-foreachBatch pattern
-(the same contract Delta's txn-version sink implements), expressed
-against the reference's own target store.
+insert and an (app_id, table, batch_id) bookkeeping record commit in
+ONE SQLite transaction, so a replayed batch is detected and skipped
+before any row is written twice. This is the standard
+idempotent-foreachBatch pattern — the same contract Delta's
+(txnAppId, txnVersion) sink implements — expressed against the
+reference's own target store.
+
+Why app_id is part of the key: Spark's foreachBatch ``batch_id`` is
+scoped to ONE checkpoint directory. If the checkpoint is deleted and
+recreated (or a second query with its own checkpoint reuses the same
+sink table), batch_id restarts at 0 and a (table, batch_id)-only key
+would silently DROP the fresh batches as "already committed". The
+stream wrappers therefore derive app_id from a marker file stored
+INSIDE the checkpoint dir (``_checkpoint_app_id``): the identity lives
+and dies with the checkpoint, so a reset checkpoint gets a fresh
+identity and replay-skipping only ever applies within the same logical
+stream.
 
 Scale notes: foreachBatch hands the driver a normal DataFrame; the
 SQLite interchange path streams it through ``toLocalIterator`` with
@@ -23,13 +35,61 @@ and keep the batch-id bookkeeping identical).
 from __future__ import annotations
 
 import datetime
+import os
 import sqlite3
+import uuid
 from decimal import Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 COMMITS_TABLE = "_stream_commits"
+
+
+def _checkpoint_app_id(checkpoint_dir: str) -> str:
+    """Stable identity for one logical stream: a marker file INSIDE the
+    checkpoint dir. Deleting/recreating the checkpoint (which resets
+    Spark's batch_id to 0) also discards the marker, so the recreated
+    stream gets a fresh identity and its batch 0 is never mistaken for
+    the old stream's committed batch 0."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_sink_app_id")
+    try:
+        with open(marker, encoding="ascii") as fh:
+            existing = fh.read().strip()
+        if existing:
+            return existing
+    except OSError:
+        pass
+    app_id = uuid.uuid4().hex[:16]
+    with open(marker, "w", encoding="ascii") as fh:
+        fh.write(app_id)
+    return app_id
+
+
+def _ensure_commits_table(con: sqlite3.Connection) -> None:
+    con.execute(
+        f'CREATE TABLE IF NOT EXISTS "{COMMITS_TABLE}"'
+        " (app_id TEXT NOT NULL DEFAULT '', sink_table TEXT NOT NULL,"
+        " batch_id INTEGER NOT NULL,"
+        " PRIMARY KEY (app_id, sink_table, batch_id))"
+    )
+    cols = {r[1] for r in con.execute(f'PRAGMA table_info("{COMMITS_TABLE}")')}
+    if "app_id" not in cols:
+        # pre-round-6 layout (sink_table, batch_id): migrate in place with
+        # app_id='' so old commits stay visible to default-identity callers
+        con.execute(f'ALTER TABLE "{COMMITS_TABLE}" RENAME TO "{COMMITS_TABLE}_v1"')
+        con.execute(
+            f'CREATE TABLE "{COMMITS_TABLE}"'
+            " (app_id TEXT NOT NULL DEFAULT '', sink_table TEXT NOT NULL,"
+            " batch_id INTEGER NOT NULL,"
+            " PRIMARY KEY (app_id, sink_table, batch_id))"
+        )
+        con.execute(
+            f'INSERT INTO "{COMMITS_TABLE}" (app_id, sink_table, batch_id)'
+            f" SELECT '', sink_table, batch_id FROM \"{COMMITS_TABLE}_v1\""
+        )
+        con.execute(f'DROP TABLE "{COMMITS_TABLE}_v1"')
 
 
 def _sqlite_type(dt: T.DataType) -> str:
@@ -53,24 +113,29 @@ def _to_sqlite(v):
 
 
 def write_batch_idempotent(
-    batch_df: DataFrame, batch_id: int, *, db_path: str, table: str, batch_size: int = 10_000
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    db_path: str,
+    table: str,
+    batch_size: int = 10_000,
+    app_id: str = "",
 ) -> int:
     """Insert one micro-batch, exactly once. Returns rows written
-    (0 when ``batch_id`` was already committed — the replay path)."""
+    (0 when ``(app_id, batch_id)`` was already committed — the replay
+    path). ``app_id`` identifies the logical stream; the wrappers pass
+    the checkpoint-scoped identity from ``_checkpoint_app_id``."""
     schema = batch_df.schema
     cols = [f.name for f in schema.fields]
     con = sqlite3.connect(db_path)
     try:
-        con.execute(
-            f'CREATE TABLE IF NOT EXISTS "{COMMITS_TABLE}"'
-            " (sink_table TEXT NOT NULL, batch_id INTEGER NOT NULL,"
-            " PRIMARY KEY (sink_table, batch_id))"
-        )
+        _ensure_commits_table(con)
         coldefs = ", ".join(f'"{f.name}" {_sqlite_type(f.dataType)}' for f in schema.fields)
         con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({coldefs})')
         seen = con.execute(
-            f'SELECT 1 FROM "{COMMITS_TABLE}" WHERE sink_table = ? AND batch_id = ?',
-            (table, batch_id),
+            f'SELECT 1 FROM "{COMMITS_TABLE}"'
+            " WHERE app_id = ? AND sink_table = ? AND batch_id = ?",
+            (app_id, table, batch_id),
         ).fetchone()
         if seen:
             return 0
@@ -89,8 +154,9 @@ def write_batch_idempotent(
             con.executemany(sql, batch)
             n += len(batch)
         con.execute(
-            f'INSERT INTO "{COMMITS_TABLE}" (sink_table, batch_id) VALUES (?, ?)',
-            (table, batch_id),
+            f'INSERT INTO "{COMMITS_TABLE}" (app_id, sink_table, batch_id)'
+            " VALUES (?, ?, ?)",
+            (app_id, table, batch_id),
         )
         # ONE commit covers data + bookkeeping: replay after a crash
         # between insert and commit sees neither and redoes both
@@ -111,10 +177,11 @@ def merge_counts_idempotent(
     table: str,
     key_cols: tuple[str, ...],
     count_col: str = "n",
+    app_id: str = "",
 ) -> int:
     """Merge one micro-batch's PARTIAL counts additively into a running
     aggregate table (``INSERT .. ON CONFLICT DO UPDATE SET n = n +
-    excluded.n``), exactly once via the same (table, batch_id)
+    excluded.n``), exactly once via the same (app_id, table, batch_id)
     bookkeeping as ``write_batch_idempotent``. This is incremental
     materialized-view maintenance with ZERO streaming state: the
     running totals live in the sink, each batch ships only its own
@@ -123,11 +190,7 @@ def merge_counts_idempotent(
     schema = partial_df.schema
     con = sqlite3.connect(db_path)
     try:
-        con.execute(
-            f'CREATE TABLE IF NOT EXISTS "{COMMITS_TABLE}"'
-            " (sink_table TEXT NOT NULL, batch_id INTEGER NOT NULL,"
-            " PRIMARY KEY (sink_table, batch_id))"
-        )
+        _ensure_commits_table(con)
         keydefs = ", ".join(
             f'"{f.name}" {_sqlite_type(f.dataType)}'
             for f in schema.fields
@@ -139,8 +202,9 @@ def merge_counts_idempotent(
             f' ({keydefs}, "{count_col}" INTEGER NOT NULL, PRIMARY KEY ({pk}))'
         )
         seen = con.execute(
-            f'SELECT 1 FROM "{COMMITS_TABLE}" WHERE sink_table = ? AND batch_id = ?',
-            (table, batch_id),
+            f'SELECT 1 FROM "{COMMITS_TABLE}"'
+            " WHERE app_id = ? AND sink_table = ? AND batch_id = ?",
+            (app_id, table, batch_id),
         ).fetchone()
         if seen:
             return 0
@@ -157,8 +221,9 @@ def merge_counts_idempotent(
             con.execute(sql, tuple(_to_sqlite(v) for v in row))
             n += 1
         con.execute(
-            f'INSERT INTO "{COMMITS_TABLE}" (sink_table, batch_id) VALUES (?, ?)',
-            (table, batch_id),
+            f'INSERT INTO "{COMMITS_TABLE}" (app_id, sink_table, batch_id)'
+            " VALUES (?, ?, ?)",
+            (app_id, table, batch_id),
         )
         con.commit()
         return n
@@ -185,10 +250,17 @@ def stream_running_counts(
     is the shape that keeps executor state flat forever."""
     from pyspark.sql import functions as F
 
+    app_id = _checkpoint_app_id(checkpoint_dir)
+
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         partial = batch_df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
         merge_counts_idempotent(
-            partial, batch_id, db_path=db_path, table=table, key_cols=group_cols
+            partial,
+            batch_id,
+            db_path=db_path,
+            table=table,
+            key_cols=group_cols,
+            app_id=app_id,
         )
 
     writer = stream_df.writeStream.foreachBatch(_handle).option(
@@ -211,8 +283,12 @@ def stream_to_sqlite(
     drains everything currently in the source then stops (the batch-mode
     run of a streaming pipeline); pass False for a continuous run."""
 
+    app_id = _checkpoint_app_id(checkpoint_dir)
+
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch_idempotent(batch_df, batch_id, db_path=db_path, table=table)
+        write_batch_idempotent(
+            batch_df, batch_id, db_path=db_path, table=table, app_id=app_id
+        )
 
     writer = stream_df.writeStream.foreachBatch(_handle).option(
         "checkpointLocation", checkpoint_dir

@@ -124,6 +124,40 @@ def test_scd2_reverting_to_original_value_is_a_new_version(spark):
     assert out.count() == 3  # A, B, A — the revert is a distinct version
 
 
+def test_scd2_null_attribute_transitions_are_real_versions(spark):
+    """A -> NULL -> A must produce three versions: a non-null-safe
+    `_prev != attr` filter drops both NULL-adjacent transitions
+    (round-5 advice); eqNullSafe + the first-row marker keeps them."""
+    base = spark.createDataFrame([(1, "A")], "k long, seg string")
+    updates = spark.createDataFrame(
+        [(1, None, "1995-01-01"), (1, "A", "1996-01-01")],
+        "k long, seg string, eff string",
+    )
+    out = scd2_merge(base, updates, key="k", attr="seg", base_from="1992-01-01")
+    rows = sorted(out.collect(), key=lambda r: r.valid_from)
+    assert [(r.seg, r.valid_from, r.valid_to) for r in rows] == [
+        ("A", "1992-01-01", "1995-01-01"),
+        (None, "1995-01-01", "1996-01-01"),
+        ("A", "1996-01-01", "9999-12-31"),
+    ]
+
+
+def test_scd2_base_null_then_value(spark):
+    """First version may itself be NULL; the following non-null update
+    is a change, and two NULL rows in a row collapse as a no-op."""
+    base = spark.createDataFrame([(1, None)], "k long, seg string")
+    updates = spark.createDataFrame(
+        [(1, None, "1995-01-01"), (1, "B", "1996-01-01")],  # NULL no-op collapses
+        "k long, seg string, eff string",
+    )
+    out = scd2_merge(base, updates, key="k", attr="seg", base_from="1992-01-01")
+    rows = sorted(out.collect(), key=lambda r: r.valid_from)
+    assert [(r.seg, r.valid_from, r.valid_to) for r in rows] == [
+        (None, "1992-01-01", "1996-01-01"),
+        ("B", "1996-01-01", "9999-12-31"),
+    ]
+
+
 # stats ----------------------------------------------------------------------
 
 
@@ -194,19 +228,20 @@ def test_streaming_sqlite_sink_exactly_once(spark, tmp_path):
 
     from hhek2sqlite_spark.streaming.sink import (
         COMMITS_TABLE,
+        _checkpoint_app_id,
         stream_to_sqlite,
         write_batch_idempotent,
     )
 
     src = str(tmp_path / "src")
     db = str(tmp_path / "out.db")
+    ckpt = str(tmp_path / "ckpt")
     spark.range(0, 100).selectExpr("id", "CAST(id % 3 AS STRING) AS grp").write.parquet(src)
     batch_schema = spark.read.parquet(src)
     stream = spark.readStream.schema(batch_schema.schema).parquet(src)
-    q = stream_to_sqlite(
-        stream, db_path=db, table="events_out", checkpoint_dir=str(tmp_path / "ckpt")
-    )
+    q = stream_to_sqlite(stream, db_path=db, table="events_out", checkpoint_dir=ckpt)
     q.awaitTermination(120)
+    app_id = _checkpoint_app_id(ckpt)  # reads the marker the stream wrote
     con = sqlite3.connect(db)
     assert con.execute('SELECT COUNT(*) FROM "events_out"').fetchone()[0] == 100
     committed = con.execute(
@@ -215,9 +250,10 @@ def test_streaming_sqlite_sink_exactly_once(spark, tmp_path):
     con.close()
     assert committed  # bookkeeping row written atomically with the data
 
-    # replay the SAME batch id (what a post-crash restart does): no dupes
+    # replay the SAME batch id under the SAME stream identity (what a
+    # post-crash restart does): no dupes
     n = write_batch_idempotent(
-        batch_schema, committed[0][0], db_path=db, table="events_out"
+        batch_schema, committed[0][0], db_path=db, table="events_out", app_id=app_id
     )
     assert n == 0
     con = sqlite3.connect(db)
@@ -226,11 +262,49 @@ def test_streaming_sqlite_sink_exactly_once(spark, tmp_path):
 
     # a NEW batch id appends
     n = write_batch_idempotent(
-        batch_schema.limit(5), 9999, db_path=db, table="events_out"
+        batch_schema.limit(5), 9999, db_path=db, table="events_out", app_id=app_id
     )
     assert n == 5
     con = sqlite3.connect(db)
     assert con.execute('SELECT COUNT(*) FROM "events_out"').fetchone()[0] == 105
+    con.close()
+
+
+def test_streaming_sink_checkpoint_reset_does_not_drop_data(spark, tmp_path):
+    """A deleted+recreated checkpoint restarts batch_id at 0; with the
+    (app_id, table, batch_id) key the fresh batch 0 must still be
+    WRITTEN, not skipped as the old stream's committed batch 0
+    (the round-5 advice's silent-data-loss scenario)."""
+    import shutil
+    import sqlite3
+
+    from hhek2sqlite_spark.streaming.sink import stream_to_sqlite
+
+    src = str(tmp_path / "src")
+    db = str(tmp_path / "out.db")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 50).selectExpr("id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_to_sqlite(stream, db_path=db, table="t", checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    con = sqlite3.connect(db)
+    assert con.execute('SELECT COUNT(*) FROM "t"').fetchone()[0] == 50
+    con.close()
+
+    # reset the checkpoint: Spark reprocesses everything as batch 0 again —
+    # a (table, batch_id)-only key would return 0 rows and drop the data
+    shutil.rmtree(ckpt)
+    drain()
+    con = sqlite3.connect(db)
+    # the rerun APPENDS (new stream identity, so its batch 0 is fresh);
+    # duplicates here are correct at-least-once semantics across distinct
+    # streams — the bug being guarded against is silent LOSS
+    assert con.execute('SELECT COUNT(*) FROM "t"').fetchone()[0] == 100
     con.close()
 
 
@@ -354,6 +428,7 @@ def test_streaming_running_counts_incremental_view(spark, tmp_path):
     import sqlite3
 
     from hhek2sqlite_spark.streaming.sink import (
+        _checkpoint_app_id,
         merge_counts_idempotent,
         stream_running_counts,
     )
@@ -391,10 +466,18 @@ def test_streaming_running_counts_incremental_view(spark, tmp_path):
     want = {r.typ: r.n for r in base.groupBy("typ").count().withColumnRenamed("count", "n").collect()}
     assert got == want
 
-    # replaying a committed batch must NOT double-add
+    # replaying a committed batch (same stream identity) must NOT double-add
     partial = base.limit(10).groupBy("typ").count().withColumnRenamed("count", "n")
     assert (
-        merge_counts_idempotent(partial, 0, db_path=db, table="type_counts", key_cols=("typ",)) == 0
+        merge_counts_idempotent(
+            partial,
+            0,
+            db_path=db,
+            table="type_counts",
+            key_cols=("typ",),
+            app_id=_checkpoint_app_id(str(tmp_path / "ck")),
+        )
+        == 0
     )
     con = sqlite3.connect(db)
     assert dict(con.execute('SELECT typ, n FROM "type_counts"').fetchall()) == want
@@ -551,7 +634,34 @@ def test_equi_depth_bins_quartiles_and_null_bucket(spark):
     rows = [(i, "t", float(i)) for i in range(1, 9)] + [(99, "t", None)]
     events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     got = {r.event_id: r.bucket for r in equi_depth_bins(events).collect()}
-    # n=9 (incl. the null): p25 = value at rank ceil(9*.25)=3 -> 3.0,
-    # p50 at rank 5 -> 5.0, p75 at rank 7 -> 7.0
+    # fences fit over the 8 NON-null values (the null is excluded, r5
+    # advice): p25 = value at rank ceil(8*.25)=2 -> 2.0, p50 at rank 4
+    # -> 4.0, p75 at rank 6 -> 6.0
     assert got[99] == "null"
-    assert [got[i] for i in range(1, 9)] == ["q1", "q1", "q1", "q2", "q2", "q3", "q3", "q4"]
+    assert [got[i] for i in range(1, 9)] == ["q1", "q1", "q2", "q2", "q3", "q3", "q4", "q4"]
+
+
+def test_equi_depth_bins_high_null_fraction_still_quarters(spark):
+    """With 60% NULLs, NULL-inclusive fences would land every rank in
+    the NULL tail (NULL fences -> everything q4). Non-null-only fences
+    keep the quartiles balanced over the real values."""
+    from hhek2sqlite_spark.operators.stats import equi_depth_bins
+
+    rows = [(i, "t", float(i)) for i in range(1, 9)] + [
+        (100 + i, "t", None) for i in range(12)
+    ]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id: r.bucket for r in equi_depth_bins(events).collect()}
+    assert [got[i] for i in range(1, 9)] == ["q1", "q1", "q2", "q2", "q3", "q3", "q4", "q4"]
+    assert all(got[100 + i] == "null" for i in range(12))
+
+
+def test_equi_depth_bins_all_null_group_keeps_rows(spark):
+    from hhek2sqlite_spark.operators.stats import equi_depth_bins
+
+    rows = [(1, "t", 5.0), (2, "t", 6.0), (10, "u", None), (11, "u", None)]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id: r.bucket for r in equi_depth_bins(events).collect()}
+    # group 'u' has no fences row; its rows must still appear as 'null'
+    assert got[10] == "null" and got[11] == "null"
+    assert len(got) == 4
