@@ -373,18 +373,36 @@ def lsh_bucket_pairs(
     band_bits: int = 4,
     dim: int = 64,
     min_sim_e6: int = 400_000,
+    hamming_max: int | None = 34,
 ) -> DataFrame:
     """All-pairs near-neighbor at scale via banded random-hyperplane LSH
     (OR-construction): ``n_bands`` bands of ``band_bits`` sign bits each.
     A pair becomes a candidate if it collides in ANY band — recall for a
     pair with cosine c is 1-(1-p^r)^b with p = 1 - arccos(c)/pi (~94% at
-    c=0.4 with b=16, r=4). Candidates are deduped across bands on the id
-    pair BEFORE the exact-cosine verify, so each pair's cosine is computed
-    once. Returns (id_a, id_b, sim_e6) with sim_e6 >= min_sim_e6.
+    c=0.4 with b=16, r=4). Returns (id_a, id_b, sim_e6) with
+    sim_e6 >= min_sim_e6.
+
+    Round-6 lever — **SimHash Hamming prefilter at zero extra hashing
+    cost**: the 64 sign bits are already computed for the band keys, so
+    candidate occurrences are filtered by
+    ``popcount(fp_a ^ fp_b) <= hamming_max`` BEFORE the dedup exchange
+    and the exact-cosine verify. E[hamming] = 64*arccos(c)/pi: ~23.6 at
+    the c=0.4 threshold vs ~32 for a random pair. hamming_max=34 (+2.7
+    sigma above the threshold mean) kept ALL 869 verified pairs at
+    sf0.1 (max observed hamming among them: exactly 34) while pruning
+    ~17% of the 1.28M candidate pairs and ~12% of the 2.09M pre-dedup
+    occurrences; theoretical recall loss for a pair AT the threshold is
+    P(Binom(64, .369) > 34) ~ 0.2%. The identical filter runs in the
+    SQL oracle (same integer sign bits), so parity is exact by
+    construction, not by luck. The fingerprint is derived from the
+    band-keys ARRAY in a second projection — deriving it from the raw
+    ``bits`` expressions re-evaluates all 64 integer dots per join side
+    (+2.1s at sf0.1, measured).
 
     Scale notes: tune band_bits up as N grows (bucket size ~ N/2^r drives
     the per-band join fan-out); the band equi-join shuffles on (band, key)
-    only, and the verify joins shuffle on vec_id — no cross join anywhere.
+    only, the pair dedup shuffles Hamming-surviving id-pairs, and the
+    verify attaches vectors by broadcast — no cross join anywhere.
     """
     e = _doubled(embeddings)
     planes = _hyperplanes(n_bands * band_bits, dim)
@@ -422,18 +440,49 @@ def lsh_bucket_pairs(
             term = F.shiftleft(bits[b * band_bits + i].cast("long"), i)
             key = term if key is None else key.bitwiseOR(term)
         band_keys.append(key)
-    hashed = e.withColumn("eq", eq).select(
-        "vec_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    # 64-bit SimHash fingerprint over the same hyperplanes, derived from
+    # the band-keys ARRAY (fp is just the concatenation of the 16 4-bit
+    # keys) so the 64 expensive sign-bit dots are computed exactly ONCE —
+    # building fp from `bits` directly re-evaluates every dot a second
+    # time per join side (+2.1s at sf0.1, measured). Two 32-bit halves
+    # keep the identical arithmetic in signed-BIGINT range in the SQL
+    # oracle (1<<63 would overflow there). The two-step select matters:
+    # _bk is referenced 17x, which stops CollapseProject from inlining
+    # the sign-bit expressions back into every use.
+    keys_per_half = max(1, 32 // band_bits)
+    staged = e.withColumn("eq", eq).select(
+        "vec_id", F.array(*band_keys).alias("_bk")
+    )
+    fp_lo = fp_hi = None
+    for b in range(n_bands):
+        k = F.element_at(F.col("_bk"), b + 1)
+        if b < keys_per_half:
+            term = F.shiftleft(k, b * band_bits)
+            fp_lo = term if fp_lo is None else fp_lo.bitwiseOR(term)
+        else:
+            term = F.shiftleft(k, (b - keys_per_half) * band_bits)
+            fp_hi = term if fp_hi is None else fp_hi.bitwiseOR(term)
+    if fp_hi is None:
+        fp_hi = F.lit(0).cast("long")
+    hashed = staged.select(
+        "vec_id",
+        F.posexplode(F.col("_bk")).alias("band", "key"),
+        fp_lo.alias("_lo"),
+        fp_hi.alias("_hi"),
     )
     candidates = (
         hashed.alias("x")
         .join(hashed.alias("y"), ["band", "key"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
-        .distinct()
     )
+    if hamming_max is not None:
+        hamming = F.bit_count(
+            F.col("x._lo").bitwiseXOR(F.col("y._lo"))
+        ) + F.bit_count(F.col("x._hi").bitwiseXOR(F.col("y._hi")))
+        candidates = candidates.filter(hamming <= hamming_max)
+    candidates = candidates.select(
+        F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+    ).distinct()
     ea = e.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
     )

@@ -216,27 +216,31 @@ def cms_sketch(
     partitions/days add cell-wise), complementing the KMV/HLL
     cardinality sketches with a frequency one.
 
-    Cross-engine exact: h_r = first 60 bits of md5(r || ':' || item) —
-    the same portable recipe as SimHash's token hashes
-    (operators/dedup.py TOKEN_HASH60_SPARK) — so the sketch table is
-    oracle-pairable cell for cell.
+    Cross-engine exact: ONE md5 per item split into two independent
+    60-bit halves h1/h2, and row r uses (h1 + r*h2) % width —
+    Kirsch-Mitzenmeyer double hashing, which preserves the count-min
+    error guarantees while hashing each item once instead of ``depth``
+    times (the per-row md5(r || ':' || item) recipe was 4 md5s/item and
+    the dominant cost of the sketch, round-5 verdict). Every term stays
+    in int64 (h1, h2 < 2^60; r*h2 < depth * 2^60 < 2^63 for depth <= 7)
+    and both engines evaluate the identical arithmetic, so the sketch
+    table is oracle-pairable cell for cell.
 
     Scale shape: one shuffle keyed by (row, cell) whose domain is
     depth*width REGARDLESS of stream size or item skew — map-side
     partial counts collapse each partition to <= depth*width rows
     before the wire; a hot item only makes its cells' partial counts
     larger, never a hotter shuffle key distribution."""
-    cells = F.array(
-        *[
-            F.expr(
-                f"cast(conv(substring(md5(concat('{r}:', {item_col})), 1, 15),"
-                f" 16, 10) as bigint) % {width}"
-            )
-            for r in range(depth)
-        ]
-    )
+    if depth > 7:
+        raise ValueError(f"depth {depth} would overflow int64 in r*h2")
+    # separate projection: _h is referenced twice below, which stops
+    # CollapseProject from inlining (= recomputing) the md5 per half
+    staged = items.select(F.md5(F.col(item_col).cast("binary")).alias("_h"))
+    h1 = F.expr("cast(conv(substring(_h, 1, 15), 16, 10) as bigint)")
+    h2 = F.expr("cast(conv(substring(_h, 16, 15), 16, 10) as bigint)")
+    cells = F.array(*[(h1 + F.lit(r) * h2) % width for r in range(depth)])
     return (
-        items.select(F.posexplode(cells).alias("hash_row", "cell"))
+        staged.select(F.posexplode(cells).alias("hash_row", "cell"))
         .groupBy("hash_row", "cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

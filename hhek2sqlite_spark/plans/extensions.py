@@ -663,10 +663,16 @@ tok AS (
     FROM n, LATERAL unnest(string_split(t, ' ')) u(tk)
     WHERE length(tk) >= {_CMS_MIN_LEN}
 ),
+halves AS (
+    -- one md5 per token, split into two 60-bit halves (double hashing),
+    -- mirroring cms_sketch exactly
+    SELECT CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(token), 16, 15) AS BIGINT) AS h2
+    FROM tok
+),
 cells AS (
-    SELECT r AS hash_row,
-           CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15) AS BIGINT) % {_CMS_WIDTH} AS cell
-    FROM tok, LATERAL unnest([{", ".join(str(r) for r in range(_CMS_DEPTH))}]) u(r)
+    SELECT r AS hash_row, (h1 + r * h2) % {_CMS_WIDTH} AS cell
+    FROM halves, LATERAL unnest([{", ".join(str(r) for r in range(_CMS_DEPTH))}]) u(r)
 )
 SELECT hash_row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM cells GROUP BY hash_row, cell
@@ -1029,6 +1035,7 @@ _LSH_BANDS = 16
 _LSH_BAND_BITS = 4
 _LSH_DIM = 64
 _LSH_MIN_SIM = 400_000
+_LSH_HAMMING_MAX = 34  # keep in sync with lsh_bucket_pairs' default
 
 
 def _sql_similarity_lsh() -> str:
@@ -1050,6 +1057,11 @@ def _sql_similarity_lsh() -> str:
         )
         for b in range(_LSH_BANDS)
     )
+    # SimHash fingerprint halves, same bit packing as the Spark side
+    # (two 32-bit halves keep every term in signed-BIGINT range)
+    n_bits = _LSH_BANDS * _LSH_BAND_BITS
+    fp_lo = " + ".join(f"{1 << i} * t{i}" for i in range(32))
+    fp_hi = " + ".join(f"{1 << (i - 32)} * t{i}" for i in range(32, n_bits))
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (
@@ -1063,13 +1075,17 @@ bits AS (
     FROM q
 ),
 banded AS (
-    SELECT vec_id, bnd AS band, ([{keys}])[bnd + 1] AS key
+    SELECT vec_id, bnd AS band, ([{keys}])[bnd + 1] AS key,
+           CAST({fp_lo} AS BIGINT) AS fp_lo, CAST({fp_hi} AS BIGINT) AS fp_hi
     FROM bits, LATERAL unnest(generate_series(0, {_LSH_BANDS - 1})) u(bnd)
 ),
 cand AS (
+    -- Hamming prefilter mirrors the Spark plan exactly (same integer
+    -- sign bits), so the candidate sets are identical by construction
     SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
     FROM banded x
     JOIN banded y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+    WHERE bit_count(xor(x.fp_lo, y.fp_lo)) + bit_count(xor(x.fp_hi, y.fp_hi)) <= {_LSH_HAMMING_MAX}
 )
 SELECT c.id_a, c.id_b,
        CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
@@ -1738,9 +1754,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("_nd") * 10 <= F.col("_nc") * 3)
         & (F.col("_nc") <= F.col("_nt") * 16)
     )
+    # Pushdown barrier on the split filter: left bare, Catalyst copies
+    # substring(md5(norm),1,2) <= train_max into the scan's DataFilters,
+    # re-running the normalization regex + md5 per row a SECOND time
+    # (verified: regexp_replace appeared in both the pushed filter and
+    # the projection). Wrapping the predicate in a when() on a
+    # non-deterministic (always-true) guard makes it non-pushable and
+    # non-splittable, so fp is computed once in the projection and the
+    # filter just reads it. Cost: the pre-filter rows ride the spread()
+    # round-robin exchange (~20% more rows) — far cheaper than a per-row
+    # regex pass at 100 TB.
+    split_pred = F.when(
+        F.monotonically_increasing_id() >= 0,
+        F.substring("fp", 1, 2) <= pipeline.SPLIT_TRAIN_MAX,
+    ).otherwise(F.lit(False))
     train = staged.select(
         "doc_id", "_norm", "fp", quality_ok.alias("_q")
-    ).filter(F.substring("fp", 1, 2) <= pipeline.SPLIT_TRAIN_MAX)
+    ).filter(split_pred)
     # keep-first as an ARG-MIN aggregate (min_by on the unique doc_id),
     # not a window: one hash Exchange with map-side partials and no sort
     kept = (

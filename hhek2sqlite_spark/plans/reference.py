@@ -167,6 +167,13 @@ _COUNT_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "
 
 
 def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured counter-result (round 6, sf0.1, same-session A/B): fusing
+    # the 7 counts into one union-scan + groupBy(table_name) job is
+    # SLOWER (1.0s vs 0.62s) — the 7 per-table agg stages are
+    # independent and the scheduler runs them CONCURRENTLY, so their
+    # single-row exchanges don't stack up as serial job floor, while the
+    # fused form pushes every row through a keyed hash-aggregate instead
+    # of 7 plain counters. The union-of-aggs stays.
     parts = [
         load_table(spark, sf_dir, t).agg(
             F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")

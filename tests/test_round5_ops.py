@@ -323,9 +323,11 @@ def test_cms_never_undercounts_and_bounds_overcount(spark):
     def estimate(token):
         import hashlib
 
+        hx = hashlib.md5(token.encode()).hexdigest()
+        h1, h2 = int(hx[:15], 16), int(hx[15:30], 16)
         est = None
         for r in range(4):
-            h = int(hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:15], 16) % CMS_WIDTH
+            h = (h1 + r * h2) % CMS_WIDTH
             est = min(est, sketch.get((r, h), 0)) if est is not None else sketch.get((r, h), 0)
         return est
 
