@@ -1,0 +1,237 @@
+"""Pure-Python reader for Jet 2.0 (Access 2.0) .mdb files — the format
+HHEK databases actually use.
+
+Reference anchor: /root/reference/hhek2sqlite.go:1195 creates its MDB
+with "Jet OLEDB:Engine Type=3" (= Jet 2.0) and reads it through the
+Windows ODBC Access driver; /root/reference/db_test.go:150-171
+(checkDB1) asserts row counts 3/1/3 for Personer/Platser/Transaktioner
+and Konton saldo 0.90 against GOTEST1.MDB. This module reads that same
+file without Windows, ODBC, or any third-party jar, so the Spark
+pipeline can ingest a real HHEK source end-to-end.
+
+Format notes (reverse-engineered from GOTEST1.MDB in round 6; the
+page/row concepts mirror the public mdbtools documentation of the
+later Jet 3 format, with Jet 2 differences observed directly):
+
+- 2048-byte pages. Page type in byte 0: 0x05 = table definition
+  (TDEF), 0x06 = data page, 0x04/0x03 = index pages, others unused
+  here.
+- Data page header: u16 type/flags, u16 checksum-ish, u32 OWNING TDEF
+  PAGE NUMBER (@4), u16 row count (@8), u16 free-space pointer (@10),
+  8 reserved bytes, then u16 row offsets from @20 (low 12 bits =
+  offset; high bits are flags — 0x8000 observed nowhere live, treated
+  as deleted like Jet 3's delflag).
+- A table's catalog id in MSysObjects IS its TDEF page number, so
+  grouping data pages by the u32 at @4 reconstructs each table's pages
+  without walking page chains.
+- Row layout: u16 total length, u8 n_fixed_cols, u8 n_var_cols,
+  fixed-column bytes (table-specific storage order — NOT the CREATE
+  TABLE order; Boolean columns occupy no bytes), var-column bytes,
+  then a trailer read backward from the row end: null/bool bitmap over
+  the fixed columns (ceil(n_fixed/8) bytes, bit clear = NULL for
+  nullable types and = False for Booleans), u8 n_var, and n_var+1
+  one-byte offsets (ascending when read forward) bounding each
+  var-length value.
+- Text is cp1252 (the reference's F1 transcode pair); Currency is a
+  little-endian int64 of 1/10000ths.
+
+The catalog (MSysObjects) is itself a table at TDEF page 3 whose rows
+follow the same layout: first fixed u32 = object id, first var column
+= object name.
+
+Scale note: .mdb is a single-file desktop format (GOTEST1 is 160 KB;
+real HHEK files are MBs) — this is an INGEST EDGE, not a distributed
+scan path. jet2_table() materializes rows driver-side once and hands
+Spark a DataFrame, the same envelope as the SQLite source
+(sources/sqlite_io.py); the 100 TB path starts after this boundary.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from decimal import Decimal
+
+PAGE_SIZE = 2048
+CATALOG_TDEF = 3  # MSysObjects' own TDEF page — fixed by the engine
+
+_SYSTEM_NAMES = frozenset(
+    {"Tables", "Databases", "Relationships", "MSysDb"}
+)
+
+# Column kinds for the fixed region, with their byte widths
+_FIXED_WIDTHS = {"long": 4, "currency": 8, "byte": 1, "bool": 0}
+
+
+class TableSchema:
+    """Physical row layout for one table: fixed columns in STORAGE
+    order (observed, not DDL order) and var columns in trailer-offset
+    order."""
+
+    def __init__(self, fixed, var):
+        self.fixed = fixed  # [(name, kind)] kind in _FIXED_WIDTHS
+        self.var = var  # [name]
+
+
+# Layouts verified against GOTEST1.MDB's actual bytes (fixed-column
+# storage order differs from CREATE TABLE order; see module docstring).
+# Tables absent here still get row counts and raw decode.
+HHEK_SCHEMAS = {
+    "Personer": TableSchema(
+        [("Löpnr", "long")], ["Namn", "Född", "Kön"]
+    ),
+    "Platser": TableSchema(
+        [("Löpnr", "long")], ["Namn", "Gironummer", "Typ", "RefKonto"]
+    ),
+    "BetalKonton": TableSchema(
+        [("Löpnr", "long")],
+        ["Konto", "Kontonummer", "Kundnummer", "Sigillnummer"],
+    ),
+    "DtbVer": TableSchema([], ["VerNum", "Benämning", "Losenord"]),
+    "Transaktioner": TableSchema(
+        [
+            ("Belopp", "currency"),
+            ("Löpnr", "long"),
+            ("Saldo", "currency"),
+            ("Fastöverföring", "bool"),
+        ],
+        ["FrånKonto", "TillKonto", "Typ", "Datum", "Vad", "Vem", "Text"],
+    ),
+    "Konton": TableSchema(
+        [
+            ("Saldo", "currency"),
+            ("StartSaldo", "currency"),
+            ("Löpnr", "long"),
+            ("SaldoArsskifte", "currency"),
+        ],
+        ["KontoNummer", "Benämning", "StartManad", "ArsskifteManad"],
+    ),
+}
+
+
+def _decode_row(buf: bytes, schema: TableSchema | None):
+    """Decode one row. With a schema returns {col: value}; without,
+    returns {'_fixed': bytes, '_var': [bytes, ...]} raw parts."""
+    n_fixed = buf[2]
+    n_var = buf[3]
+    end = len(buf)
+    mask_len = (n_fixed + 7) // 8 if n_fixed else 0
+    mask = int.from_bytes(buf[end - mask_len : end], "little") if mask_len else 0
+    end -= mask_len
+    trailer_n_var = buf[end - 1]
+    if trailer_n_var != n_var:
+        raise ValueError(f"row trailer n_var {trailer_n_var} != header {n_var}")
+    end -= 1
+    # n_var+1 bounds; the LAST trailer byte is the FIRST (lowest) bound,
+    # so reading backward already yields ascending order
+    bounds = [buf[end - 1 - i] for i in range(n_var + 1)]
+    var_vals = [
+        buf[bounds[i] : bounds[i + 1]].decode("cp1252") for i in range(n_var)
+    ]
+    if schema is None:
+        return {"_fixed": buf[4 : bounds[0] if n_var else None], "_var": var_vals}
+    if len(schema.fixed) != n_fixed or len(schema.var) != n_var:
+        raise ValueError(
+            f"schema mismatch: file has {n_fixed} fixed/{n_var} var, "
+            f"schema {len(schema.fixed)}/{len(schema.var)}"
+        )
+    out = {}
+    pos = 4
+    for i, (name, kind) in enumerate(schema.fixed):
+        present = bool(mask >> i & 1)
+        if kind == "bool":
+            out[name] = present  # Booleans live IN the bitmap
+            continue
+        w = _FIXED_WIDTHS[kind]
+        raw = buf[pos : pos + w]
+        pos += w
+        if not present:
+            out[name] = None
+        elif kind == "long":
+            out[name] = struct.unpack("<i", raw)[0]
+        elif kind == "byte":
+            out[name] = raw[0]
+        else:  # currency: int64 of 1/10000ths, exact decimal
+            out[name] = Decimal(struct.unpack("<q", raw)[0]) / Decimal(10000)
+    for name, val in zip(schema.var, var_vals):
+        out[name] = val
+    return out
+
+
+class Jet2File:
+    """One parsed .mdb: catalog + data pages grouped by owning table."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            self._data = fh.read()
+        if len(self._data) % PAGE_SIZE:
+            raise ValueError(f"{path}: not a whole number of {PAGE_SIZE}B pages")
+        self._pages_by_tdef: dict[int, list[int]] = {}
+        for p in range(len(self._data) // PAGE_SIZE):
+            pg = self._page(p)
+            if pg[0] == 0x06:
+                tdef = struct.unpack_from("<I", pg, 4)[0]
+                self._pages_by_tdef.setdefault(tdef, []).append(p)
+        self.tables = {}  # name -> tdef page id
+        for row in self._raw_rows(CATALOG_TDEF):
+            obj_id = struct.unpack_from("<I", row, 4)[0]
+            name = _decode_row(row, None)["_var"][0]
+            if not name.startswith("MSys") and name not in _SYSTEM_NAMES:
+                self.tables[name] = obj_id
+
+    def _page(self, p: int) -> bytes:
+        return self._data[p * PAGE_SIZE : (p + 1) * PAGE_SIZE]
+
+    def _raw_rows(self, tdef: int):
+        for p in self._pages_by_tdef.get(tdef, ()):
+            pg = self._page(p)
+            n = struct.unpack_from("<H", pg, 8)[0]
+            for i in range(n):
+                raw_off = struct.unpack_from("<H", pg, 20 + 2 * i)[0]
+                off = raw_off & 0x0FFF
+                if raw_off & 0x8000 or off == 0:  # deleted / moved
+                    continue
+                ln = struct.unpack_from("<H", pg, off)[0]
+                yield pg[off : off + ln]
+
+    def row_count(self, table: str) -> int:
+        return sum(1 for _ in self._raw_rows(self.tables[table]))
+
+    def read_rows(self, table: str, schema: TableSchema | None = None):
+        """Decode a table's rows. Uses the verified HHEK layout when
+        registered; otherwise returns raw fixed/var parts."""
+        schema = schema or HHEK_SCHEMAS.get(table)
+        return [_decode_row(r, schema) for r in self._raw_rows(self.tables[table])]
+
+
+def jet2_table(spark, path: str, table: str):
+    """Read one HHEK table from a Jet 2.0 .mdb into a Spark DataFrame
+    (driver-side materialization — ingest edge, see module docstring).
+    Currency -> DecimalType(19,4), Long -> int, Bool -> boolean, text
+    (cp1252-decoded) -> string."""
+    from pyspark.sql import types as T
+
+    schema = HHEK_SCHEMAS.get(table)
+    if schema is None:
+        raise ValueError(f"no verified physical layout for table {table!r}")
+    rows = Jet2File(path).read_rows(table, schema)
+    spark_fields = []
+    for name, kind in schema.fixed:
+        dt = {
+            "long": T.IntegerType(),
+            "byte": T.IntegerType(),
+            "bool": T.BooleanType(),
+            "currency": T.DecimalType(19, 4),
+        }[kind]
+        spark_fields.append(T.StructField(name, dt, True))
+    for name in schema.var:
+        spark_fields.append(T.StructField(name, T.StringType(), True))
+    st = T.StructType(spark_fields)
+    ordered = [tuple(r[f.name] for f in st.fields) for r in rows]
+    return spark.createDataFrame(ordered, st)
+
+
+def default_mdb_path() -> str | None:
+    """The reference fixture, when present (read-only)."""
+    p = "/root/reference/GOTEST1.MDB"
+    return p if os.path.exists(p) else None

@@ -1,0 +1,149 @@
+"""Parity with the reference's own MDB fixture test (checkDB1,
+/root/reference/db_test.go:150-171): read GOTEST1.MDB with the pure
+Python Jet 2.0 reader and reproduce every assertion the reference's
+Windows/ODBC path makes — row counts, person/place/transaction values,
+the cp1252 Euro sign, and the golden saldo 0.90 — then run the
+flagship balance reconciliation on the REAL HHEK data through Spark.
+
+Skips (not fails) when the read-only fixture is absent."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from hhek2sqlite_spark.sources.jet2 import (
+    HHEK_SCHEMAS,
+    Jet2File,
+    default_mdb_path,
+    jet2_table,
+)
+
+MDB = default_mdb_path()
+pytestmark = pytest.mark.skipif(MDB is None, reason="GOTEST1.MDB fixture absent")
+
+
+@pytest.fixture(scope="module")
+def mdb():
+    return Jet2File(MDB)
+
+
+def test_catalog_lists_all_ten_hhek_tables(mdb):
+    assert set(mdb.tables) == {
+        "DtbVer",
+        "Konton",
+        "Personer",
+        "Transaktioner",
+        "Överföringar",
+        "Budget",
+        "Platser",
+        "BetalKonton",
+        "Betalningar",
+        "LÅN",
+    }
+
+
+def test_row_counts_match_checkdb1(mdb):
+    # db_test.go:151-170: Personer 3, Platser 1, Transaktioner 3
+    assert mdb.row_count("Personer") == 3
+    assert mdb.row_count("Platser") == 1
+    assert mdb.row_count("Transaktioner") == 3
+
+
+def test_personer_rows_match_checkdb1(mdb):
+    # db_test.go:172-222 (hämtaPerson 1..3)
+    rows = {r["Löpnr"]: r for r in mdb.read_rows("Personer")}
+    assert rows[1]["Namn"] == "Gemensamt"
+    assert rows[1]["Född"] == "0"
+    assert rows[1]["Kön"] == "Gemensamt"
+    assert rows[2]["Namn"] == "Person Ett"
+    assert rows[2]["Född"] == "1999"
+    assert rows[2]["Kön"] == "Man"
+    assert rows[3]["Namn"] == "Person Två"
+    assert rows[3]["Född"] == "2001"
+    assert rows[3]["Kön"] == "Kvinna"
+
+
+def test_platser_row_matches_checkdb1(mdb):
+    (row,) = mdb.read_rows("Platser")
+    assert row["Namn"] == "Plats Ett"
+
+
+def test_transaktion_1_matches_checkdb1(mdb):
+    rows = {r["Löpnr"]: r for r in mdb.read_rows("Transaktioner")}
+    t1 = rows[1]
+    assert t1["Typ"] == "Insättning"
+    assert t1["FrånKonto"] == "---"
+    assert t1["TillKonto"] == "Plånboken"
+    assert t1["Vad"] == "Studiestöd"
+    assert t1["Datum"] == "2020-12-24"
+    assert t1["Vem"] == "Gemensamt"
+    assert t1["Belopp"] == Decimal("1.10")
+    assert t1["Text"] == "En transaktion"
+    assert t1["Fastöverföring"] is False
+
+
+def test_transaction_euro_sign_and_case_pair(mdb):
+    # the reference's non-ASCII fixture pair: cp1252 0x80 = Euro, and
+    # the upper/lower comment twins that exercise collation defects
+    texts = {r["Löpnr"]: r["Text"] for r in mdb.read_rows("Transaktioner")}
+    assert texts[2] == "Tom € räksmörgås"
+    assert texts[3] == "Tom € RÄKSMÖRGÅS"
+    vems = {r["Löpnr"]: r["Vem"] for r in mdb.read_rows("Transaktioner")}
+    assert vems[2] == "Person Ett" and vems[3] == "Person Två"
+
+
+def test_konto_saldo_is_golden_090(mdb):
+    # db_test.go:374-385: Konto 1 Benämning 'Plånboken', saldo 0.90
+    (k,) = mdb.read_rows("Konton")
+    assert k["Benämning"] == "Plånboken"
+    assert k["Saldo"] == Decimal("0.90")
+    assert k["Löpnr"] == 1
+
+
+def test_transaktion_saldo_column_is_null(mdb):
+    # the fixed-column bitmap marks Saldo absent on every transaction
+    # row — the running saldo lives in Konton, not per-transaction
+    assert all(r["Saldo"] is None for r in mdb.read_rows("Transaktioner"))
+
+
+def test_spark_balance_reconciliation_on_real_mdb(spark):
+    """The flagship query on REAL reference data: signed transaction
+    sum (Insättning +, everything else -) must equal Konton.Saldo —
+    the same 0.90 the reference's golden test asserts."""
+    from pyspark.sql import functions as F
+
+    trans = jet2_table(spark, MDB, "Transaktioner")
+    konton = jet2_table(spark, MDB, "Konton")
+    signed = trans.select(
+        F.when(F.col("Typ") == "Insättning", F.col("Belopp"))
+        .otherwise(-F.col("Belopp"))
+        .alias("signed")
+    )
+    total = signed.agg(F.sum("signed").alias("s")).collect()[0].s
+    saldo = konton.collect()[0].Saldo
+    assert total == saldo == Decimal("0.9000")
+
+
+def test_jet2_table_schema_types(spark):
+    df = jet2_table(spark, MDB, "Transaktioner")
+    kinds = dict(df.dtypes)
+    assert kinds["Belopp"] == "decimal(19,4)"
+    assert kinds["Löpnr"] == "int"
+    assert kinds["Fastöverföring"] == "boolean"
+    assert kinds["Text"] == "string"
+    assert df.count() == 3
+
+
+def test_unregistered_table_raw_decode(mdb):
+    # Budget has no verified fixed layout; raw decode still works and
+    # the default HHEK budget entries are present
+    raw = mdb.read_rows("Budget")
+    assert len(raw) == mdb.row_count("Budget") > 0
+    all_var = {v for r in raw for v in r["_var"]}
+    assert "Lön efter skatt" in all_var
+
+
+def test_schemas_cover_the_checkdb1_tables():
+    assert {"Personer", "Platser", "Transaktioner", "Konton"} <= set(HHEK_SCHEMAS)
