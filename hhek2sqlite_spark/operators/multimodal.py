@@ -235,3 +235,308 @@ def sample_frames(
         raise ValueError(f"unknown decoder {decoder!r}")
 
     return multimodal.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs (round 6): BMP 24-bit, PPM P6, and PNG 8-bit RGB with
+# all five scanline filters via zlib. No third-party library — struct +
+# zlib only — so the decode path is genuinely exercising container
+# parsing (header fields, stride padding, bottom-up row order, filter
+# reconstruction), not a fake. Formats outside these three still raise
+# through decoder='stub'.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+
+def bmp_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit uncompressed BMP. ``rows[y][x] = (b, g, r)`` with
+    y=0 the TOP row; BMP stores rows bottom-up with 4-byte stride
+    padding — exactly the two details a sloppy decoder gets wrong."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for b, g, r in rows[y]:
+            line += bytes((b, g, r))
+        line += bytes(stride - len(line))
+        body += line
+    off = 14 + 40
+    return (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def bmp_decode(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse a 24-bit uncompressed BMP back to top-down rows."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for yy in range(h):
+        src_y = (h - 1 - yy) if bottom_up else yy
+        base = off + src_y * stride
+        rows.append(
+            [tuple(data[base + 3 * x : base + 3 * x + 3]) for x in range(w)]
+        )
+    return w, h, rows
+
+
+def ppm_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Binary PPM (P6), rows top-down, pixels RGB."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    body = bytearray()
+    for row in rows:
+        for b, g, r in row:  # rows carry BGR like the BMP path; PPM is RGB
+            body += bytes((r, g, b))
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
+def ppm_decode(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, ws-separated w h maxval, then EXACTLY ONE whitespace
+    # byte before the body. A naive split(None, 3) would also eat body
+    # bytes that happen to be whitespace (0x20/0x09/0x0a...), shifting
+    # every pixel — parse byte-precisely instead.
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # the single post-maxval whitespace byte
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    body = data[pos:]
+    rows = []
+    for y in range(h):
+        base = y * w * 3
+        rows.append(
+            [
+                (body[base + 3 * x + 2], body[base + 3 * x + 1], body[base + 3 * x])
+                for x in range(w)
+            ]
+        )
+    return w, h, rows
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(rows: list[list[tuple[int, int, int]]], *, filter_type: int = 0) -> bytes:
+    """8-bit RGB PNG. ``filter_type`` picks the per-scanline filter
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) so decoder tests can exercise
+    every reconstruction branch."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for row in rows:
+        line = bytearray()
+        for b, g, r in row:
+            line += bytes((r, g, b))
+        filt = bytearray([filter_type])
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if filter_type == 0:
+                filt.append(line[i])
+            elif filter_type == 1:
+                filt.append((line[i] - a) & 0xFF)
+            elif filter_type == 2:
+                filt.append((line[i] - up) & 0xFF)
+            elif filter_type == 3:
+                filt.append((line[i] - (a + up) // 2) & 0xFF)
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                filt.append((line[i] - pred) & 0xFF)
+        raw += filt
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse an 8-bit RGB PNG (any scanline filter) to top-down rows of
+    (b, g, r) — same pixel tuple convention as bmp_decode."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
+            if bit_depth != 8 or color_type != 2:
+                raise ValueError("only 8-bit RGB PNGs supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    rows = []
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (a + up) // 2) & 0xFF
+            elif ft == 4:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad filter {ft}")
+        rows.append(
+            [(line[3 * x + 2], line[3 * x + 1], line[3 * x]) for x in range(w)]
+        )
+        prev = line
+    return w, h, rows
+
+
+def decode_any(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Magic-byte dispatch across the three real containers; anything
+    else raises the honest stub error."""
+    if data[:2] == b"BM":
+        return bmp_decode(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(data)
+    if data[:2] == b"P6":
+        return ppm_decode(data)
+    raise NotImplementedError(
+        "payload is not BMP/PNG/PPM; other formats need codec libraries "
+        "not present in this container"
+    )
+
+
+def _synth_pixel_rows(doc_id: int) -> list[list[tuple[int, int, int]]]:
+    """The analytic test-pattern: dims and channel values are pure
+    integer functions of doc_id, so an SQL oracle can compute every
+    decoded-pixel statistic WITHOUT parsing containers — any decoder
+    bug (stride, row order, filter math) then shows up as a parity
+    mismatch."""
+    w = 4 + doc_id % 4
+    h = 3 + doc_id % 3
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            gray = (doc_id * 31 + x * 7 + y * 13) % 256
+            row.append((gray, (gray + 85) % 256, (gray + 170) % 256))
+        rows.append(row)
+    return rows
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+        StructField("px_moment", LongType()),
+    ]
+)
+
+
+def synthesize_images(documents: DataFrame) -> DataFrame:
+    """Build REAL image containers per document: even doc_ids become
+    BMPs, doc_id % 4 == 1 PNGs (cycling through all four non-trivial
+    scanline filters by doc_id), the rest PPMs — so one table carries
+    three container formats, like a real crawl dump."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rows = _synth_pixel_rows(int(doc_id))
+                if doc_id % 2 == 0:
+                    payloads.append(bmp_encode(rows))
+                elif doc_id % 4 == 1:
+                    payloads.append(png_encode(rows, filter_type=1 + int(doc_id) // 4 % 4))
+                else:
+                    payloads.append(ppm_encode(rows))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, IMAGE_SCHEMA)
+
+
+def image_pixel_stats(images: DataFrame) -> DataFrame:
+    """Decode REAL container bytes (BMP/PNG/PPM by magic) and emit
+    pixel statistics: sum/min/max over all channel values plus an
+    ORDER-SENSITIVE first moment sum((y*w + x) * blue(x, y)) — sum and
+    extrema alone cannot distinguish a correctly-decoded image from one
+    read bottom-up or with a wrong stride, the moment can."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "px_min", "px_max", "px_moment")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = decode_any(bytes(payload))
+                vals = [v for row in rows for px in row for v in px]
+                moment = sum(
+                    (y * w + x) * rows[y][x][0] for y in range(h) for x in range(w)
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(vals))
+                out["px_min"].append(min(vals) if vals else 0)
+                out["px_max"].append(max(vals) if vals else 0)
+                out["px_moment"].append(moment)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, STATS_SCHEMA)

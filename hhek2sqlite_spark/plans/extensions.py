@@ -1157,6 +1157,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode (round 6): per document, synthesize an
+    actual BMP / PNG (all 4 non-trivial scanline filters) / PPM whose
+    pixels follow an analytic formula of doc_id, then DECODE THE BYTES
+    with the stdlib codecs (operators/multimodal.py bmp/png/ppm_decode)
+    and aggregate pixel statistics. The oracle computes the same stats
+    straight from the formula — so the container round-trip (stride
+    padding, bottom-up BMP rows, PNG filter reconstruction, zlib) is
+    the thing under test; px_moment is order-sensitive precisely so a
+    row-order or stride bug cannot hide behind sum/min/max."""
+    from hhek2sqlite_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_images,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return image_pixel_stats(synthesize_images(docs))
+
+
+SQL_IMAGE_PIXEL_STATS = """
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, x, y, (doc_id * 31 + x * 7 + y * 13) % 256 AS g
+    FROM dims,
+         LATERAL unnest(generate_series(0, w - 1)) ux(x),
+         LATERAL unnest(generate_series(0, h - 1)) uy(y)
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(g + (g + 85) % 256 + (g + 170) % 256) AS BIGINT) AS px_sum,
+       CAST(MIN(LEAST(g, (g + 85) % 256, (g + 170) % 256)) AS BIGINT) AS px_min,
+       CAST(MAX(GREATEST(g, (g + 85) % 256, (g + 170) % 256)) AS BIGINT) AS px_max,
+       CAST(SUM((y * w + x) * g) AS BIGINT) AS px_moment
+FROM px GROUP BY doc_id
+"""
+
+
 # DuckDB twin of _fake_decode_batch (operators/multimodal.py): byte values
 # recovered from hex(encode(text)) nibble pairs; s = sum of first 256 bytes.
 _HEXPOS = "strpos('0123456789ABCDEF', substr(h, CAST({j} AS INTEGER), 1)) - 1"
@@ -2046,6 +2086,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_extract": q_props_extract,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
+    "image_pixel_stats": q_image_pixel_stats,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "user_activity": q_user_activity,
@@ -2104,6 +2145,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "props_extract": SQL_PROPS_EXTRACT,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "image_pixel_stats": SQL_IMAGE_PIXEL_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sliding": SQL_EVENTS_SLIDING,
     "user_activity": SQL_USER_ACTIVITY,
