@@ -2,12 +2,15 @@
 columns with typed metadata, processed by Arrow-batched Pandas
 iterators (``mapInPandas``).
 
-The decode step itself (JPEG -> pixels, wav -> samples) needs libraries
-not present in this container, so it is STUBBED: ``decoder='stub'``
-raises NotImplementedError at evaluation time, ``decoder='fake'`` runs a
-deterministic byte-level feature extractor through the exact same Spark
-plumbing — schema, partitioning, Arrow batch shape are all real and
-tested; only the codec is fake.
+Decode tiers (round 6): REAL stdlib codecs for BMP 24-bit, PPM P6, PNG
+8-bit RGB (zlib, all five scanline filters) and 16-bit PCM WAV — see
+the codec section below and the oracle-paired image_pixel_stats /
+audio_sample_stats queries. Formats that genuinely need external
+libraries (JPEG, MP3, video containers) keep the honest contract:
+``decoder='stub'`` raises NotImplementedError at evaluation time,
+``decoder='fake'`` runs a deterministic byte-level feature extractor
+through the exact same Spark plumbing — schema, partitioning, Arrow
+batch shape all real; only that codec is fake.
 
 Scale notes: binary payloads ride in the same parquet row groups as
 their metadata (no small-file problem, no side channel); mapInPandas
@@ -540,3 +543,140 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(run, STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio container (round 6): 16-bit PCM WAV. Synthesis goes through
+# the stdlib `wave` module; decoding is a hand-rolled RIFF chunk parser
+# (fmt + data, chunk-order agnostic, odd-size padding) — two independent
+# implementations of the container, so a parse bug cannot cancel out.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(frames: list[tuple[int, ...]], *, sample_rate: int) -> bytes:
+    """16-bit PCM WAV from interleaved frames (one tuple per frame, one
+    int16 per channel), via the stdlib wave module."""
+    import io
+    import wave as _wave
+
+    nch = len(frames[0]) if frames else 1
+    buf = io.BytesIO()
+    w = _wave.open(buf, "wb")
+    try:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        flat = [s for fr in frames for s in fr]
+        w.writeframes(struct.pack(f"<{len(flat)}h", *flat))
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[int, int, list[tuple[int, ...]]]:
+    """Parse a 16-bit PCM WAV: returns (n_channels, sample_rate,
+    interleaved frames). RIFF chunks are walked in file order with the
+    spec's odd-length padding; only format 1 (PCM) 16-bit is accepted."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    nch = rate = None
+    body = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt_code, nch, rate = struct.unpack_from("<HHI", payload)
+            bits = struct.unpack_from("<H", payload, 14)[0]
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={fmt_code} bits={bits}")
+        elif tag == b"data":
+            body = payload
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if nch is None or body is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(body) // (2 * nch)
+    vals = struct.unpack(f"<{n * nch}h", body[: n * nch * 2])
+    frames = [tuple(vals[i * nch : (i + 1) * nch]) for i in range(n)]
+    return nch, rate, frames
+
+
+def _synth_audio(doc_id: int) -> tuple[int, list[tuple[int, ...]]]:
+    """Analytic waveform (see image twin _synth_pixel_rows): every
+    sample is an integer function of doc_id, so the SQL oracle can
+    compute decoded-sample statistics without parsing RIFF."""
+    n = 50 + doc_id % 50
+    nch = 1 + doc_id % 2
+    rate = (8000, 16000, 44100)[doc_id % 3]
+    frames = [
+        tuple(
+            (doc_id * 7 + i * 17 + ch * 29) % 65536 - 32768
+            for ch in range(nch)
+        )
+        for i in range(n)
+    ]
+    return rate, frames
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("s_sum", LongType()),
+        StructField("s_min", LongType()),
+        StructField("s_max", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def synthesize_audio(documents: DataFrame) -> DataFrame:
+    """One real 16-bit PCM WAV per document (mono/stereo and sample
+    rate varying by doc_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rate, frames = _synth_audio(int(doc_id))
+                payloads.append(wav_encode(frames, sample_rate=rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, IMAGE_SCHEMA)
+
+
+def audio_sample_stats(audio: DataFrame) -> DataFrame:
+    """Decode real WAV bytes and aggregate: sum/min/max over all
+    channels plus channel-0 zero crossings — the crossings depend on
+    sample ORDER, so frame interleaving or endianness bugs cannot hide
+    behind the order-invariant aggregates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "n_channels", "sample_rate",
+                "s_sum", "s_min", "s_max", "zero_crossings",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nch, rate, frames = wav_decode(bytes(payload))
+                flat = [s for fr in frames for s in fr]
+                ch0 = [fr[0] for fr in frames]
+                zc = sum(
+                    1
+                    for i in range(1, len(ch0))
+                    if (ch0[i - 1] < 0) != (ch0[i] < 0)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(frames))
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(rate)
+                out["s_sum"].append(sum(flat))
+                out["s_min"].append(min(flat) if flat else 0)
+                out["s_max"].append(max(flat) if flat else 0)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(run, AUDIO_STATS_SCHEMA)

@@ -442,34 +442,58 @@ def lsh_bucket_pairs(
         band_keys.append(key)
     # 64-bit SimHash fingerprint over the same hyperplanes, derived from
     # the band-keys ARRAY (fp is just the concatenation of the 16 4-bit
-    # keys) so the 64 expensive sign-bit dots are computed exactly ONCE —
-    # building fp from `bits` directly re-evaluates every dot a second
-    # time per join side (+2.1s at sf0.1, measured). Two 32-bit halves
-    # keep the identical arithmetic in signed-BIGINT range in the SQL
-    # oracle (1<<63 would overflow there). The two-step select matters:
-    # _bk is referenced 17x, which stops CollapseProject from inlining
-    # the sign-bit expressions back into every use.
+    # keys) so the 64 expensive sign-bit dots are computed exactly ONCE.
+    # The binding discipline matters and was measured twice at sf0.1:
+    # fp built from the raw `bits` expressions re-evaluates every dot
+    # per join side (+2.1s), and even a two-step select re-inlines the
+    # array through CollapseProject (hashed 0.5s -> 3.0s). So the array
+    # is let_once-bound and the WHOLE exploded payload — struct(key,
+    # lo, hi) per band — is produced inside that single binding; the
+    # fp folds there only touch the already-materialized array slots.
+    # Two 32-bit halves keep the identical arithmetic in signed-BIGINT
+    # range in the SQL oracle (1<<63 would overflow there).
+    from hhek2sqlite_spark.operators.text import let_once
+
     keys_per_half = max(1, 32 // band_bits)
-    staged = e.withColumn("eq", eq).select(
-        "vec_id", F.array(*band_keys).alias("_bk")
+
+    def _explode_payload(bk):
+        fp_lo = fp_hi = None
+        for b in range(n_bands):
+            k = F.element_at(bk, b + 1)
+            if b < keys_per_half:
+                term = F.shiftleft(k, b * band_bits)
+                fp_lo = term if fp_lo is None else fp_lo.bitwiseOR(term)
+            else:
+                term = F.shiftleft(k, (b - keys_per_half) * band_bits)
+                fp_hi = term if fp_hi is None else fp_hi.bitwiseOR(term)
+        if fp_hi is None:
+            fp_hi = F.lit(0).cast("long")
+        return F.transform(
+            bk,
+            lambda k: F.struct(
+                k.alias("key"), fp_lo.alias("lo"), fp_hi.alias("hi")
+            ),
+        )
+
+    arr = let_once(F.array(*band_keys), _explode_payload)
+    hashed = (
+        e.withColumn("eq", eq)
+        .select("vec_id", F.posexplode(arr).alias("band", "_s"))
+        .select(
+            "vec_id",
+            "band",
+            F.col("_s.key").alias("key"),
+            F.col("_s.lo").alias("_lo"),
+            F.col("_s.hi").alias("_hi"),
+        )
     )
-    fp_lo = fp_hi = None
-    for b in range(n_bands):
-        k = F.element_at(F.col("_bk"), b + 1)
-        if b < keys_per_half:
-            term = F.shiftleft(k, b * band_bits)
-            fp_lo = term if fp_lo is None else fp_lo.bitwiseOR(term)
-        else:
-            term = F.shiftleft(k, (b - keys_per_half) * band_bits)
-            fp_hi = term if fp_hi is None else fp_hi.bitwiseOR(term)
-    if fp_hi is None:
-        fp_hi = F.lit(0).cast("long")
-    hashed = staged.select(
-        "vec_id",
-        F.posexplode(F.col("_bk")).alias("band", "key"),
-        fp_lo.alias("_lo"),
-        fp_hi.alias("_hi"),
-    )
+    # Measured counter-result (round 6, sf0.1, uncontended A/B):
+    # broadcasting one side of this self-join (32k rows, above a
+    # repartition so no size stats) is SLOWER than the shuffle join —
+    # 6.1-6.5s vs 5.3-5.4s full-query — because the join's 2M-row
+    # output then feeds the verify in the stream side's stage while the
+    # shuffle form spreads the post-join work across the (band, key)
+    # exchange's partitions. The plain equi-join stays.
     candidates = (
         hashed.alias("x")
         .join(hashed.alias("y"), ["band", "key"])

@@ -1176,6 +1176,62 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(synthesize_images(docs))
 
 
+def q_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container decode (round 6 twin of image_pixel_stats):
+    per document, synthesize a genuine 16-bit PCM WAV (stdlib wave
+    module; mono/stereo and sample rate vary by doc_id) whose samples
+    follow an analytic integer formula, then decode the RIFF bytes with
+    the HAND-ROLLED parser (operators/multimodal.py wav_decode — an
+    independent implementation, so encoder and decoder bugs cannot
+    cancel) and aggregate. zero_crossings is sample-order-sensitive, so
+    interleaving or endianness mistakes break parity."""
+    from hhek2sqlite_spark.operators.multimodal import (
+        audio_sample_stats,
+        synthesize_audio,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return audio_sample_stats(synthesize_audio(docs))
+
+
+SQL_AUDIO_SAMPLE_STATS = """
+WITH p AS (
+    SELECT doc_id,
+           50 + doc_id % 50 AS n,
+           1 + doc_id % 2 AS nch,
+           CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+    FROM documents
+),
+smp AS (
+    SELECT doc_id, n, nch, rate, i, ch,
+           (doc_id * 7 + i * 17 + ch * 29) % 65536 - 32768 AS s
+    FROM p,
+         LATERAL unnest(generate_series(0, n - 1)) ui(i),
+         LATERAL unnest(generate_series(0, nch - 1)) uc(ch)
+),
+zc AS (
+    SELECT doc_id,
+           SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) != (s < 0)
+                    THEN 1 ELSE 0 END) AS crossings
+    FROM (
+        SELECT doc_id, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM smp WHERE ch = 0
+    ) GROUP BY doc_id
+)
+SELECT smp.doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_frames,
+       CAST(MAX(nch) AS BIGINT) AS n_channels,
+       CAST(MAX(rate) AS BIGINT) AS sample_rate,
+       CAST(SUM(s) AS BIGINT) AS s_sum,
+       CAST(MIN(s) AS BIGINT) AS s_min,
+       CAST(MAX(s) AS BIGINT) AS s_max,
+       CAST(MAX(zc.crossings) AS BIGINT) AS zero_crossings
+FROM smp JOIN zc ON smp.doc_id = zc.doc_id
+GROUP BY smp.doc_id
+"""
+
+
 SQL_IMAGE_PIXEL_STATS = """
 WITH dims AS (
     SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h FROM documents
@@ -2087,6 +2143,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
     "image_pixel_stats": q_image_pixel_stats,
+    "audio_sample_stats": q_audio_sample_stats,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "user_activity": q_user_activity,
@@ -2146,6 +2203,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "image_pixel_stats": SQL_IMAGE_PIXEL_STATS,
+    "audio_sample_stats": SQL_AUDIO_SAMPLE_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sliding": SQL_EVENTS_SLIDING,
     "user_activity": SQL_USER_ACTIVITY,

@@ -73,6 +73,60 @@ def test_moment_distinguishes_row_order():
     assert moment(rows) != moment(flipped)
 
 
+@pytest.mark.parametrize("nch,rate", [(1, 8000), (2, 44100)])
+def test_wav_round_trip(nch, rate):
+    frames = [
+        tuple(((i * 17 + ch * 29) % 65536 - 32768) for ch in range(nch))
+        for i in range(64)
+    ]
+    data = m.wav_encode(frames, sample_rate=rate)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    got_nch, got_rate, got = m.wav_decode(data)
+    assert (got_nch, got_rate) == (nch, rate)
+    assert got == frames
+
+
+def test_wav_decode_rejects_non_pcm():
+    with pytest.raises(ValueError):
+        m.wav_decode(b"RIFF\x00\x00\x00\x00NOPE")
+    # float WAV (fmt code 3) must be refused, not misread
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = (
+        b"RIFF" + st.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    )
+    with pytest.raises(ValueError):
+        m.wav_decode(data)
+
+
+def test_wav_decode_handles_chunk_order_and_padding():
+    """data before fmt, plus an odd-length stray chunk in between —
+    both legal RIFF shapes a naive fixed-offset parser misreads."""
+    import struct as st
+
+    frames = [(100,), (-200,), (300,)]
+    body = st.pack("<3h", 100, -200, 300)
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = (
+        b"RIFF" + st.pack("<I", 0) + b"WAVE"
+        + b"data" + st.pack("<I", len(body)) + body
+        + b"junk" + st.pack("<I", 3) + b"ab\x00" + b"\x00"  # odd, padded
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    )
+    assert m.wav_decode(data) == (1, 8000, frames)
+
+
+def test_zero_crossings_are_order_sensitive():
+    a = [(10,), (-10,), (10,), (-10,)]  # 3 crossings
+    b = [(10,), (10,), (-10,), (-10,)]  # 1 crossing, same multiset
+    for frames, want in ((a, 3), (b, 1)):
+        ch0 = [f[0] for f in frames]
+        zc = sum(1 for i in range(1, len(ch0)) if (ch0[i - 1] < 0) != (ch0[i] < 0))
+        assert zc == want
+
+
 def test_synth_pixel_rows_matches_oracle_formula():
     for doc_id in (0, 1, 5, 17, 499):
         rows = m._synth_pixel_rows(doc_id)
