@@ -17,6 +17,8 @@ an explicit cast from float — left-to-right array fold in both engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -507,12 +509,47 @@ def lsh_bucket_pairs(
     candidates = candidates.select(
         F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
     ).distinct()
-    ea = e.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    # Verify on the QUANTIZED integer vectors with an Arrow-batched
+    # numpy kernel (round 6; interleaved A/B at sf0.1: fold 2.8s vs
+    # numpy 2.0s full-query — the 64-step interpreted fold over 1M+
+    # pairs was the single largest stage; the broadcast attach joins
+    # themselves are free, measured ±0.05s vs a trivial projection).
+    # Why this stays bit-exact across engines AND summation orders:
+    # every eq element is an integer < 2^21, so each product < 2^42 and
+    # every partial sum < 2^48 — exact in int64 and in float64, meaning
+    # numpy's einsum, a sequential SQL fold, and DuckDB's
+    # list_dot_product all produce the SAME integer. The only float ops
+    # are 1e6*dq / (sqrt(na)*sqrt(nb)) and floor(x+0.5), performed in
+    # the identical order both sides (floor(x+0.5), not banker's
+    # round, so no half-to-even divergence). sim_e6 is therefore the
+    # exact cosine of the quantized vectors — within 2e-6 of the float
+    # cosine, and the SQL oracle computes the identical quantity.
+    eqn = e.withColumn("eq", eq).select(
+        "vec_id",
+        "eq",
+        F.aggregate(
+            F.zip_with(F.col("eq"), F.col("eq"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("nq"),
     )
-    eb = e.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    ea = eqn.select(
+        F.col("vec_id").alias("id_a"), F.col("eq").alias("qa"), F.col("nq").alias("na")
     )
+    eb = eqn.select(
+        F.col("vec_id").alias("id_b"), F.col("eq").alias("qb"), F.col("nq").alias("nb")
+    )
+
+    @F.pandas_udf("long")
+    def _sim_q(qa: pd.Series, qb: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
+        if not len(qa):
+            return pd.Series([], dtype="int64")
+        A = np.stack(qa.values)
+        B = np.stack(qb.values)
+        dq = np.einsum("ij,ij->i", A, B)  # exact: products < 2^42, sums < 2^48
+        x = 1e6 * dq / (np.sqrt(na.values.astype("float64")) * np.sqrt(nb.values.astype("float64")))
+        return pd.Series(np.floor(x + 0.5).astype("int64"))
+
     # the verify joins attach vectors to ~N^2/2^r candidate pairs; the
     # vector side is dimension-sized (N rows) while candidates are the
     # fact side — broadcast the vectors so the candidate stream never
@@ -526,9 +563,7 @@ def lsh_bucket_pairs(
         .select(
             "id_a",
             "id_b",
-            _sim_e6_prenorm(
-                dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
-            ).alias("sim_e6"),
+            _sim_q(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias("sim_e6"),
         )
         .filter(F.col("sim_e6") >= min_sim_e6)
     )

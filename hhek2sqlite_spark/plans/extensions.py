@@ -1088,13 +1088,17 @@ cand AS (
     WHERE bit_count(xor(x.fp_lo, y.fp_lo)) + bit_count(xor(x.fp_hi, y.fp_hi)) <= {_LSH_HAMMING_MAX}
 )
 SELECT c.id_a, c.id_b,
-       CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS sim_e6
+       -- quantized-integer cosine, mirroring the Spark verify exactly:
+       -- eq products < 2^42 and sums < 2^48 are EXACT in float64, so
+       -- list_dot_product here equals numpy's int64 einsum regardless
+       -- of summation order; floor(x+0.5) (not ROUND) matches numpy.
+       CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq)
+            / (sqrt(list_dot_product(a.eq, a.eq)) * sqrt(list_dot_product(b.eq, b.eq))) + 0.5) AS BIGINT) AS sim_e6
 FROM cand c
-JOIN e a ON c.id_a = a.vec_id
-JOIN e b ON c.id_b = b.vec_id
-WHERE CAST(ROUND(1e6 * list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= {_LSH_MIN_SIM}
+JOIN q a ON c.id_a = a.vec_id
+JOIN q b ON c.id_b = b.vec_id
+WHERE CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq)
+      / (sqrt(list_dot_product(a.eq, a.eq)) * sqrt(list_dot_product(b.eq, b.eq))) + 0.5) AS BIGINT) >= {_LSH_MIN_SIM}
 """
 
 
