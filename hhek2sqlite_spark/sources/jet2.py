@@ -235,3 +235,165 @@ def default_mdb_path() -> str | None:
     """The reference fixture, when present (read-only)."""
     p = "/root/reference/GOTEST1.MDB"
     return p if os.path.exists(p) else None
+
+
+# ---------------------------------------------------------------------------
+# Jet 2.0 WRITER (round 6) — the inverse of the reader above, closing the
+# reference's S8 capability (empty-MDB bootstrap + reverse conversion,
+# hhek2sqlite.go:1177-1202) without Windows/COM. The writer emits the
+# page/row structures documented in this module's format notes: a db
+# header page, the MSysObjects catalog (TDEF page 3 + data page), and
+# per table a TDEF page plus data pages with trailer-encoded rows.
+#
+# Honesty note: validation is (a) roundtrip through the independent
+# reader in this module and (b) structural agreement with the
+# reference's GOTEST1.MDB (same page headers, row trailers, and
+# catalog-id-equals-TDEF-page invariant). Real Access/ODBC cannot be
+# exercised in this environment; index pages and usage bitmaps are NOT
+# emitted (readers that require them would need a compact pass).
+# ---------------------------------------------------------------------------
+
+
+def _encode_row(schema: TableSchema, row: dict) -> bytes:
+    """Inverse of _decode_row for a registered layout."""
+    n_fixed = len(schema.fixed)
+    n_var = len(schema.var)
+    fixed = bytearray()
+    mask = 0
+    for i, (name, kind) in enumerate(schema.fixed):
+        v = row.get(name)
+        if kind == "bool":
+            if v:
+                mask |= 1 << i
+            continue
+        if v is not None:
+            mask |= 1 << i
+        w = _FIXED_WIDTHS[kind]
+        if kind == "long":
+            fixed += struct.pack("<i", int(v) if v is not None else 0)
+        elif kind == "byte":
+            fixed += bytes([int(v) & 0xFF if v is not None else 0])
+        else:  # currency
+            units = int((v if v is not None else Decimal(0)) * 10000)
+            fixed += struct.pack("<q", units)
+    var_bytes = [
+        ("" if row.get(name) is None else str(row[name])).encode("cp1252")
+        for name in schema.var
+    ]
+    body = bytearray()
+    body += bytes(2)  # length placeholder
+    body.append(n_fixed)
+    body.append(n_var)
+    body += fixed
+    bounds = [len(body)]
+    for vb in var_bytes:
+        body += vb
+        bounds.append(len(body))
+    if bounds[-1] > 255:
+        raise ValueError("row exceeds 255 bytes (u8 var-offset format)")
+    # trailer: offsets with the LAST byte the FIRST bound, then n_var,
+    # then the fixed-column bitmap
+    for b in reversed(bounds):
+        body.append(b)
+    body.append(n_var)
+    mask_len = (n_fixed + 7) // 8 if n_fixed else 0
+    body += mask.to_bytes(mask_len, "little")
+    struct.pack_into("<H", body, 0, len(body))
+    return bytes(body)
+
+
+def _pack_data_pages(tdef_page: int, rows: list[bytes]) -> list[bytes]:
+    """Pack encoded rows into 0x06 data pages: header + u16 offset slots
+    growing from @20, row bytes packed downward from the page end."""
+    pages = []
+    cur: list[bytes] = []
+
+    def flush():
+        pg = bytearray(PAGE_SIZE)
+        pg[0] = 0x06
+        struct.pack_into("<I", pg, 4, tdef_page)
+        struct.pack_into("<H", pg, 8, len(cur))
+        pos = PAGE_SIZE
+        for i, rb in enumerate(cur):
+            pos -= len(rb)
+            pg[pos : pos + len(rb)] = rb
+            struct.pack_into("<H", pg, 20 + 2 * i, pos | 0x1000)
+        struct.pack_into("<H", pg, 10, (pos - 0x1000) & 0xFFFF)
+        pages.append(bytes(pg))
+        cur.clear()
+
+    for rb in rows:
+        used = sum(len(r) for r in cur)
+        slots = 20 + 2 * (len(cur) + 1)
+        if cur and slots + used + len(rb) > PAGE_SIZE:
+            flush()
+        cur.append(rb)
+    if cur:
+        flush()
+    return pages
+
+
+# Minimal MSysObjects row: the reader needs the object id (first fixed
+# u32) and the name (first var column). Observed GOTEST1 rows carry 9
+# fixed / 4 var columns; we emit the same shape with the unused fields
+# zero/empty.
+_CATALOG_SCHEMA = TableSchema(
+    [("Id", "long")] + [(f"_f{i}", "long") for i in range(8)],
+    ["Name", "_v1", "_v2", "_v3"],
+)
+
+
+def write_jet2(path: str, tables: dict[str, tuple[TableSchema, list[dict]]]) -> None:
+    """Write a Jet 2.0 .mdb containing ``tables`` (name -> (layout,
+    rows)). Readable by Jet2File; see the honesty note above."""
+    # layout: p0 header, p1 (type 0x07, as in real files), p2 spare,
+    # p3 catalog TDEF, p4 catalog data, then per table TDEF + data
+    catalog_rows = []
+    table_pages: list[bytes] = []
+    next_page = 5
+    for name, (schema, rows) in tables.items():
+        tdef_page = next_page
+        encoded = [_encode_row(schema, r) for r in rows]
+        data_pages = _pack_data_pages(tdef_page, encoded)
+        next_page += 1 + len(data_pages)
+        tdef = bytearray(PAGE_SIZE)
+        tdef[0] = 0x05
+        struct.pack_into("<I", tdef, 4, tdef_page)
+        if data_pages:
+            struct.pack_into("<I", tdef, 12, tdef_page + 1)
+        table_pages.append(bytes(tdef))
+        table_pages.extend(data_pages)
+        catalog_rows.append({"Id": tdef_page, "Name": name})
+    cat_encoded = [_encode_row(_CATALOG_SCHEMA, r) for r in catalog_rows]
+    cat_pages = _pack_data_pages(CATALOG_TDEF, cat_encoded)
+    if len(cat_pages) != 1:
+        raise ValueError("catalog exceeds one page (too many tables)")
+    pages = []
+    p0 = bytearray(PAGE_SIZE)
+    p0[0] = 0x01
+    pages.append(bytes(p0))
+    p1 = bytearray(PAGE_SIZE)
+    p1[0] = 0x07
+    pages.append(bytes(p1))
+    pages.append(bytes(PAGE_SIZE))  # p2 spare
+    cat_tdef = bytearray(PAGE_SIZE)
+    cat_tdef[0] = 0x05
+    struct.pack_into("<I", cat_tdef, 4, CATALOG_TDEF)
+    struct.pack_into("<I", cat_tdef, 12, 4)
+    pages.append(bytes(cat_tdef))
+    pages.append(cat_pages[0])
+    pages.extend(table_pages)
+    with open(path, "wb") as fh:
+        fh.write(b"".join(pages))
+
+
+def jet2_write_table(df, path: str, table: str) -> int:
+    """Spark DataFrame -> one-table .mdb via the registered HHEK layout
+    (driver-side materialization — same ingest-edge envelope as
+    jet2_table). Returns rows written."""
+    schema = HHEK_SCHEMAS.get(table)
+    if schema is None:
+        raise ValueError(f"no verified physical layout for table {table!r}")
+    rows = [r.asDict() for r in df.collect()]
+    write_jet2(path, {table: (schema, rows)})
+    return len(rows)

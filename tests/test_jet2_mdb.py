@@ -147,3 +147,80 @@ def test_unregistered_table_raw_decode(mdb):
 
 def test_schemas_cover_the_checkdb1_tables():
     assert {"Personer", "Platser", "Transaktioner", "Konton"} <= set(HHEK_SCHEMAS)
+
+
+# writer (S8 closure) --------------------------------------------------------
+
+
+def test_write_jet2_roundtrips_gotest1(mdb, tmp_path):
+    """Read the reference fixture, write a fresh .mdb with the writer,
+    read it back with the independent reader: every typed table must
+    survive value-identically — the reference's own MDB->MDB test shape
+    (db_test.go Test1 writes GOTEST1b.mdb and re-checks it)."""
+    from hhek2sqlite_spark.sources.jet2 import write_jet2
+
+    names = ("Personer", "Platser", "Transaktioner", "Konton", "BetalKonton", "DtbVer")
+    tables = {n: (HHEK_SCHEMAS[n], mdb.read_rows(n)) for n in names}
+    out = str(tmp_path / "copy.mdb")
+    write_jet2(out, tables)
+    back = Jet2File(out)
+    assert set(back.tables) == set(names)
+    for n in names:
+        assert back.read_rows(n) == mdb.read_rows(n)
+
+
+def test_write_jet2_null_and_bool_fixed_columns(tmp_path):
+    from hhek2sqlite_spark.sources.jet2 import write_jet2
+
+    schema = HHEK_SCHEMAS["Transaktioner"]
+    rows = [
+        {
+            "Belopp": Decimal("12.3456"),
+            "Löpnr": 1,
+            "Saldo": None,  # NULL fixed column -> bitmap bit clear
+            "Fastöverföring": True,  # bool lives in the bitmap
+            "FrånKonto": "A",
+            "TillKonto": "B",
+            "Typ": "Inköp",
+            "Datum": "2021-01-01",
+            "Vad": "åäö €",  # cp1252 payload
+            "Vem": "",
+            "Text": "x" * 100,
+        }
+    ]
+    p = str(tmp_path / "t.mdb")
+    write_jet2(p, {"Transaktioner": (schema, rows)})
+    (got,) = Jet2File(p).read_rows("Transaktioner")
+    assert got == rows[0] | {"Belopp": Decimal("12.3456")}
+
+
+def test_write_jet2_multipage_table(tmp_path):
+    """More rows than one 2048-byte page holds -> multiple data pages,
+    all grouped back to the table by the TDEF pointer."""
+    from hhek2sqlite_spark.sources.jet2 import write_jet2
+
+    schema = HHEK_SCHEMAS["Personer"]
+    rows = [
+        {"Löpnr": i, "Namn": f"Person {i:04d}", "Född": "1990", "Kön": "X" * 8}
+        for i in range(200)
+    ]
+    p = str(tmp_path / "many.mdb")
+    write_jet2(p, {"Personer": (schema, rows)})
+    f = Jet2File(p)
+    assert f.row_count("Personer") == 200
+    assert f.read_rows("Personer") == rows
+    # genuinely multi-page (each row ~30B; 200 rows > one page)
+    assert len(f._pages_by_tdef[f.tables["Personer"]]) >= 3
+
+
+def test_spark_reverse_conversion_to_mdb(spark, tmp_path):
+    """The reference's reverse direction (-backa: SQLite -> MDB), as
+    Spark DataFrame -> .mdb: write Personer through jet2_write_table
+    and read it back typed."""
+    from hhek2sqlite_spark.sources.jet2 import jet2_table, jet2_write_table
+
+    df = jet2_table(spark, MDB, "Personer")
+    out = str(tmp_path / "back.mdb")
+    assert jet2_write_table(df, out, "Personer") == 3
+    back = jet2_table(spark, out, "Personer")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
