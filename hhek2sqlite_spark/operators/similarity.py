@@ -401,6 +401,11 @@ def lsh_bucket_pairs(
     ``bits`` expressions re-evaluates all 64 integer dots per join side
     (+2.1s at sf0.1, measured).
 
+    **Behavior change (round 6)**: ``hamming_max`` defaults to 34 — a
+    documented ~0.2%-at-threshold recall reduction vs the round-5
+    no-prefilter behavior. Pass ``hamming_max=None`` to restore exact
+    round-5 candidate generation.
+
     Scale notes: tune band_bits up as N grows (bucket size ~ N/2^r drives
     the per-band join fan-out); the band equi-join shuffles on (band, key)
     only, the pair dedup shuffles Hamming-surviving id-pairs, and the
@@ -547,7 +552,13 @@ def lsh_bucket_pairs(
         A = np.stack(qa.values)
         B = np.stack(qb.values)
         dq = np.einsum("ij,ij->i", A, B)  # exact: products < 2^42, sums < 2^48
-        x = 1e6 * dq / (np.sqrt(na.values.astype("float64")) * np.sqrt(nb.values.astype("float64")))
+        denom = np.sqrt(na.values.astype("float64")) * np.sqrt(nb.values.astype("float64"))
+        # zero-norm guard: an all-zero quantized vector gives denom 0 ->
+        # nan, and floor(nan).astype(int64) is platform-arbitrary (could
+        # pass the sim filter). The pre-numpy column expression yielded
+        # NULL there, which the filter dropped — mirror that with a
+        # sentinel strictly below any min_sim_e6.
+        x = np.where(denom > 0, 1e6 * dq / np.where(denom > 0, denom, 1.0), -2e6)
         return pd.Series(np.floor(x + 0.5).astype("int64"))
 
     # the verify joins attach vectors to ~N^2/2^r candidate pairs; the

@@ -98,9 +98,21 @@ def compact_parquet(
     data_cols = [c for c in df.columns if c not in partition_by]
     # deterministic within-partition spread; pmod keeps 0 <= salt < nslots
     spread = F.hash(*data_cols) if data_cols else F.monotonically_increasing_id()
+    # Null-safe join: NULL is a legal Hive partition value
+    # (__HIVE_DEFAULT_PARTITION__) and groupBy above keeps it as a group,
+    # but a plain equi-join would drop those rows (NULL != NULL) and break
+    # the row-identical-rewrite contract. eqNullSafe per column, left join
+    # + coalesce(_nslots, 1) so no row can ever be lost.
+    cond = None
+    for c in partition_by:
+        e = df[c].eqNullSafe(slots[c])
+        cond = e if cond is None else cond & e
     salted = (
-        df.join(F.broadcast(slots), list(partition_by))
-        .withColumn("_salt", F.pmod(spread, F.col("_nslots")))
+        df.join(F.broadcast(slots), cond, "left")
+        .drop(*[slots[c] for c in partition_by])
+        .withColumn(
+            "_salt", F.pmod(spread, F.coalesce(F.col("_nslots"), F.lit(1)))
+        )
     )
     (
         salted.repartition(n_files, *partition_by, F.col("_salt"))

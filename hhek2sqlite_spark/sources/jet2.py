@@ -129,7 +129,10 @@ def _decode_row(buf: bytes, schema: TableSchema | None):
         buf[bounds[i] : bounds[i + 1]].decode("cp1252") for i in range(n_var)
     ]
     if schema is None:
-        return {"_fixed": buf[4 : bounds[0] if n_var else None], "_var": var_vals}
+        # bounds[0] (the trailer's lowest bound) marks the end of the
+        # fixed region even when n_var == 0 — slicing to the buffer end
+        # there would wrongly include the trailer bytes.
+        return {"_fixed": buf[4 : bounds[0]], "_var": var_vals}
     if len(schema.fixed) != n_fixed or len(schema.var) != n_var:
         raise ValueError(
             f"schema mismatch: file has {n_fixed} fixed/{n_var} var, "

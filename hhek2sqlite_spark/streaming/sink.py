@@ -77,19 +77,31 @@ def _ensure_commits_table(con: sqlite3.Connection) -> None:
     cols = {r[1] for r in con.execute(f'PRAGMA table_info("{COMMITS_TABLE}")')}
     if "app_id" not in cols:
         # pre-round-6 layout (sink_table, batch_id): migrate in place with
-        # app_id='' so old commits stay visible to default-identity callers
-        con.execute(f'ALTER TABLE "{COMMITS_TABLE}" RENAME TO "{COMMITS_TABLE}_v1"')
-        con.execute(
-            f'CREATE TABLE "{COMMITS_TABLE}"'
-            " (app_id TEXT NOT NULL DEFAULT '', sink_table TEXT NOT NULL,"
-            " batch_id INTEGER NOT NULL,"
-            " PRIMARY KEY (app_id, sink_table, batch_id))"
-        )
-        con.execute(
-            f'INSERT INTO "{COMMITS_TABLE}" (app_id, sink_table, batch_id)'
-            f" SELECT '', sink_table, batch_id FROM \"{COMMITS_TABLE}_v1\""
-        )
-        con.execute(f'DROP TABLE "{COMMITS_TABLE}_v1"')
+        # app_id='' so old commits stay visible to default-identity callers.
+        # One explicit transaction: a crash mid-migration (e.g. after the
+        # RENAME) must roll back to the old layout, or prior commit records
+        # would be stranded in _v1 and replayed batches re-applied.
+        con.commit()  # close any open autocommit-mode tx before BEGIN
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            con.execute(
+                f'ALTER TABLE "{COMMITS_TABLE}" RENAME TO "{COMMITS_TABLE}_v1"'
+            )
+            con.execute(
+                f'CREATE TABLE "{COMMITS_TABLE}"'
+                " (app_id TEXT NOT NULL DEFAULT '', sink_table TEXT NOT NULL,"
+                " batch_id INTEGER NOT NULL,"
+                " PRIMARY KEY (app_id, sink_table, batch_id))"
+            )
+            con.execute(
+                f'INSERT INTO "{COMMITS_TABLE}" (app_id, sink_table, batch_id)'
+                f" SELECT '', sink_table, batch_id FROM \"{COMMITS_TABLE}_v1\""
+            )
+            con.execute(f'DROP TABLE "{COMMITS_TABLE}_v1"')
+            con.execute("COMMIT")
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
 
 
 def _sqlite_type(dt: T.DataType) -> str:

@@ -65,6 +65,25 @@ def test_compact_partitioned_sizes_files_per_partition(spark, tmp_path):
     assert back.selectExpr("sum(id) s").collect()[0].s == df.selectExpr("sum(id) s").collect()[0].s
 
 
+def test_compact_partitioned_keeps_null_partition_rows(spark, tmp_path):
+    """NULL is a legal Hive partition value; the slots join must be
+    null-safe or those rows are silently dropped (round-6 advice)."""
+    src = str(tmp_path / "nsrc")
+    dst = str(tmp_path / "ndst")
+    df = spark.range(0, 300).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 3 END AS grp"
+    )
+    df.repartition(4).write.parquet(src)
+    compact_parquet(spark, src, dst, partition_by=("grp",))
+    back = spark.read.parquet(dst)
+    assert back.count() == 300  # the 100 NULL-grp rows survived
+    assert back.filter("grp IS NULL").count() == 100
+    assert (
+        back.selectExpr("sum(id) s").collect()[0].s
+        == df.selectExpr("sum(id) s").collect()[0].s
+    )
+
+
 def test_dataset_bytes_skips_metadata_files(tmp_path):
     (tmp_path / "_SUCCESS").write_bytes(b"")
     (tmp_path / ".hidden.crc").write_bytes(b"xxxx")
