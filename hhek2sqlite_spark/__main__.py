@@ -3,14 +3,21 @@
 -readonly -backa``), so the conversion capability must be reachable
 without writing Python:
 
+    python -m hhek2sqlite_spark convert --optin hem.mdb --optout hem.db
+    python -m hhek2sqlite_spark convert --optin hem.db  --optout back.mdb
     python -m hhek2sqlite_spark convert --optin hem.db  --optout out_dir
     python -m hhek2sqlite_spark convert --optin out_dir --optout hem.db --indexes
 
+The first form IS the reference's actual program (MDB -> SQLite in one
+command); the second is its ``-backa`` reverse, via the pure-Python Jet
+2.0 writer (sources/jet2.py) instead of Windows/COM.
+
 Differences from the reference, by design:
 
-- Direction is inferred from the endpoints (``.db``/``.sqlite`` file vs
-  parquet directory) instead of the ``-backa`` flag; ``--backa`` is still
-  accepted as a no-op for muscle-memory parity.
+- Direction is inferred from the endpoints (``.mdb`` / ``.db``/
+  ``.sqlite`` file vs parquet directory) instead of the ``-backa``
+  flag; ``--backa`` is still accepted as a no-op for muscle-memory
+  parity.
 - ``--readonly`` is accepted for parity (S9) and is semantically
   automatic: Spark reads never mutate the source.
 - ``--indexes`` creates the 15 reverse-direction secondary indexes (S5,
@@ -32,13 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser(
         "convert",
-        help="convert between a SQLite .db file and a parquet directory "
-        "(direction inferred from the endpoints)",
+        help="convert between a Jet 2.0 .mdb file, a SQLite .db file and "
+        "a parquet directory (direction inferred from the endpoints)",
     )
     c.add_argument("--optin", required=True, metavar="SRC",
-                   help="source: .db/.sqlite file or parquet directory")
+                   help="source: .mdb/.db/.sqlite file or parquet directory")
     c.add_argument("--optout", required=True, metavar="DST",
-                   help="destination: .db/.sqlite file or parquet directory")
+                   help="destination: .mdb/.db/.sqlite file or parquet directory")
     c.add_argument("--indexes", action="store_true",
                    help="create the 15 secondary indexes on a SQLite destination (S5)")
     c.add_argument("--readonly", action="store_true",

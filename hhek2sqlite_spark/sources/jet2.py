@@ -59,8 +59,16 @@ _SYSTEM_NAMES = frozenset(
     {"Tables", "Databases", "Relationships", "MSysDb"}
 )
 
-# Column kinds for the fixed region, with their byte widths
-_FIXED_WIDTHS = {"long": 4, "currency": 8, "byte": 1, "bool": 0}
+# Column kinds for the fixed region, with their byte widths.
+# short = Access SMALLINT (2B int16), single = Access REAL (4B float32).
+_FIXED_WIDTHS = {
+    "long": 4,
+    "currency": 8,
+    "byte": 1,
+    "bool": 0,
+    "short": 2,
+    "single": 4,
+}
 
 
 class TableSchema:
@@ -73,9 +81,30 @@ class TableSchema:
         self.var = var  # [name]
 
 
-# Layouts verified against GOTEST1.MDB's actual bytes (fixed-column
-# storage order differs from CREATE TABLE order; see module docstring).
-# Tables absent here still get row counts and raw decode.
+# Physical layouts for all 10 HHEK tables.
+#
+# Six are verified against GOTEST1.MDB's actual bytes (round 6). The
+# observed storage rule across every one of them: take the REAL HHEK
+# database's column order (the Access SQL export in the reference's
+# dbinfo.txt:15-160, which reflects on-disk table order), keep the
+# fixed-width (non-text) columns first IN THAT RELATIVE ORDER, then the
+# var-length (text/memo) columns in that relative order. Note this is
+# NOT the reference Go tool's CREATE TABLE order (hhek2sqlite.go:175
+# puts Löpnr first; the observed Transaktioner fixed order is Belopp,
+# Löpnr, Saldo, Fastöverföring — dbinfo order, refuting the Go order).
+#
+# The remaining four tables (Betalningar, LÅN, Överföringar, Budget —
+# reference column lists hhek2sqlite.go:481,1056,593,803) are DERIVED
+# from dbinfo.txt types + that learned rule, and validated by
+# writer-roundtrip (GOTEST1 has zero rows in them, so there are no real
+# bytes to diff against; a real HHEK file would be the true test).
+# Access DDL type map: MONEY->currency, COUNTER/INTEGER->long,
+# SMALLINT->short, REAL->single, BIT->bool, TEXT(n)/LONGTEXT->var.
+# LÅN's Anteckningar is a LONGTEXT (MEMO): real Jet stores long memo
+# values on separate LVAL pages with a 12-byte pointer in the var slot;
+# this module handles INLINE memo text only (fine for roundtrip and for
+# short notes) and makes no claim about LVAL decoding — see
+# _decode_row's honesty note.
 HHEK_SCHEMAS = {
     "Personer": TableSchema(
         [("Löpnr", "long")], ["Namn", "Född", "Kön"]
@@ -106,6 +135,90 @@ HHEK_SCHEMAS = {
         ],
         ["KontoNummer", "Benämning", "StartManad", "ArsskifteManad"],
     ),
+    # --- derived layouts (round 7): dbinfo.txt order + the learned
+    # fixed-then-var partition rule; writer-roundtrip-validated ---
+    "Betalningar": TableSchema(
+        [
+            ("Belopp", "currency"),
+            ("Löpnr", "long"),
+            ("Ranta", "currency"),
+            ("FastAmort", "currency"),
+            ("RorligAmort", "currency"),
+            ("OvrUtg", "currency"),
+            ("LanLopnr", "long"),
+        ],
+        ["FrånKonto", "TillPlats", "Typ", "Datum", "Vad", "Vem", "Text", "Grey"],
+    ),
+    "LÅN": TableSchema(
+        [
+            ("TotLanebelopp", "currency"),
+            ("AktLaneskuld", "currency"),
+            ("RorligDel", "currency"),
+            ("FastDel", "currency"),
+            ("FastRanta", "single"),
+            ("RorligRanta", "single"),
+            ("Ranta", "currency"),
+            ("FastAmort", "currency"),
+            ("RorligAmort", "currency"),
+            ("OvrUtg", "currency"),
+            ("Löpnr", "long"),
+        ],
+        [
+            "Langivare",
+            "EgenBeskrivn",
+            "LanNummer",
+            "StartDatum",
+            "RegDatum",
+            "RantJustDatum",
+            "SlutBetDatum",
+            "HurOfta",
+            "Rakning",
+            "Vem",
+            "FrånKonto",
+            "Grey",
+            "Anteckningar",  # MEMO: inline text only, see header note
+            "BudgetRanta",
+            "BudgetAmort",
+            "BudgetOvriga",
+        ],
+    ),
+    "Överföringar": TableSchema(
+        [
+            ("Belopp", "currency"),
+            ("Löpnr", "long"),
+            ("Kontrollnr", "long"),
+        ],
+        [
+            "FrånKonto",
+            "TillKonto",
+            "Datum",
+            "HurOfta",
+            "Vad",
+            "Vem",
+            "TillDatum",
+            "Rakning",
+        ],
+    ),
+    "Budget": TableSchema(
+        [
+            ("HurOfta", "short"),
+            ("Jan", "currency"),
+            ("Feb", "currency"),
+            ("Mar", "currency"),
+            ("Apr", "currency"),
+            ("Maj", "currency"),
+            ("Jun", "currency"),
+            ("Jul", "currency"),
+            ("Aug", "currency"),
+            ("Sep", "currency"),
+            ("Okt", "currency"),
+            ("Nov", "currency"),
+            ("Dec", "currency"),
+            ("Kontrollnr", "long"),
+            ("Löpnr", "long"),
+        ],
+        ["Typ", "Inkomst", "StartMånad"],
+    ),
 }
 
 
@@ -116,7 +229,16 @@ def _decode_row(buf: bytes, schema: TableSchema | None):
     n_var = buf[3]
     end = len(buf)
     mask_len = (n_fixed + 7) // 8 if n_fixed else 0
-    mask = int.from_bytes(buf[end - mask_len : end], "little") if mask_len else 0
+    # The bitmap's BYTES are stored in reverse order — the trailer is
+    # written back-to-front, like the var offsets. Verified against
+    # GOTEST1's Budget rows (15 fixed cols -> 2 mask bytes "5f ff":
+    # reversed it reads cols 0-12 present / Kontrollnr NULL / Löpnr
+    # present, matching the months-all-0.00 + junk-bytes-under-
+    # Kontrollnr + Löpnr=1..34 the data shows; unreversed it claimed
+    # the implausible "Maj and Jul NULL among zero-valued months").
+    # All six round-6 tables have <=8 fixed cols (1 mask byte), where
+    # the orders coincide — Budget is the disambiguating fixture.
+    mask = int.from_bytes(buf[end - mask_len : end], "big") if mask_len else 0
     end -= mask_len
     trailer_n_var = buf[end - 1]
     if trailer_n_var != n_var:
@@ -125,6 +247,18 @@ def _decode_row(buf: bytes, schema: TableSchema | None):
     # n_var+1 bounds; the LAST trailer byte is the FIRST (lowest) bound,
     # so reading backward already yields ascending order
     bounds = [buf[end - 1 - i] for i in range(n_var + 1)]
+    # the var region must end exactly where the offset table begins and
+    # the bounds must ascend; a >255-byte row (long-row encoding, not
+    # reverse-engineerable from the fixture — see _encode_row) or any
+    # other misparse breaks this invariant. Garbage values would be
+    # silently decoded otherwise.
+    if bounds[-1] != end - (n_var + 1) or any(
+        bounds[i] > bounds[i + 1] for i in range(n_var)
+    ):
+        raise ValueError(
+            "row var-offset table inconsistent with trailer position — "
+            "likely a long-row (>255B) encoding this reader does not support"
+        )
     var_vals = [
         buf[bounds[i] : bounds[i + 1]].decode("cp1252") for i in range(n_var)
     ]
@@ -152,6 +286,10 @@ def _decode_row(buf: bytes, schema: TableSchema | None):
             out[name] = None
         elif kind == "long":
             out[name] = struct.unpack("<i", raw)[0]
+        elif kind == "short":
+            out[name] = struct.unpack("<h", raw)[0]
+        elif kind == "single":
+            out[name] = struct.unpack("<f", raw)[0]
         elif kind == "byte":
             out[name] = raw[0]
         else:  # currency: int64 of 1/10000ths, exact decimal
@@ -207,31 +345,53 @@ class Jet2File:
         return [_decode_row(r, schema) for r in self._raw_rows(self.tables[table])]
 
 
-def jet2_table(spark, path: str, table: str):
-    """Read one HHEK table from a Jet 2.0 .mdb into a Spark DataFrame
-    (driver-side materialization — ingest edge, see module docstring).
-    Currency -> DecimalType(19,4), Long -> int, Bool -> boolean, text
-    (cp1252-decoded) -> string."""
+def _spark_schema_for(schema: TableSchema):
+    """Spark StructType for a physical layout: Currency ->
+    DecimalType(19,4), Long -> int, SMALLINT -> short, REAL -> float,
+    Bool -> boolean, text (cp1252-decoded) -> string."""
     from pyspark.sql import types as T
 
+    kinds = {
+        "long": T.IntegerType(),
+        "short": T.ShortType(),
+        "single": T.FloatType(),
+        "byte": T.IntegerType(),
+        "bool": T.BooleanType(),
+        "currency": T.DecimalType(19, 4),
+    }
+    spark_fields = [
+        T.StructField(name, kinds[kind], True) for name, kind in schema.fixed
+    ]
+    spark_fields += [T.StructField(name, T.StringType(), True) for name in schema.var]
+    return T.StructType(spark_fields)
+
+
+def _table_df(spark, f: "Jet2File", table: str):
     schema = HHEK_SCHEMAS.get(table)
     if schema is None:
         raise ValueError(f"no verified physical layout for table {table!r}")
-    rows = Jet2File(path).read_rows(table, schema)
-    spark_fields = []
-    for name, kind in schema.fixed:
-        dt = {
-            "long": T.IntegerType(),
-            "byte": T.IntegerType(),
-            "bool": T.BooleanType(),
-            "currency": T.DecimalType(19, 4),
-        }[kind]
-        spark_fields.append(T.StructField(name, dt, True))
-    for name in schema.var:
-        spark_fields.append(T.StructField(name, T.StringType(), True))
-    st = T.StructType(spark_fields)
-    ordered = [tuple(r[f.name] for f in st.fields) for r in rows]
+    rows = f.read_rows(table, schema)
+    st = _spark_schema_for(schema)
+    ordered = [tuple(r[fld.name] for fld in st.fields) for r in rows]
     return spark.createDataFrame(ordered, st)
+
+
+def jet2_table(spark, path: str, table: str):
+    """Read one HHEK table from a Jet 2.0 .mdb into a Spark DataFrame
+    (driver-side materialization — ingest edge, see module docstring)."""
+    return _table_df(spark, Jet2File(path), table)
+
+
+def jet2_read_database(spark, path: str):
+    """Read every layout-registered table from a .mdb: one parse of the
+    file, one typed DataFrame per table (the forward half of the
+    reference's ``konvertera``, hhek2sqlite.go:1230-1299)."""
+    f = Jet2File(path)
+    return {
+        name: _table_df(spark, f, name)
+        for name in f.tables
+        if name in HHEK_SCHEMAS
+    }
 
 
 def default_mdb_path() -> str | None:
@@ -271,9 +431,12 @@ def _encode_row(schema: TableSchema, row: dict) -> bytes:
             continue
         if v is not None:
             mask |= 1 << i
-        w = _FIXED_WIDTHS[kind]
         if kind == "long":
             fixed += struct.pack("<i", int(v) if v is not None else 0)
+        elif kind == "short":
+            fixed += struct.pack("<h", int(v) if v is not None else 0)
+        elif kind == "single":
+            fixed += struct.pack("<f", float(v) if v is not None else 0.0)
         elif kind == "byte":
             fixed += bytes([int(v) & 0xFF if v is not None else 0])
         else:  # currency
@@ -293,14 +456,28 @@ def _encode_row(schema: TableSchema, row: dict) -> bytes:
         body += vb
         bounds.append(len(body))
     if bounds[-1] > 255:
-        raise ValueError("row exceeds 255 bytes (u8 var-offset format)")
+        # Documented cap, not an implementation shortcut: the trailer
+        # var-offset bytes observed in GOTEST1.MDB are u8, so a row
+        # whose var region ends past byte 255 is unrepresentable in the
+        # verified format. Real Jet has a long-row encoding (Jet 3
+        # documents u8 offsets + jump tables), but GOTEST1 contains no
+        # long rows to reverse-engineer Jet 2.0's variant from, and
+        # inventing one would silently corrupt data. All-maximal HHEK
+        # rows (e.g. Betalningar with every TEXT at declared width) can
+        # exceed this; typical rows don't. Fail loudly instead.
+        raise ValueError(
+            f"row is {bounds[-1]} bytes; the verified Jet 2.0 row format "
+            "(u8 var offsets) caps rows at 255 bytes — long-row encoding "
+            "is not reverse-engineerable from the available fixture"
+        )
     # trailer: offsets with the LAST byte the FIRST bound, then n_var,
     # then the fixed-column bitmap
     for b in reversed(bounds):
         body.append(b)
     body.append(n_var)
     mask_len = (n_fixed + 7) // 8 if n_fixed else 0
-    body += mask.to_bytes(mask_len, "little")
+    # reversed byte order, matching the reader (see _decode_row)
+    body += mask.to_bytes(mask_len, "big")
     struct.pack_into("<H", body, 0, len(body))
     return bytes(body)
 
@@ -400,3 +577,21 @@ def jet2_write_table(df, path: str, table: str) -> int:
     rows = [r.asDict() for r in df.collect()]
     write_jet2(path, {table: (schema, rows)})
     return len(rows)
+
+
+def jet2_write_database(tables: dict, path: str) -> dict:
+    """{name: DataFrame} -> one multi-table .mdb (the reverse half of
+    the reference's ``konvertera -backa``). Money columns must arrive as
+    exact Decimals (the SQLite reader re-quantizes; parquet carries
+    DecimalType natively). Returns {name: rows written}."""
+    payload = {}
+    counts = {}
+    for name, df in tables.items():
+        schema = HHEK_SCHEMAS.get(name)
+        if schema is None:
+            raise ValueError(f"no verified physical layout for table {name!r}")
+        rows = [r.asDict() for r in df.collect()]
+        payload[name] = (schema, rows)
+        counts[name] = len(rows)
+    write_jet2(path, payload)
+    return counts

@@ -179,22 +179,42 @@ def convert(
     reimagined (/root/reference/hhek2sqlite.go:1230-1299): direction is
     inferred from the endpoints instead of a ``-backa`` flag.
 
+    - ``.mdb -> .db`` : Jet 2.0 MDB -> SQLite (the reference's actual
+      program, hhek2sqlite.go:1205,1230,1287-1296)
+    - ``.db -> .mdb`` : the reverse (``-backa``), via the Jet writer
     - ``.db -> dir``  : SQLite -> Parquet (one subdir per table)
     - ``dir -> .db``  : Parquet -> SQLite
-    - ``.db -> .db``  : SQLite -> SQLite roundtrip
+    - any combination of the three endpoint kinds works the same way
     """
-    src_is_db = src.endswith(".db") or src.endswith(".sqlite")
-    dst_is_db = dst.endswith(".db") or dst.endswith(".sqlite")
-    tables = (
-        read_database(spark, src)
-        if src_is_db
-        else {
+    from hhek2sqlite_spark.sources.jet2 import (
+        jet2_read_database,
+        jet2_write_database,
+    )
+
+    def _kind(p: str) -> str:
+        low = p.lower()
+        if low.endswith(".mdb"):
+            return "mdb"
+        if low.endswith(".db") or low.endswith(".sqlite"):
+            return "sqlite"
+        return "parquet"
+
+    src_kind, dst_kind = _kind(src), _kind(dst)
+    if src_kind == "mdb":
+        tables = jet2_read_database(spark, src)
+    elif src_kind == "sqlite":
+        tables = read_database(spark, src)
+    else:
+        tables = {
             name: spark.read.parquet(os.path.join(src, name))
             for name in COPY_ORDER
             if os.path.exists(os.path.join(src, name))
         }
-    )
-    if dst_is_db:
+    # stable reference copy order for the write side
+    tables = {name: tables[name] for name in COPY_ORDER if name in tables}
+    if dst_kind == "mdb":
+        return jet2_write_database(tables, dst)
+    if dst_kind == "sqlite":
         return write_database(tables, dst, create_indexes=create_indexes)
     counts = {}
     for name, df in tables.items():

@@ -44,6 +44,81 @@ def test_cli_roundtrip(spark, tmp_path):
     assert "Personer_idxNamn" in idx and "Platser_idxNamn" in idx
 
 
+def test_cli_mdb_to_sqlite_passes_checkdb1(spark, tmp_path):
+    """The reference's actual program end-to-end: convert GOTEST1.MDB to
+    SQLite in one CLI command and assert the FULL checkDB1 set
+    (/root/reference/db_test.go:150-320) against the SQLite output, then
+    convert back to .mdb (-backa direction) and re-check counts there."""
+    import sqlite3
+
+    from hhek2sqlite_spark.sources.jet2 import Jet2File, default_mdb_path
+
+    mdb = default_mdb_path()
+    if mdb is None:  # fixture not present in this checkout
+        import pytest
+
+        pytest.skip("GOTEST1.MDB not available")
+    out_db = str(tmp_path / "gotest1.db")
+    assert main(["convert", "--optin", mdb, "--optout", out_db]) == 0
+
+    con = sqlite3.connect(out_db)
+    q = lambda sql: con.execute(sql).fetchall()  # noqa: E731
+    # row counts (Gemensamt auto-created => 3 persons)
+    assert q('SELECT COUNT(*) FROM "Personer"')[0][0] == 3
+    assert q('SELECT COUNT(*) FROM "Platser"')[0][0] == 1
+    assert q('SELECT COUNT(*) FROM "Transaktioner"')[0][0] == 3
+    # persons 1-3: (namn, född, kön)
+    pers = q('SELECT "Namn","Född","Kön" FROM "Personer" ORDER BY "Löpnr"')
+    assert pers[0][0] == "Gemensamt" and pers[0][2] == "Gemensamt"
+    assert not (pers[0][1] or "").strip("0")  # birth 0/empty
+    # Född travels TEXT(4)-in-Jet -> INTEGER-in-SQLite, the reference's
+    # own dialect coercion (hhek2sqlite.go:84 vs :106)
+    assert pers[1] == ("Person Ett", 1999, "Man")
+    assert pers[2] == ("Person Två", 2001, "Kvinna")
+    # plats 1
+    assert q('SELECT "Namn" FROM "Platser" WHERE "Löpnr"=1')[0][0] == "Plats Ett"
+    # transactions 1-3: typ, från, till, vad, datum, vem, summa, text, fast
+    tx = q(
+        'SELECT "Typ","FrånKonto","TillKonto","Vad","Datum","Vem",'
+        '"Belopp","Text","Fastöverföring" FROM "Transaktioner" ORDER BY "Löpnr"'
+    )
+    assert tx[0][:6] == (
+        "Insättning", "---", "Plånboken", "Studiestöd", "2020-12-24", "Gemensamt"
+    )
+    assert float(tx[0][6]) == 1.1 and tx[0][7] == "En transaktion" and tx[0][8] == 0
+    assert tx[1][:6] == (
+        "Inköp", "Plånboken", "Plats Ett", "Livsmedel", "2020-12-24", "Person Ett"
+    )
+    assert float(tx[1][6]) == 0.1 and tx[1][7] == "Tom € räksmörgås" and tx[1][8] == 0
+    assert tx[2][:6] == (
+        "Inköp", "Plånboken", "Plats Ett", "Livsmedel", "2020-12-24", "Person Två"
+    )
+    assert float(tx[2][6]) == 0.1 and tx[2][7] == "Tom € RÄKSMÖRGÅS" and tx[2][8] == 0
+    # golden saldo (db_test.go checkDB1's Konton assertion)
+    assert float(q('SELECT "Saldo" FROM "Konton"')[0][0]) == 0.9
+    # the 34 default budget rows travelled too (derived layout)
+    assert q('SELECT COUNT(*) FROM "Budget"')[0][0] == 34
+    con.close()
+
+    # reverse direction (-backa): SQLite -> fresh .mdb, re-read with the
+    # independent Jet reader — the reference's double-conversion recheck
+    back_mdb = str(tmp_path / "gotest1b.mdb")
+    assert main(["convert", "--optin", out_db, "--optout", back_mdb]) == 0
+    f = Jet2File(back_mdb)
+    assert f.row_count("Personer") == 3
+    assert f.row_count("Platser") == 1
+    assert f.row_count("Transaktioner") == 3
+    assert f.row_count("Budget") == 34
+    from decimal import Decimal
+
+    (konto,) = f.read_rows("Konton")
+    assert konto["Saldo"] == Decimal("0.9000")
+    names = {r["Namn"] for r in f.read_rows("Personer")}
+    assert names == {"Gemensamt", "Person Ett", "Person Två"}
+    texts = {r["Text"] for r in f.read_rows("Transaktioner")}
+    assert {"Tom € räksmörgås", "Tom € RÄKSMÖRGÅS", "En transaktion"} == texts
+
+
 def test_cli_rejects_missing_args(capsys):
     parser = build_parser()
     try:

@@ -136,17 +136,43 @@ def test_jet2_table_schema_types(spark):
     assert df.count() == 3
 
 
-def test_unregistered_table_raw_decode(mdb):
-    # Budget has no verified fixed layout; raw decode still works and
-    # the default HHEK budget entries are present
-    raw = mdb.read_rows("Budget")
-    assert len(raw) == mdb.row_count("Budget") > 0
-    all_var = {v for r in raw for v in r["_var"]}
+def test_budget_layout_verified_against_real_bytes(mdb):
+    """Budget's derived layout (round 7) decodes GOTEST1's 34 default
+    budget entries coherently: this is the fixture that DISAMBIGUATED
+    the reversed null-bitmap byte order (15 fixed cols -> 2 mask
+    bytes) — all months present at 0.00, Kontrollnr NULL over junk
+    bytes, Löpnr a clean 1..34 sequence."""
+    from decimal import Decimal
+
+    rows = mdb.read_rows("Budget")
+    assert len(rows) == mdb.row_count("Budget") == 34
+    assert sorted(r["Löpnr"] for r in rows) == list(range(1, 35))
+    assert all(r["Kontrollnr"] is None for r in rows)
+    months = ("Jan", "Feb", "Mar", "Apr", "Maj", "Jun",
+              "Jul", "Aug", "Sep", "Okt", "Nov", "Dec")
+    assert all(r[m] == Decimal("0") for r in rows for m in months)
+    assert {r["Inkomst"] for r in rows} == {"J", "N"}
+    assert "Lön efter skatt" in {r["Typ"] for r in rows}
+    assert all(r["HurOfta"] == 1 for r in rows)
+
+
+def test_raw_decode_unregistered_layout(mdb):
+    # schema-less decode still works on any table's raw rows
+    from hhek2sqlite_spark.sources.jet2 import _decode_row
+
+    raws = [
+        _decode_row(r, None) for r in mdb._raw_rows(mdb.tables["Budget"])
+    ]
+    assert len(raws) == 34
+    all_var = {v for r in raws for v in r["_var"]}
     assert "Lön efter skatt" in all_var
 
 
-def test_schemas_cover_the_checkdb1_tables():
-    assert {"Personer", "Platser", "Transaktioner", "Konton"} <= set(HHEK_SCHEMAS)
+def test_schemas_cover_all_ten_hhek_tables():
+    assert set(HHEK_SCHEMAS) == {
+        "Personer", "Platser", "BetalKonton", "DtbVer", "Transaktioner",
+        "Konton", "Betalningar", "LÅN", "Överföringar", "Budget",
+    }
 
 
 # writer (S8 closure) --------------------------------------------------------
@@ -211,6 +237,123 @@ def test_write_jet2_multipage_table(tmp_path):
     assert f.read_rows("Personer") == rows
     # genuinely multi-page (each row ~30B; 200 rows > one page)
     assert len(f._pages_by_tdef[f.tables["Personer"]]) >= 3
+
+
+# derived layouts (round 7): writer-roundtrip validation ---------------------
+
+
+def _roundtrip(tmp_path, table, rows):
+    from hhek2sqlite_spark.sources.jet2 import write_jet2
+
+    p = str(tmp_path / f"{table}.mdb")
+    write_jet2(p, {table: (HHEK_SCHEMAS[table], rows)})
+    return Jet2File(p).read_rows(table)
+
+
+def test_betalningar_roundtrip(tmp_path):
+    rows = [
+        {
+            "Belopp": Decimal("-1234.5600"),
+            "Löpnr": 1,
+            "Ranta": Decimal("12.0000"),
+            "FastAmort": None,
+            "RorligAmort": Decimal("0.0000"),
+            "OvrUtg": Decimal("3.2100"),
+            "LanLopnr": 7,
+            "FrånKonto": "Lönekonto",
+            "TillPlats": "Banken",
+            "Typ": "Lån",
+            "Datum": "2021-03-31",
+            "Vad": "Räntebetalning",
+            "Vem": "Åsa",
+            "Text": "kvartalsränta",
+            "Grey": "",
+        },
+        {
+            "Belopp": Decimal("0.0100"),
+            "Löpnr": 2,
+            "Ranta": None,
+            "FastAmort": Decimal("100.0000"),
+            "RorligAmort": None,
+            "OvrUtg": None,
+            "LanLopnr": None,
+            "FrånKonto": "X",
+            "TillPlats": "Y",
+            "Typ": "",
+            "Datum": "2021-04-01",
+            "Vad": "",
+            "Vem": "",
+            "Text": "",
+            "Grey": "GG",
+        },
+    ]
+    assert _roundtrip(tmp_path, "Betalningar", rows) == rows
+
+
+def test_lan_roundtrip_with_single_and_memo(tmp_path):
+    import struct
+
+    rows = [
+        {
+            "TotLanebelopp": Decimal("1500000.0000"),
+            "AktLaneskuld": Decimal("1234567.8900"),
+            "RorligDel": Decimal("500000.0000"),
+            "FastDel": Decimal("1000000.0000"),
+            # float32-representable values roundtrip exactly
+            "FastRanta": struct.unpack("<f", struct.pack("<f", 3.25))[0],
+            "RorligRanta": struct.unpack("<f", struct.pack("<f", 4.5))[0],
+            "Ranta": Decimal("4062.5000"),
+            "FastAmort": Decimal("2000.0000"),
+            "RorligAmort": None,
+            "OvrUtg": Decimal("0.0000"),
+            "Löpnr": 1,
+            "Langivare": "SBAB",
+            "EgenBeskrivn": "Bolån",
+            "LanNummer": "123-456-789",
+            "StartDatum": "2020-01-01",
+            "RegDatum": "2020-01-02",
+            "RantJustDatum": "2025-01-01",
+            "SlutBetDatum": "2060-01-01",
+            "HurOfta": "M",
+            "Rakning": "J",
+            "Vem": "Åsa & Örjan",
+            "FrånKonto": "Lönekonto",
+            "Grey": "",
+            "Anteckningar": "kort inline-anteckning",  # MEMO inline text
+            "BudgetRanta": "4100",
+            "BudgetAmort": "2000",
+            "BudgetOvriga": "",
+        }
+    ]
+    assert _roundtrip(tmp_path, "LÅN", rows) == rows
+
+
+def test_overforingar_roundtrip(tmp_path):
+    rows = [
+        {
+            "Belopp": Decimal("500.0000"),
+            "Löpnr": i,
+            "Kontrollnr": None if i % 2 else i * 10,
+            "FrånKonto": "Lönekonto",
+            "TillKonto": "Sparkonto",
+            "Datum": "2021-01-25",
+            "HurOfta": "Månadsvis",
+            "Vad": "Sparande",
+            "Vem": "Åsa",
+            "TillDatum": "",
+            "Rakning": "N",
+        }
+        for i in range(1, 8)
+    ]
+    assert _roundtrip(tmp_path, "Överföringar", rows) == rows
+
+
+def test_budget_roundtrip_of_real_fixture_rows(mdb, tmp_path):
+    """The strongest validation available for a derived layout: re-encode
+    the REAL 34 GOTEST1 Budget rows (15 fixed cols -> 2-byte reversed
+    null bitmap) and decode them back value-identically."""
+    rows = mdb.read_rows("Budget")
+    assert _roundtrip(tmp_path, "Budget", rows) == rows
 
 
 def test_spark_reverse_conversion_to_mdb(spark, tmp_path):
