@@ -205,18 +205,39 @@ def sample_frames(
     decoder: str = "stub",
 ) -> DataFrame:
     """Frame-sampling plumbing: one-to-MANY mapInPandas fan-out (each
-    payload yields every_nth-th fixed-width 'frame'). The fan-out-inside-
-    Arrow-batches shape is what a real video sampler produces; only the
-    container parsing is stubbed/faked."""
+    payload yields every_nth-th 'frame').
+
+    decoder='avi' (round 7) demuxes REAL uncompressed-AVI container
+    bytes via the independent RIFF walker (avi_decode below) — each
+    emitted frame is the raw '00db' DIB chunk. decoder='fake' remains
+    the fixed-width splitter for payloads that are NOT real containers;
+    'stub' raises honestly for formats needing absent codec libraries
+    (compressed video: av/ffmpeg)."""
 
     if decoder == "stub":
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raise NotImplementedError(
-                "video demux requires av/ffmpeg; use decoder='fake' for the "
-                "plumbing path"
+                "compressed-video demux requires av/ffmpeg; use "
+                "decoder='avi' for real uncompressed AVI payloads or "
+                "decoder='fake' for the plumbing path"
             )
             yield  # pragma: no cover
+
+    elif decoder == "avi":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                    chunks = _avi_frame_chunks(bytes(b or b""))
+                    for k in range(0, len(chunks), every_nth):
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        frames.append(chunks[k])
+                yield pd.DataFrame(
+                    {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+                )
 
     elif decoder == "fake":
 
@@ -680,3 +701,241 @@ def audio_sample_stats(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video container (round 7): uncompressed AVI (RIFF, like WAV)
+# carrying raw 24-bit BGR 'DIB ' frames — completing the image/audio/
+# video triad with the same independent-implementations trick: the
+# encoder composes the RIFF tree forward with explicit struct fields;
+# the decoder is a generic RIFF chunk walker that shares no code with
+# it, so a container bug cannot cancel out. Frames are stored exactly
+# as Video-for-Windows stores uncompressed DIBs: bottom-up rows with
+# 4-byte stride padding (the same two traps as BMP).
+# ---------------------------------------------------------------------------
+
+
+def avi_encode(
+    frames: list[list[list[tuple[int, int, int]]]], *, fps: int = 25
+) -> bytes:
+    """Minimal spec-conformant uncompressed AVI. ``frames[f][y][x] =
+    (b, g, r)`` with y=0 the TOP row. Emits RIFF('AVI ') > LIST(hdrl)
+    [avih + LIST(strl)[strh 'vids'/'DIB ' + strf BITMAPINFOHEADER]] +
+    LIST(movi)['00db' per frame] + idx1."""
+    n = len(frames)
+    h = len(frames[0]) if n else 0
+    w = len(frames[0][0]) if h else 0
+    stride = (w * 3 + 3) & ~3
+    frame_sz = stride * h
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    frame_blobs = []
+    for fr in frames:
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up, like BMP
+            line = bytearray()
+            for b, g, r in fr[y]:
+                line += bytes((b, g, r))
+            line += bytes(stride - len(line))
+            body += line
+        frame_blobs.append(bytes(body))
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        frame_sz * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # scale / rate => fps
+        0, n, frame_sz, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00db", fb) for fb in frame_blobs)
+    movi = lst(b"movi", movi_payload)
+    # idx1: one entry per frame (offset from start of movi's 'movi' tag)
+    idx = bytearray()
+    off = 4
+    for fb in frame_blobs:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(fb))
+        off += 8 + len(fb) + (len(fb) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(
+    data: bytes,
+) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
+    """Independent AVI parser: generic RIFF walk (no code shared with
+    avi_encode), validates the stream is uncompressed 24-bit 'vids',
+    returns (width, height, frames) with frames[f][y][x] = (b, g, r),
+    y=0 top. Raises on any other AVI flavor."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            payload_start = pos + 8
+            if tag == b"LIST":
+                kind = buf[payload_start : payload_start + 4]
+                yield kind, payload_start + 4, payload_start + ln
+                yield from walk(buf, payload_start + 4, payload_start + ln)
+            else:
+                yield tag, payload_start, payload_start + ln
+            pos = payload_start + ln + (ln & 1)
+
+    w = h = None
+    bitcount = compression = None
+    frame_bytes: list[bytes] = []
+    for tag, start, end in walk(data, 12, len(data)):
+        if tag == b"avih":
+            w, h = struct.unpack_from("<II", data, start + 32)
+        elif tag == b"strf":
+            _, _, _, _, bitcount, compression = struct.unpack_from(
+                "<IiiHHI", data, start
+            )
+        elif tag in (b"00db", b"00dc"):
+            frame_bytes.append(data[start:end])
+    if w is None or bitcount is None:
+        raise ValueError("missing avih/strf header")
+    if bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported AVI: bitcount={bitcount} compression={compression} "
+            "(only uncompressed 24-bit DIB streams)"
+        )
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for fb in frame_bytes:
+        if len(fb) < stride * h:
+            raise ValueError("short frame chunk")
+        rows = []
+        for y in range(h - 1, -1, -1):  # stored bottom-up
+            base = y * stride
+            rows.append(
+                [tuple(fb[base + 3 * x : base + 3 * x + 3]) for x in range(w)]
+            )
+        frames.append(rows)
+    return w, h, frames
+
+
+def _avi_frame_chunks(data: bytes) -> list[bytes]:
+    """Raw '00db'/'00dc' frame chunks in stream order (for the
+    sample_frames fan-out, which wants bytes, not decoded pixels)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    out = []
+    stack = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            start = pos + 8
+            if tag == b"LIST":
+                stack.append((start + 4, start + ln))
+            elif tag in (b"00db", b"00dc"):
+                out.append(data[start : start + ln])
+            pos = start + ln + (ln & 1)
+    return out
+
+
+def _synth_video_frames(doc_id: int) -> list[list[list[tuple[int, int, int]]]]:
+    """Analytic frame pattern (triad twin of _synth_pixel_rows /
+    _synth_audio): every channel value is an integer function of
+    (doc_id, frame, x, y), so the SQL oracle computes decoded-frame
+    statistics without parsing RIFF."""
+    w = 4 + doc_id % 3
+    h = 2 + doc_id % 2
+    n = 2 + doc_id % 3
+    frames = []
+    for f in range(n):
+        rows = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                b = (doc_id * 31 + f * 19 + x * 7 + y * 13) % 256
+                row.append((b, (b + 85) % 256, (b + 170) % 256))
+            rows.append(row)
+        frames.append(rows)
+    return frames
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_moment", LongType()),
+    ]
+)
+
+
+def synthesize_videos(documents: DataFrame) -> DataFrame:
+    """One real uncompressed AVI per document (dims and frame count
+    varying by doc_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                avi_encode(_synth_video_frames(int(doc_id)))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, IMAGE_SCHEMA)
+
+
+def video_frame_stats(videos: DataFrame, *, every_nth: int = 2) -> DataFrame:
+    """Decode real AVI bytes with the independent parser and emit one
+    row per SAMPLED frame (every_nth-th, the frame-sampling fan-out
+    shape): per-frame pixel sum over all channels plus the
+    order-sensitive moment sum((y*w + x) * blue) — the moment varies
+    per frame through the synthesis formula, so a frame-indexing bug
+    (off-by-one demux, wrong chunk order) breaks parity even where
+    whole-video sums would not."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "n_frames",
+                "px_sum", "px_moment",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = avi_decode(bytes(payload))
+                for f in range(0, len(frames), every_nth):
+                    rows = frames[f]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(len(frames))
+                    out["px_sum"].append(
+                        sum(v for row in rows for px in row for v in px)
+                    )
+                    out["px_moment"].append(
+                        sum(
+                            (y * w + x) * rows[y][x][0]
+                            for y in range(h)
+                            for x in range(w)
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, VIDEO_STATS_SCHEMA)

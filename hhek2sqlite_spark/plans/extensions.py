@@ -1236,6 +1236,54 @@ GROUP BY smp.doc_id
 """
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container decode (round 7, completing the image/audio/
+    video triad): per document, synthesize a genuine uncompressed AVI
+    (RIFF tree with avih/strh/strf headers and bottom-up stride-padded
+    24-bit DIB frames) whose pixels follow an analytic formula of
+    (doc_id, frame, x, y), demux+decode the bytes with the INDEPENDENT
+    RIFF walker (operators/multimodal.py avi_decode — no code shared
+    with the encoder), sample every 2nd frame, and emit per-frame
+    statistics. px_moment is order-sensitive within a frame and the
+    formula varies per frame, so stride, row-order, chunk-order and
+    frame-indexing bugs all break parity."""
+    from hhek2sqlite_spark.operators.multimodal import (
+        synthesize_videos,
+        video_frame_stats,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return video_frame_stats(synthesize_videos(docs), every_nth=2)
+
+
+SQL_VIDEO_FRAME_STATS = """
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 3 AS w,
+           2 + doc_id % 2 AS h,
+           2 + doc_id % 3 AS n
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, n, f, x, y,
+           (doc_id * 31 + f * 19 + x * 7 + y * 13) % 256 AS b
+    FROM dims,
+         LATERAL unnest(generate_series(0, n - 1)) uf(f),
+         LATERAL unnest(generate_series(0, w - 1)) ux(x),
+         LATERAL unnest(generate_series(0, h - 1)) uy(y)
+    WHERE f % 2 = 0
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(n) AS BIGINT) AS n_frames,
+       CAST(SUM(b + (b + 85) % 256 + (b + 170) % 256) AS BIGINT) AS px_sum,
+       CAST(SUM((y * w + x) * b) AS BIGINT) AS px_moment
+FROM px GROUP BY doc_id, f
+"""
+
+
 SQL_IMAGE_PIXEL_STATS = """
 WITH dims AS (
     SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h FROM documents
@@ -2148,6 +2196,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "image_pixel_stats": q_image_pixel_stats,
     "audio_sample_stats": q_audio_sample_stats,
+    "video_frame_stats": q_video_frame_stats,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "user_activity": q_user_activity,
@@ -2208,6 +2257,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "image_pixel_stats": SQL_IMAGE_PIXEL_STATS,
     "audio_sample_stats": SQL_AUDIO_SAMPLE_STATS,
+    "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sliding": SQL_EVENTS_SLIDING,
     "user_activity": SQL_USER_ACTIVITY,

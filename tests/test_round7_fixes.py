@@ -98,6 +98,36 @@ def test_lsh_zero_norm_vectors_never_pair(spark):
     assert all(r.sim_e6 >= 400_000 for r in got)
 
 
+def test_sample_frames_avi_demuxes_real_container(spark):
+    """The frame-sampling fan-out over REAL uncompressed-AVI bytes: the
+    fake fixed-width splitter is retired for container payloads."""
+    from hhek2sqlite_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    videos = mm.synthesize_videos(docs)
+    got = mm.sample_frames(videos, every_nth=2, decoder="avi").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        n = 2 + doc_id % 3
+        assert sorted(r.frame_idx for r in rows) == list(range(0, n, 2))
+        w, h = 4 + doc_id % 3, 2 + doc_id % 2
+        stride = (w * 3 + 3) & ~3
+        assert all(len(r.frame) == stride * h for r in rows)
+    # and the decoded-stats operator agrees with the analytic formula
+    stats = mm.video_frame_stats(videos, every_nth=2).collect()
+    for r in stats:
+        w, h = 4 + r.doc_id % 3, 2 + r.doc_id % 2
+        expect = sum(
+            (y * w + x)
+            * ((r.doc_id * 31 + r.frame_idx * 19 + x * 7 + y * 13) % 256)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert r.px_moment == expect
+
+
 def test_raw_decode_no_var_cols_excludes_trailer():
     """Schema-less decode of a row with n_var == 0 must bound the fixed
     slice at the trailer start, not the buffer end."""
