@@ -289,6 +289,116 @@ def pack_chunks(
     )
 
 
+def epoch_shuffle(
+    documents: DataFrame,
+    *,
+    epoch: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch permutation: every epoch reorders
+    the corpus by md5(id || ':' || epoch), sharded so no global sort
+    exists anywhere — the epoch-shuffling step every training-data
+    loader needs, as a reproducible engine-portable artifact (same
+    epoch => same order on any engine, resume mid-epoch is a seek).
+
+    Scale shape: shard = hash % n_shards balances by construction
+    (md5 uniformity), ONE exchange on shard, and each shard sorts only
+    its own slice — the per-shard sort is the shuffle-file sort a
+    distributed sort-merge would do anyway, and shards are exactly the
+    parallel readers the training job fans out to. No skew possible:
+    the key is a hash, not data.
+
+    Emits (shard, pos, id) with pos the 0-based position within the
+    shard in hash order (doc_id tiebreak for identical hashes — md5
+    collisions are not expected but determinism must not depend on
+    that)."""
+    from pyspark.sql.window import Window
+
+    keyed = documents.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(epoch)))).alias(
+            "_k"
+        ),
+    )
+    h = F.expr("cast(conv(substring(_k, 1, 15), 16, 10) as bigint)")
+    sharded = keyed.withColumn("shard", h % n_shards)
+    w = Window.partitionBy("shard").orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    return sharded.select(
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        id_col,
+    )
+
+
+def pack_doc_chunks(
+    documents: DataFrame,
+    *,
+    size: int,
+    overlap: int,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    norm_col: str = "_norm",
+) -> DataFrame:
+    """Fused ``pack_chunks(doc_chunks(...))`` with the running sum
+    computed over DOCUMENTS instead of chunks: because every chunk but a
+    document's last is exactly ``size`` chars, a document's packed
+    extent is arithmetic in its length, so the per-shard cumulative
+    offset windows over one row per document and the chunks are exploded
+    AFTER the window. Output is row-identical to the composed operators
+    (asserted in tests).
+
+    Measured (round 7, sf0.1, interleaved): equal wall time to the
+    composed form — at 8.4k chunks both are stage-floor-bound, not
+    sort-bound. Adopted anyway for the scale shape: window sort state is
+    per-document (~size/stride x fewer rows than per-chunk), which is
+    what survives when shards carry billions of chunks."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    from pyspark.sql.window import Window
+
+    ln = F.length(norm_col).cast("long")
+    last = F.when(ln <= size, F.lit(0).cast("long")).otherwise(
+        F.floor((ln - size + (stride - 1)) / F.lit(stride)).cast("long")
+    )
+    d = (
+        documents.select(F.col(id_col), last.alias("_last"), ln.alias("_ln"))
+        .withColumn(
+            "_lastlen",
+            F.least(F.lit(size).cast("long"), F.col("_ln") - F.col("_last") * stride),
+        )
+        .withColumn("_total", F.col("_last") * size + F.col("_lastlen"))
+        .withColumn("shard", F.col(id_col) % n_shards)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_base", F.sum("_total").over(w) - F.col("_total"))
+    out = d.select(
+        "shard",
+        id_col,
+        "_last",
+        "_lastlen",
+        "_base",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_last"))).alias(
+            "chunk_idx"
+        ),
+    ).select(
+        "shard",
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.when(F.col("chunk_idx") < F.col("_last"), F.lit(size).cast("long"))
+        .otherwise(F.col("_lastlen"))
+        .alias("chunk_len"),
+        (F.col("_base") + F.col("chunk_idx") * size).alias("offset_in_shard"),
+    )
+    return out.withColumn("pack_id", F.expr(f"offset_in_shard DIV {budget}"))
+
+
 # ---------------------------------------------------------------------------
 # Intra-document repetition scoring
 # ---------------------------------------------------------------------------

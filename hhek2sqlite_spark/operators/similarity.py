@@ -406,6 +406,13 @@ def lsh_bucket_pairs(
     no-prefilter behavior. Pass ``hamming_max=None`` to restore exact
     round-5 candidate generation.
 
+    **Accepted operating point (round 7, measured)**: 34 is the
+    provably tightest zero-loss threshold at sf0.1 — None→869 result
+    pairs, 34→869, 30→849 (20 real pairs lost). The residual gap vs
+    the single-process oracle is the low-similarity operating point
+    itself (~1.1M surviving candidates for 869 true pairs at cosine
+    0.4); see BASELINE.md round-7 notes.
+
     Scale notes: tune band_bits up as N grows (bucket size ~ N/2^r drives
     the per-band join fan-out); the band equi-join shuffles on (band, key)
     only, the pair dedup shuffles Hamming-surviving id-pairs, and the

@@ -200,6 +200,50 @@ def key_skew_profile(df: DataFrame, *, key_col: str) -> DataFrame:
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
+BLOOM_M_BITS = 8192
+BLOOM_K = 5
+
+
+def bloom_sketch(
+    items: DataFrame,
+    *,
+    item_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom filter of an item stream, materialized as its SET BIT
+    positions (one row per distinct set bit) — the fourth mergeable
+    sketch next to KMV/HLL (cardinality) and CMS (frequency). Filters
+    from different partitions/days OR together, which in this
+    representation is a plain DISTINCT union; membership for x is
+    "all k of x's bits present". The reference has nothing comparable;
+    this is the standing-ingest-dedup accelerator (a new batch probes
+    the filter before paying the LEFT ANTI join against the corpus-
+    sized store — the same role Spark's runtime bloom join pruning
+    plays inside one query, here made a persistable artifact).
+
+    Hashing mirrors cms_sketch: ONE md5 per item split into two 60-bit
+    halves, bit_r = (h1 + r*h2) % m_bits (Kirsch-Mitzenmacher — the
+    two-hash scheme preserves the asymptotic false-positive rate).
+    Everything stays in int64 and both engines evaluate identical
+    arithmetic, so the bit set is oracle-pairable bit for bit.
+
+    Scale shape: one shuffle keyed by bit position with map-side
+    DISTINCT partials — the wire carries <= m_bits rows per partition
+    regardless of stream size; a hot item sets the same bits and adds
+    nothing. Output <= m_bits rows total.
+    """
+    if k > 7:
+        raise ValueError(f"k {k} would overflow int64 in r*h2")
+    staged = items.select(F.md5(F.col(item_col).cast("binary")).alias("_h"))
+    h1 = F.expr("cast(conv(substring(_h, 1, 15), 16, 10) as bigint)")
+    h2 = F.expr("cast(conv(substring(_h, 16, 15), 16, 10) as bigint)")
+    bits = F.array(*[(h1 + F.lit(r) * h2) % m_bits for r in range(k)])
+    return (
+        staged.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
 
 def cms_sketch(
     items: DataFrame,

@@ -678,6 +678,75 @@ SELECT hash_row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM cells GROUP BY hash_row, cell
 """
 
+def q_bloom_doc_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over document fingerprint keys (normalized text),
+    materialized as its set-bit positions — the persistable ingest-dedup
+    probe (a new batch tests membership before paying the LEFT ANTI
+    join against the corpus store). Mergeable: filters OR together as a
+    DISTINCT union of bit rows. Exact cross-engine arithmetic (one md5,
+    Kirsch-Mitzenmacher bit derivation), so the driver compares the bit
+    set bit for bit."""
+    from hhek2sqlite_spark.operators.stats import bloom_sketch
+    from hhek2sqlite_spark.operators.text import normalized
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    items = docs.select(normalized("text").alias("norm"))
+    return bloom_sketch(items, item_col="norm")
+
+
+def _sql_bloom_doc_bits() -> str:
+    # rendered from the SAME constants as bloom_sketch
+    from hhek2sqlite_spark.operators.stats import BLOOM_K, BLOOM_M_BITS
+
+    ks = ", ".join(str(r) for r in range(BLOOM_K))
+    return f"""
+WITH n AS (SELECT {_NORM} AS t FROM documents),
+halves AS (
+    SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS h2
+    FROM n
+)
+SELECT DISTINCT (h1 + r * h2) % {BLOOM_M_BITS} AS bit
+FROM halves, LATERAL unnest([{ks}]) u(r)
+"""
+
+
+SQL_BLOOM_DOC_BITS = _sql_bloom_doc_bits()
+
+_EPOCH = 3
+_SHUFFLE_SHARDS = 16
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch permutation of the corpus: sharded
+    hash order with within-shard positions — reproducible on any
+    engine, no global sort anywhere (operators/pipeline.py
+    epoch_shuffle)."""
+    from hhek2sqlite_spark.operators.pipeline import epoch_shuffle
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return epoch_shuffle(docs, epoch=_EPOCH, n_shards=_SHUFFLE_SHARDS)
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH k AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':' || '{_EPOCH}') AS _k
+    FROM documents
+),
+s AS (
+    SELECT doc_id, _k,
+           CAST('0x' || substr(_k, 1, 15) AS BIGINT) % {_SHUFFLE_SHARDS} AS shard
+    FROM k
+)
+SELECT shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _k, doc_id) - 1
+            AS BIGINT) AS pos,
+       doc_id
+FROM s
+"""
+
+
 _DECAY_MAX_AGE = 30
 _DECAY_UNIT_BITS = 30
 
@@ -1927,15 +1996,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_k._q"))
         .select(F.col("_k.doc_id").alias("doc_id"), F.col("_k._norm").alias("_norm"))
     )
-    chunks = pipeline.doc_chunks(
+    # fused chunk+pack (round 7): the running sum windows over DOCS and
+    # chunks explode after it — row-identical to
+    # pack_chunks(doc_chunks(...)), measured equal at sf0.1 (both forms
+    # stage-floor-bound at 8.4k chunks), adopted for the at-scale sort
+    # state (per-doc, not per-chunk). See pipeline.pack_doc_chunks.
+    return pipeline.pack_doc_chunks(
         kept,
         size=_CHUNK_SIZE,
         overlap=_CHUNK_OVERLAP,
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
         norm_col="_norm",
-        with_fp=False,
-    )
-    return pipeline.pack_chunks(
-        chunks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
 
 
@@ -2213,6 +2285,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "decayed_type_counts": q_decayed_type_counts,
     "cms_token_counts": q_cms_token_counts,
+    "bloom_doc_bits": q_bloom_doc_bits,
+    "epoch_shuffle": q_epoch_shuffle,
     "user_key_skew": q_user_key_skew,
     "value_binned": q_value_binned,
     "table_stats": q_table_stats,
@@ -2274,6 +2348,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "decayed_type_counts": SQL_DECAYED_TYPE_COUNTS,
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
+    "bloom_doc_bits": SQL_BLOOM_DOC_BITS,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "user_key_skew": SQL_USER_KEY_SKEW,
     "value_binned": SQL_VALUE_BINNED,
     "table_stats": SQL_TABLE_STATS,

@@ -98,6 +98,77 @@ def test_lsh_zero_norm_vectors_never_pair(spark):
     assert all(r.sim_e6 >= 400_000 for r in got)
 
 
+def test_bloom_sketch_membership_and_merge(spark):
+    """Every inserted item's k bits are set (no false negatives), the
+    filter is DISTINCT-union mergeable, and the bit count is bounded by
+    k * n_items."""
+    from hhek2sqlite_spark.operators.stats import BLOOM_K, bloom_sketch
+
+    a = spark.createDataFrame([(f"item-{i}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"item-{i}",) for i in range(40, 90)], "v string")
+    bits_a = {r.bit for r in bloom_sketch(a, item_col="v").collect()}
+    bits_b = {r.bit for r in bloom_sketch(b, item_col="v").collect()}
+    both = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(90)], "v string"
+    )
+    bits_union = {r.bit for r in bloom_sketch(both, item_col="v").collect()}
+    assert bits_a | bits_b == bits_union  # OR == distinct union
+    assert len(bits_a) <= 50 * BLOOM_K
+    # no false negatives: each single item's bits are all present
+    one = spark.createDataFrame([("item-7",)], "v string")
+    assert {r.bit for r in bloom_sketch(one, item_col="v").collect()} <= bits_a
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    from hhek2sqlite_spark.operators.pipeline import epoch_shuffle
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    e3a = epoch_shuffle(docs, epoch=3, n_shards=8).collect()
+    e3b = epoch_shuffle(docs, epoch=3, n_shards=8).collect()
+    assert sorted(map(tuple, e3a)) == sorted(map(tuple, e3b))  # reproducible
+    # a permutation: every doc exactly once, positions contiguous per shard
+    assert sorted(r.doc_id for r in e3a) == list(range(500))
+    by_shard = {}
+    for r in e3a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # hash sharding balances (no shard empty or dominant at n=500, k=8)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) < 3 * min(sizes)
+    # a different epoch is a different order
+    e4 = epoch_shuffle(docs, epoch=4, n_shards=8).collect()
+    assert sorted(map(tuple, e4)) != sorted(map(tuple, e3a))
+
+
+def test_pack_doc_chunks_equals_composed_operators(spark):
+    """The fused doc-level pack must be row-identical to
+    pack_chunks(doc_chunks(...)) across short docs (single chunk),
+    exact-multiple lengths, and long docs."""
+    from hhek2sqlite_spark.operators import pipeline
+
+    rows = [
+        (i, "x" * n)
+        for i, n in enumerate([5, 199, 200, 201, 360, 520, 1000, 1, 200 * 3 - 40 * 2])
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, _norm string")
+    composed = pipeline.pack_chunks(
+        pipeline.doc_chunks(
+            docs, size=200, overlap=40, norm_col="_norm", with_fp=False
+        ),
+        budget=2000,
+        n_shards=4,
+    )
+    fused = pipeline.pack_doc_chunks(
+        docs, size=200, overlap=40, budget=2000, n_shards=4, norm_col="_norm"
+    )
+    key = ["shard", "doc_id", "chunk_idx"]
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, fused.collect())
+    )
+    assert composed.columns == fused.columns
+
+
 def test_sample_frames_avi_demuxes_real_container(spark):
     """The frame-sampling fan-out over REAL uncompressed-AVI bytes: the
     fake fixed-width splitter is retired for container payloads."""
