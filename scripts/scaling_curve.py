@@ -83,6 +83,15 @@ SUBSET = [
     "decayed_type_counts",
     "scd2_history",
     "customer_upsert",
+    # round-7 additions, all linear-work: the codec tier decodes one
+    # container per document (dims are functions of doc_id, identical
+    # formulas both engines); bloom is a DISTINCT over <= m_bits keys;
+    # epoch_shuffle is a sharded sort both engines pay alike.
+    "image_pixel_stats",
+    "audio_sample_stats",
+    "video_frame_stats",
+    "bloom_doc_bits",
+    "epoch_shuffle",
 ]
 
 SLOW_CUTOFF_SEC = 15.0
