@@ -289,6 +289,47 @@ def pack_chunks(
     )
 
 
+def group_sample_k(
+    documents: DataFrame,
+    *,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "eval",
+) -> DataFrame:
+    """Deterministic fixed-k per-group sample — "k eval examples per
+    language/source", the complement of the RATE-based stratified
+    samplers (those keep a fraction; this caps an absolute count, which
+    is what held-out eval sets and few-shot prompt pools need). The
+    rank is a hash order (md5(id:salt)), so the choice is reproducible
+    on any engine and independent of input partitioning/row order;
+    changing ``salt`` redraws the sample.
+
+    Scale shape: one exchange keyed by the group column; within each
+    group a row_number over the hash order. For the pathological case
+    of one giant group, rank-then-filter is still a single window pass
+    (no global sort); if k is tiny relative to group size a
+    min_by-top-k aggregate would bound state harder, but the window
+    keeps exact rank numbers in the output, which eval tooling wants.
+
+    Emits (group, rank 0-based, id)."""
+    from pyspark.sql.window import Window
+
+    keyed = documents.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+        ).alias("_k"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < k)
+        .select("grp", "rank", id_col)
+    )
+
+
 def epoch_shuffle(
     documents: DataFrame,
     *,

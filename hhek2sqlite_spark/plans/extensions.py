@@ -713,6 +713,35 @@ FROM halves, LATERAL unnest([{ks}]) u(r)
 
 SQL_BLOOM_DOC_BITS = _sql_bloom_doc_bits()
 
+_EVAL_K = 20
+
+
+def q_eval_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-language eval sample (absolute-count cap,
+    complementing the rate-based stratified samplers) — hash-ranked so
+    the chosen set is reproducible on any engine
+    (operators/pipeline.py group_sample_k)."""
+    from hhek2sqlite_spark.operators.pipeline import group_sample_k
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return group_sample_k(docs, group_col="lang", k=_EVAL_K)
+
+
+SQL_EVAL_SAMPLE_PER_LANG = f"""
+WITH r AS (
+    SELECT lang AS grp, doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':eval') AS _k
+    FROM documents
+),
+ranked AS (
+    SELECT grp, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY _k, doc_id) - 1
+                AS BIGINT) AS rank
+    FROM r
+)
+SELECT grp, rank, doc_id FROM ranked WHERE rank < {_EVAL_K}
+"""
+
 _EPOCH = 3
 _SHUFFLE_SHARDS = 16
 
@@ -2287,6 +2316,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_counts": q_cms_token_counts,
     "bloom_doc_bits": q_bloom_doc_bits,
     "epoch_shuffle": q_epoch_shuffle,
+    "eval_sample_per_lang": q_eval_sample_per_lang,
     "user_key_skew": q_user_key_skew,
     "value_binned": q_value_binned,
     "table_stats": q_table_stats,
@@ -2350,6 +2380,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
     "bloom_doc_bits": SQL_BLOOM_DOC_BITS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "eval_sample_per_lang": SQL_EVAL_SAMPLE_PER_LANG,
     "user_key_skew": SQL_USER_KEY_SKEW,
     "value_binned": SQL_VALUE_BINNED,
     "table_stats": SQL_TABLE_STATS,

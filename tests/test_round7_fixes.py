@@ -141,6 +141,26 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     assert sorted(map(tuple, e4)) != sorted(map(tuple, e3a))
 
 
+def test_group_sample_k_caps_and_reproduces(spark):
+    from hhek2sqlite_spark.operators.pipeline import group_sample_k
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)] + [(100, "tiny")],
+        "doc_id long, lang string",
+    )
+    a = group_sample_k(docs, group_col="lang", k=5).collect()
+    b = group_sample_k(docs, group_col="lang", k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    by_grp = {}
+    for r in a:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert sorted(r.rank for r in by_grp["g0"]) == list(range(5))  # capped at k
+    assert len(by_grp["tiny"]) == 1  # group smaller than k keeps all
+    # a different salt redraws the sample
+    c = group_sample_k(docs, group_col="lang", k=5, salt="other").collect()
+    assert {r.doc_id for r in c} != {r.doc_id for r in a}
+
+
 def test_pack_doc_chunks_equals_composed_operators(spark):
     """The fused doc-level pack must be row-identical to
     pack_chunks(doc_chunks(...)) across short docs (single chunk),
