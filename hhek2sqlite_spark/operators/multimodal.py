@@ -230,7 +230,15 @@ def sample_frames(
             for pdf in batches:
                 ids, idxs, frames = [], [], []
                 for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                    chunks = _avi_frame_chunks(bytes(b or b""))
+                    data = bytes(b or b"")
+                    # skip NULL / non-AVI payloads instead of killing
+                    # the job: the shared multimodal source mixes
+                    # image/audio/video blobs, and a demuxer that
+                    # crashes the whole query on the first foreign row
+                    # is useless at corpus scale (review finding)
+                    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+                        continue
+                    chunks = _avi_frame_chunks(data)
                     for k in range(0, len(chunks), every_nth):
                         ids.append(doc_id)
                         idxs.append(k)
@@ -775,6 +783,25 @@ def avi_encode(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _riff_walk(buf: bytes, pos: int, end: int):
+    """Depth-first, ORDER-PRESERVING walk of a RIFF chunk tree: yields
+    (tag, payload_start, payload_end) for every chunk; LIST chunks
+    yield their kind tag and then recurse, so sibling order is the
+    stream order (a LIFO stack would reverse siblings — e.g. the
+    'rec ' wrapper lists Video-for-Windows interleaves frames in)."""
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        payload_start = pos + 8
+        if tag == b"LIST":
+            kind = buf[payload_start : payload_start + 4]
+            yield kind, payload_start + 4, payload_start + ln
+            yield from _riff_walk(buf, payload_start + 4, payload_start + ln)
+        else:
+            yield tag, payload_start, payload_start + ln
+        pos = payload_start + ln + (ln & 1)
+
+
 def avi_decode(
     data: bytes,
 ) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
@@ -785,23 +812,10 @@ def avi_decode(
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
 
-    def walk(buf: bytes, pos: int, end: int):
-        while pos + 8 <= end:
-            tag = buf[pos : pos + 4]
-            (ln,) = struct.unpack_from("<I", buf, pos + 4)
-            payload_start = pos + 8
-            if tag == b"LIST":
-                kind = buf[payload_start : payload_start + 4]
-                yield kind, payload_start + 4, payload_start + ln
-                yield from walk(buf, payload_start + 4, payload_start + ln)
-            else:
-                yield tag, payload_start, payload_start + ln
-            pos = payload_start + ln + (ln & 1)
-
     w = h = None
     bitcount = compression = None
     frame_bytes: list[bytes] = []
-    for tag, start, end in walk(data, 12, len(data)):
+    for tag, start, end in _riff_walk(data, 12, len(data)):
         if tag == b"avih":
             w, h = struct.unpack_from("<II", data, start + 32)
         elif tag == b"strf":
@@ -834,23 +848,18 @@ def avi_decode(
 
 def _avi_frame_chunks(data: bytes) -> list[bytes]:
     """Raw '00db'/'00dc' frame chunks in stream order (for the
-    sample_frames fan-out, which wants bytes, not decoded pixels)."""
+    sample_frames fan-out, which wants bytes, not decoded pixels).
+    Uses the same order-preserving walker as avi_decode — a previous
+    LIFO-stack version reversed sibling LIST order, which flipped
+    frame order whenever frames sat inside 'rec ' wrapper lists
+    (round-7 review finding, regression-tested)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
-    out = []
-    stack = [(12, len(data))]
-    while stack:
-        pos, end = stack.pop()
-        while pos + 8 <= end:
-            tag = data[pos : pos + 4]
-            (ln,) = struct.unpack_from("<I", data, pos + 4)
-            start = pos + 8
-            if tag == b"LIST":
-                stack.append((start + 4, start + ln))
-            elif tag in (b"00db", b"00dc"):
-                out.append(data[start : start + ln])
-            pos = start + ln + (ln & 1)
-    return out
+    return [
+        data[start:end]
+        for tag, start, end in _riff_walk(data, 12, len(data))
+        if tag in (b"00db", b"00dc")
+    ]
 
 
 def _synth_video_frames(doc_id: int) -> list[list[list[tuple[int, int, int]]]]:

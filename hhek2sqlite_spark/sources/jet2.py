@@ -50,7 +50,7 @@ from __future__ import annotations
 
 import os
 import struct
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 PAGE_SIZE = 2048
 CATALOG_TDEF = 3  # MSysObjects' own TDEF page — fixed by the engine
@@ -440,7 +440,19 @@ def _encode_row(schema: TableSchema, row: dict) -> bytes:
         elif kind == "byte":
             fixed += bytes([int(v) & 0xFF if v is not None else 0])
         else:  # currency
-            units = int((v if v is not None else Decimal(0)) * 10000)
+            # route non-Decimal inputs through Decimal(str(v)) so a
+            # float money column (e.g. a foreign parquet source) is
+            # converted by its decimal literal, not its binary value —
+            # int(1.15 * 10000) == 11499 would silently corrupt the
+            # stored amount by 0.0001 (review finding). Half-up keeps
+            # sub-1/10000 inputs from truncating toward zero.
+            if v is None:
+                units = 0
+            else:
+                dv = v if isinstance(v, Decimal) else Decimal(str(v))
+                units = int(
+                    (dv * 10000).to_integral_value(rounding=ROUND_HALF_UP)
+                )
             fixed += struct.pack("<q", units)
     var_bytes = [
         ("" if row.get(name) is None else str(row[name])).encode("cp1252")

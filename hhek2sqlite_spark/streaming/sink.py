@@ -100,7 +100,13 @@ def _ensure_commits_table(con: sqlite3.Connection) -> None:
             con.execute(f'DROP TABLE "{COMMITS_TABLE}_v1"')
             con.execute("COMMIT")
         except BaseException:
-            con.execute("ROLLBACK")
+            # if BEGIN IMMEDIATE itself failed (e.g. the file is
+            # locked), there is no transaction to roll back — ROLLBACK
+            # would raise and mask the informative original error
+            try:
+                con.execute("ROLLBACK")
+            except sqlite3.OperationalError:
+                pass
             raise
 
 

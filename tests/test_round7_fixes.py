@@ -4,6 +4,7 @@ zero-norm guard in the LSH verify kernel, raw-decode trailer bound."""
 from __future__ import annotations
 
 import sqlite3
+from decimal import Decimal
 
 import pytest
 
@@ -96,6 +97,82 @@ def test_lsh_zero_norm_vectors_never_pair(spark):
     assert (1, 2) not in pairs  # zero-norm pair suppressed, not nan-cast
     assert (3, 4) in pairs
     assert all(r.sim_e6 >= 400_000 for r in got)
+
+
+def test_avi_rec_wrapped_frames_keep_stream_order():
+    """Frames wrapped in 'rec ' LISTs (standard VfW interleaving) must
+    come back in stream order from both the demuxer and the decoder —
+    a LIFO-stack walker reversed sibling lists (review finding)."""
+    import struct as _s
+
+    from hhek2sqlite_spark.operators import multimodal as mm
+
+    frames = mm._synth_video_frames(5)  # 3 frames, distinct contents
+    plain = mm.avi_encode(frames)
+    # rewrap each movi '00db' chunk in its own LIST('rec ') — re-derive
+    # the movi payload from the plain file rather than re-encoding
+    chunks = mm._avi_frame_chunks(plain)
+
+    def chunk(tag, payload):
+        return tag + _s.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    recs = b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00db", fb)) for fb in chunks
+    )
+    movi = chunk(b"LIST", b"movi" + recs)
+    # splice: header up to the original movi LIST + new movi
+    # (locate original movi by scanning top-level chunks)
+    pos, hdr_end, movi_end = 12, None, None
+    data = plain
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = _s.unpack_from("<I", data, pos + 4)
+        if tag == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            hdr_end, movi_end = pos, pos + 8 + ln + (ln & 1)
+            break
+        pos += 8 + ln + (ln & 1)
+    body = data[12:hdr_end] + movi + data[movi_end:]
+    wrapped = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"AVI " + body
+    assert mm._avi_frame_chunks(wrapped) == chunks  # order preserved
+    w, h, back = mm.avi_decode(wrapped)
+    assert back == frames
+
+
+def test_sample_frames_avi_skips_foreign_payloads(spark):
+    """A NULL or non-AVI payload must be skipped, not crash the job."""
+    from hhek2sqlite_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 3).withColumnRenamed("id", "doc_id")
+    videos = mm.synthesize_videos(docs)
+    mixed = videos.union(
+        spark.createDataFrame(
+            [(100, None), (101, b"not a riff")],
+            videos.schema,
+        )
+    )
+    got = mm.sample_frames(mixed, every_nth=2, decoder="avi").collect()
+    assert {r.doc_id for r in got} == {0, 1, 2}  # foreign rows skipped
+
+
+def test_jet2_currency_float_input_rounds_exactly():
+    """Float money inputs must convert via their decimal literal —
+    int(1.15*10000) == 11499 would corrupt by 0.0001 (review
+    finding)."""
+    from hhek2sqlite_spark.sources.jet2 import HHEK_SCHEMAS, _decode_row, _encode_row
+
+    schema = HHEK_SCHEMAS["Konton"]
+    row = {
+        "Saldo": 1.15,  # float, binary value 1.14999999...
+        "StartSaldo": Decimal("2.50"),
+        "Löpnr": 1,
+        "SaldoArsskifte": None,
+        "KontoNummer": "", "Benämning": "", "StartManad": "", "ArsskifteManad": "",
+    }
+    got = _decode_row(_encode_row(schema, row), schema)
+    assert got["Saldo"] == Decimal("1.1500")
+    assert got["StartSaldo"] == Decimal("2.5000")
 
 
 def test_bloom_sketch_membership_and_merge(spark):
