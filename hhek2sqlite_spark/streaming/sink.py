@@ -252,6 +252,90 @@ def merge_counts_idempotent(
         con.close()
 
 
+def merge_bits_idempotent(
+    partial_df: DataFrame,
+    batch_id: int,
+    *,
+    db_path: str,
+    table: str,
+    bit_col: str = "bit",
+    app_id: str = "",
+) -> int:
+    """Merge one micro-batch's Bloom set-bit rows into the running
+    filter table (``INSERT OR IGNORE`` — the OR of two Bloom filters in
+    the set-bit-rows representation), exactly once via the same
+    (app_id, table, batch_id) bookkeeping as the other sinks. Bit-set
+    union is idempotent by nature, but the bookkeeping still matters:
+    it makes replay DETECTION observable (monitoring) and keeps the
+    contract uniform across sinks. Returns newly-set bits (0 on
+    replay)."""
+    con = sqlite3.connect(db_path)
+    try:
+        _ensure_commits_table(con)
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}"'
+            f' ("{bit_col}" INTEGER NOT NULL PRIMARY KEY)'
+        )
+        seen = con.execute(
+            f'SELECT 1 FROM "{COMMITS_TABLE}"'
+            " WHERE app_id = ? AND sink_table = ? AND batch_id = ?",
+            (app_id, table, batch_id),
+        ).fetchone()
+        if seen:
+            return 0
+        n = 0
+        sql = f'INSERT OR IGNORE INTO "{table}" ("{bit_col}") VALUES (?)'
+        for row in partial_df.toLocalIterator(prefetchPartitions=True):
+            n += con.execute(sql, (int(row[bit_col]),)).rowcount
+        con.execute(
+            f'INSERT INTO "{COMMITS_TABLE}" (app_id, sink_table, batch_id)'
+            " VALUES (?, ?, ?)",
+            (app_id, table, batch_id),
+        )
+        con.commit()
+        return n
+    except Exception:
+        con.rollback()
+        raise
+    finally:
+        con.close()
+
+
+def stream_bloom_bits(
+    stream_df: DataFrame,
+    *,
+    item_col: str,
+    db_path: str,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming Bloom-filter maintenance: per batch, compute the
+    batch's set bits (operators/stats.py bloom_sketch — <= m_bits rows
+    regardless of batch size) and OR them into the persistent filter.
+    The streaming query is STATELESS like stream_running_counts: the
+    filter lives in the transactional sink, executor state stays flat
+    forever, and a continuously-ingesting corpus gets an always-current
+    dedup probe (new batch membership tests run against the table
+    before paying the LEFT ANTI join on the corpus store)."""
+    from hhek2sqlite_spark.operators.stats import bloom_sketch
+
+    app_id = _checkpoint_app_id(checkpoint_dir)
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        partial = bloom_sketch(batch_df, item_col=item_col)
+        merge_bits_idempotent(
+            partial, batch_id, db_path=db_path, table=table, app_id=app_id
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_running_counts(
     stream_df: DataFrame,
     *,

@@ -218,6 +218,50 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     assert sorted(map(tuple, e4)) != sorted(map(tuple, e3a))
 
 
+def test_stream_bloom_bits_matches_batch_and_replays_safely(spark, tmp_path):
+    """Streaming Bloom maintenance: draining a source must produce the
+    SAME bit set as the batch sketch over all input, and a replayed
+    batch id must be detected (0 newly-set bits reported)."""
+    from hhek2sqlite_spark.operators.stats import bloom_sketch
+    from hhek2sqlite_spark.streaming.sink import (
+        _checkpoint_app_id,
+        merge_bits_idempotent,
+        stream_bloom_bits,
+    )
+
+    src = str(tmp_path / "src")
+    db = str(tmp_path / "bloom.db")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.range(0, 200).selectExpr("CAST(id AS STRING) AS v")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = stream_bloom_bits(
+        stream, item_col="v", db_path=db, table="bloom", checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    con = sqlite3.connect(db)
+    got = {r[0] for r in con.execute('SELECT bit FROM "bloom"')}
+    con.close()
+    expect = {r.bit for r in bloom_sketch(batch, item_col="v").collect()}
+    assert got == expect
+    # replay the committed batch id under the same stream identity
+    app_id = _checkpoint_app_id(ckpt)
+    con = sqlite3.connect(db)
+    committed = con.execute(
+        'SELECT batch_id FROM "_stream_commits" WHERE sink_table = ?',
+        ("bloom",),
+    ).fetchall()
+    con.close()
+    assert committed
+    partial = bloom_sketch(batch, item_col="v")
+    assert (
+        merge_bits_idempotent(
+            partial, committed[0][0], db_path=db, table="bloom", app_id=app_id
+        )
+        == 0
+    )
+
+
 def test_group_sample_k_caps_and_reproduces(spark):
     from hhek2sqlite_spark.operators.pipeline import group_sample_k
 
