@@ -231,14 +231,19 @@ def sample_frames(
                 ids, idxs, frames = [], [], []
                 for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                     data = bytes(b or b"")
-                    # skip NULL / non-AVI payloads instead of killing
-                    # the job: the shared multimodal source mixes
-                    # image/audio/video blobs, and a demuxer that
-                    # crashes the whole query on the first foreign row
-                    # is useless at corpus scale (review finding)
-                    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+                    # skip NULL / non-AVI / corrupt payloads instead of
+                    # killing the job: the shared multimodal source
+                    # mixes image/audio/video blobs and a real crawl
+                    # stores truncated files; a demuxer that crashes
+                    # the whole query on the first bad row is useless
+                    # at corpus scale (review findings). The walker
+                    # itself is bounds-clamped, so ValueError (magic)
+                    # is the only expected escape — but catch
+                    # struct.error too for defense in depth.
+                    try:
+                        chunks = _avi_frame_chunks(data)
+                    except (ValueError, struct.error):
                         continue
-                    chunks = _avi_frame_chunks(data)
                     for k in range(0, len(chunks), every_nth):
                         ids.append(doc_id)
                         idxs.append(k)
@@ -786,20 +791,35 @@ def avi_encode(
 def _riff_walk(buf: bytes, pos: int, end: int):
     """Depth-first, ORDER-PRESERVING walk of a RIFF chunk tree: yields
     (tag, payload_start, payload_end) for every chunk; LIST chunks
-    yield their kind tag and then recurse, so sibling order is the
-    stream order (a LIFO stack would reverse siblings — e.g. the
-    'rec ' wrapper lists Video-for-Windows interleaves frames in)."""
-    while pos + 8 <= end:
+    yield their kind tag and then their children before the following
+    sibling, so overall order is the stream order (a naive LIFO of
+    sibling ranges reverses them — the round-7 'rec ' list bug).
+
+    Iterative with an explicit continuation stack and CLAMPED bounds:
+    corrupt blobs pass magic checks too (truncated files whose declared
+    chunk lengths run past the buffer, or ~1000-deep nested LISTs) and
+    must neither raise struct.error nor blow the recursion limit
+    (review findings, repro'd) — at corpus scale the walker sees
+    whatever bytes the crawl stored."""
+    end = min(end, len(buf))
+    stack = [(pos, end)]
+    while stack:
+        pos, end = stack.pop()
+        if pos + 8 > end:
+            continue
         tag = buf[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", buf, pos + 4)
         payload_start = pos + 8
-        if tag == b"LIST":
+        payload_end = min(payload_start + ln, end)
+        # the sibling continuation goes UNDER the child range so the
+        # children pop first — stream order without recursion
+        stack.append((payload_start + ln + (ln & 1), end))
+        if tag == b"LIST" and payload_end >= payload_start + 4:
             kind = buf[payload_start : payload_start + 4]
-            yield kind, payload_start + 4, payload_start + ln
-            yield from _riff_walk(buf, payload_start + 4, payload_start + ln)
+            yield kind, payload_start + 4, payload_end
+            stack.append((payload_start + 4, payload_end))
         else:
-            yield tag, payload_start, payload_start + ln
-        pos = payload_start + ln + (ln & 1)
+            yield tag, payload_start, payload_end
 
 
 def avi_decode(

@@ -235,7 +235,13 @@ def bloom_sketch(
     """
     if k > 7:
         raise ValueError(f"k {k} would overflow int64 in r*h2")
-    staged = items.select(F.md5(F.col(item_col).cast("binary")).alias("_h"))
+    # NULL items have no fingerprint: drop them rather than emit a
+    # NULL bit row (which the streaming sink's int() would crash on —
+    # a poison batch that refails on every restart; review finding).
+    # The SQL oracle applies the identical WHERE.
+    staged = items.filter(F.col(item_col).isNotNull()).select(
+        F.md5(F.col(item_col).cast("binary")).alias("_h")
+    )
     h1 = F.expr("cast(conv(substring(_h, 1, 15), 16, 10) as bigint)")
     h2 = F.expr("cast(conv(substring(_h, 16, 15), 16, 10) as bigint)")
     bits = F.array(*[(h1 + F.lit(r) * h2) % m_bits for r in range(k)])

@@ -704,7 +704,7 @@ WITH n AS (SELECT {_NORM} AS t FROM documents),
 halves AS (
     SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
            CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS h2
-    FROM n
+    FROM n WHERE t IS NOT NULL
 )
 SELECT DISTINCT (h1 + r * h2) % {BLOOM_M_BITS} AS bit
 FROM halves, LATERAL unnest([{ks}]) u(r)

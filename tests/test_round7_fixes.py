@@ -218,6 +218,82 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     assert sorted(map(tuple, e4)) != sorted(map(tuple, e3a))
 
 
+def test_riff_walk_survives_corrupt_and_deep_payloads():
+    """Truncated chunk lengths must not raise struct.error and ~1000
+    nested LISTs must not blow the recursion limit (review findings) —
+    corrupt blobs with valid magic are routine in a real crawl."""
+    import struct as _s
+
+    from hhek2sqlite_spark.operators import multimodal as mm
+
+    # declared LIST length runs 1000 bytes past the buffer
+    truncated = (
+        b"RIFF" + _s.pack("<I", 100) + b"AVI "
+        + b"LIST" + _s.pack("<I", 1000) + b"movi"
+    )
+    assert mm._avi_frame_chunks(truncated) == []  # no crash, no frames
+    # 2000-deep nested LISTs
+    inner = b"junkdata"
+    for _ in range(2000):
+        inner = b"LIST" + _s.pack("<I", 4 + len(inner)) + b"rec " + inner
+    blob = b"RIFF" + _s.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert mm._avi_frame_chunks(blob) == []  # no RecursionError
+
+
+def test_sample_frames_avi_skips_truncated_payloads(spark):
+    import struct as _s
+
+    from hhek2sqlite_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 2).withColumnRenamed("id", "doc_id")
+    videos = mm.synthesize_videos(docs)
+    bad = (
+        b"RIFF" + _s.pack("<I", 100) + b"AVI "
+        + b"LIST" + _s.pack("<I", 1000) + b"movi"
+    )
+    mixed = videos.union(
+        spark.createDataFrame([(200, bad)], videos.schema)
+    )
+    got = mm.sample_frames(mixed, every_nth=2, decoder="avi").collect()
+    assert {r.doc_id for r in got} == {0, 1}
+
+
+def test_bloom_sketch_drops_null_items(spark):
+    from hhek2sqlite_spark.operators.stats import bloom_sketch
+
+    items = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "v string"
+    )
+    bits = bloom_sketch(items, item_col="v").collect()
+    assert all(r.bit is not None for r in bits)
+    only = spark.createDataFrame([("a",), ("b",)], "v string")
+    assert {r.bit for r in bits} == {
+        r.bit for r in bloom_sketch(only, item_col="v").collect()
+    }
+
+
+def test_stream_bloom_bits_tolerates_null_items(spark, tmp_path):
+    """A NULL in the item stream must not poison the batch."""
+    from hhek2sqlite_spark.streaming.sink import stream_bloom_bits
+
+    src = str(tmp_path / "src")
+    db = str(tmp_path / "b.db")
+    spark.createDataFrame(
+        [("x",), (None,), ("y",)], "v string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_bloom_bits(
+        stream, item_col="v", db_path=db, table="bloom",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    con = sqlite3.connect(db)
+    n = con.execute('SELECT COUNT(*) FROM "bloom"').fetchone()[0]
+    con.close()
+    assert n > 0  # drained without crashing
+
+
 def test_stream_bloom_bits_matches_batch_and_replays_safely(spark, tmp_path):
     """Streaming Bloom maintenance: draining a source must produce the
     SAME bit set as the batch sketch over all input, and a replayed
