@@ -822,16 +822,12 @@ def _riff_walk(buf: bytes, pos: int, end: int):
             yield tag, payload_start, payload_end
 
 
-def avi_decode(
-    data: bytes,
-) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
-    """Independent AVI parser: generic RIFF walk (no code shared with
-    avi_encode), validates the stream is uncompressed 24-bit 'vids',
-    returns (width, height, frames) with frames[f][y][x] = (b, g, r),
-    y=0 top. Raises on any other AVI flavor."""
+def _avi_parse(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Header validation + raw frame chunks: the shared first half of
+    AVI decoding. Returns (width, height, frame_bytes) with each frame
+    still in stored form (bottom-up rows, 4-byte stride padding)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
-
     w = h = None
     bitcount = compression = None
     frame_bytes: list[bytes] = []
@@ -852,10 +848,23 @@ def avi_decode(
             "(only uncompressed 24-bit DIB streams)"
         )
     stride = (w * 3 + 3) & ~3
-    frames = []
     for fb in frame_bytes:
         if len(fb) < stride * h:
             raise ValueError("short frame chunk")
+    return w, h, frame_bytes
+
+
+def avi_decode(
+    data: bytes,
+) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
+    """Independent AVI parser: generic RIFF walk (no code shared with
+    avi_encode), validates the stream is uncompressed 24-bit 'vids',
+    returns (width, height, frames) with frames[f][y][x] = (b, g, r),
+    y=0 top. Raises on any other AVI flavor."""
+    w, h, frame_bytes = _avi_parse(data)
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for fb in frame_bytes:
         rows = []
         for y in range(h - 1, -1, -1):  # stored bottom-up
             base = y * stride
@@ -940,6 +949,8 @@ def video_frame_stats(videos: DataFrame, *, every_nth: int = 2) -> DataFrame:
     (off-by-one demux, wrong chunk order) breaks parity even where
     whole-video sums would not."""
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in (
@@ -947,24 +958,34 @@ def video_frame_stats(videos: DataFrame, *, every_nth: int = 2) -> DataFrame:
                 "px_sum", "px_moment",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, frames = avi_decode(bytes(payload))
-                for f in range(0, len(frames), every_nth):
-                    rows = frames[f]
+                # vectorized stats kernel: parse headers + raw chunks,
+                # then compute per-frame sums from a numpy view — no
+                # per-pixel Python objects. Interleaved A/B vs the
+                # tuple-building avi_decode path at sf0.1: EQUAL
+                # (0.60-0.68 vs 0.62-0.74) because fixture frames are
+                # <=30 px and numpy setup costs what the tiny loop
+                # costs; kept because real frames are 1e5-1e6 px where
+                # the per-pixel path is the 100x-slower one. avi_decode
+                # remains the reference decoder; a test pins both paths
+                # to identical stats. Exact: uint8 values, h*w < 2^20,
+                # so every sum fits int64 with no rounding anywhere.
+                w, h, frame_bytes = _avi_parse(bytes(payload))
+                stride = (w * 3 + 3) & ~3
+                # y*w + x moment weights for TOP-DOWN rows
+                weights = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                for f in range(0, len(frame_bytes), every_nth):
+                    raw = np.frombuffer(
+                        frame_bytes[f], dtype=np.uint8, count=stride * h
+                    ).reshape(h, stride)
+                    px = raw[::-1, : w * 3]  # bottom-up -> top-down, unpad
+                    blue = px[:, 0::3].astype(np.int64)
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(f)
                     out["width"].append(w)
                     out["height"].append(h)
-                    out["n_frames"].append(len(frames))
-                    out["px_sum"].append(
-                        sum(v for row in rows for px in row for v in px)
-                    )
-                    out["px_moment"].append(
-                        sum(
-                            (y * w + x) * rows[y][x][0]
-                            for y in range(h)
-                            for x in range(w)
-                        )
-                    )
+                    out["n_frames"].append(len(frame_bytes))
+                    out["px_sum"].append(int(px.sum(dtype=np.int64)))
+                    out["px_moment"].append(int((weights * blue).sum()))
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(run, VIDEO_STATS_SCHEMA)

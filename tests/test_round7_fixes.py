@@ -218,6 +218,31 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     assert sorted(map(tuple, e4)) != sorted(map(tuple, e3a))
 
 
+def test_video_stats_numpy_kernel_matches_reference_decoder(spark):
+    """The vectorized per-frame stats must equal stats computed from
+    the tuple-based reference decoder for every sampled frame."""
+    from hhek2sqlite_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    got = {
+        (r.doc_id, r.frame_idx): r
+        for r in mm.video_frame_stats(
+            mm.synthesize_videos(docs), every_nth=2
+        ).collect()
+    }
+    for d in range(30):
+        frames = mm._synth_video_frames(d)
+        w, h, fr = mm.avi_decode(mm.avi_encode(frames))
+        for f in range(0, len(fr), 2):
+            rows = fr[f]
+            r = got[(d, f)]
+            assert r.px_sum == sum(v for row in rows for px in row for v in px)
+            assert r.px_moment == sum(
+                (y * w + x) * rows[y][x][0] for y in range(h) for x in range(w)
+            )
+            assert (r.width, r.height, r.n_frames) == (w, h, len(fr))
+
+
 def test_riff_walk_survives_corrupt_and_deep_payloads():
     """Truncated chunk lengths must not raise struct.error and ~1000
     nested LISTs must not blow the recursion limit (review findings) —
