@@ -87,10 +87,29 @@ def _floor_reference() -> dict[str, float]:
 # by more than this factor is re-sampled once and the MIN kept.
 OUTLIER_FACTOR = 2.5
 
+# round-8 suite-level drift guard (VERDICT r7: BENCH_r07 published from a
+# contended window drifted ALL 23 headline queries ~1.3x — under the
+# per-query 2.5x trigger, so n_resampled was 0 and the bogus total
+# shipped). If the headline-23 total exceeds this factor times its
+# PERF_FLOOR-predicted sum, the headline set is re-run once and
+# per-query minima are kept; the JSON records both totals so a reader
+# can see the guard fired.
+DRIFT_FACTOR = 1.25
+
+
+def _loadavg() -> list[float]:
+    """(1, 5, 15)-minute load averages — published with every bench run
+    so a contended-window artifact is self-identifying."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
 
 def main() -> None:
     spark = get_spark("hhek2sqlite_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = _loadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
@@ -126,13 +145,37 @@ def main() -> None:
                 continue
             resampled[name] = [wall, second]
             timings[name] = min(wall, second)
-    total = round(sum(timings.values()), 4)
     # a partial headline total would look FASTER than prior rounds — emit
     # null + a completeness flag instead when any headline query errored
     hl_complete = all(n in timings for n in HEADLINE_23)
     headline23_total = (
         round(sum(timings[n] for n in HEADLINE_23), 4) if hl_complete else None
     )
+    # suite-level drift guard: uniform co-tenant drift stays under the
+    # per-query outlier trigger but inflates the total — compare against
+    # the floor-predicted headline sum and re-run the headline set once
+    drift_guard: dict[str, object] = {"factor": DRIFT_FACTOR}
+    if hl_complete and floors and all(n in floors for n in HEADLINE_23):
+        predicted = round(sum(floors[n] for n in HEADLINE_23), 4)
+        drift_guard["predicted_headline23"] = predicted
+        drift_guard["first_headline23"] = headline23_total
+        if headline23_total > DRIFT_FACTOR * predicted:
+            for name in HEADLINE_23:
+                try:
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    second = round(time.perf_counter() - t0, 4)
+                except Exception:  # noqa: BLE001
+                    continue
+                timings[name] = min(timings[name], second)
+            headline23_total = round(sum(timings[n] for n in HEADLINE_23), 4)
+            drift_guard["reran"] = True
+            drift_guard["final_headline23"] = headline23_total
+        else:
+            drift_guard["reran"] = False
+    total = round(sum(timings.values()), 4)
     # The driver keeps only the last ~2000 chars of stdout and parses the
     # JSON line it finds there (BENCH_r05 had parsed:null because the full
     # 83-query map pushed the line start out of that window). So: SHORT
@@ -148,6 +191,9 @@ def main() -> None:
         "headline23_complete": hl_complete,
         "n_queries": len(timings),
         "outlier_resampled": resampled,
+        "drift_guard": drift_guard,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     if errors:
         detail["errors"] = errors
@@ -165,6 +211,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "n_resampled": len(resampled),
+        "drift_reran": drift_guard.get("reran"),
+        "loadavg_start": load_start,
+        "loadavg_end": detail["loadavg_end"],
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))

@@ -832,9 +832,17 @@ def _avi_parse(data: bytes) -> tuple[int, int, list[bytes]]:
     bitcount = compression = None
     frame_bytes: list[bytes] = []
     for tag, start, end in _riff_walk(data, 12, len(data)):
+        # the walker CLAMPS declared chunk lengths to the buffer, so a
+        # truncated file can hand us an avih/strf payload shorter than
+        # the fields we read — bounds-check first so callers see the
+        # documented ValueError, never a struct.error (round-8 ADVICE)
         if tag == b"avih":
+            if end - start < 40:
+                raise ValueError("truncated avih header")
             w, h = struct.unpack_from("<II", data, start + 32)
         elif tag == b"strf":
+            if end - start < 20:
+                raise ValueError("truncated strf header")
             _, _, _, _, bitcount, compression = struct.unpack_from(
                 "<IiiHHI", data, start
             )
@@ -876,19 +884,18 @@ def avi_decode(
 
 
 def _avi_frame_chunks(data: bytes) -> list[bytes]:
-    """Raw '00db'/'00dc' frame chunks in stream order (for the
-    sample_frames fan-out, which wants bytes, not decoded pixels).
-    Uses the same order-preserving walker as avi_decode — a previous
+    """Raw frame chunks in stream order (for the sample_frames fan-out,
+    which wants bytes, not decoded pixels). Routed through _avi_parse
+    (round-8 ADVICE fix): the previous standalone walk skipped the
+    strf bitcount/compression validation, so a COMPRESSED AVI silently
+    yielded codec bitstream bytes as 'frames' — now any stream that is
+    not uncompressed 24-bit DIB raises the same ValueError avi_decode
+    raises, and sample_frames skips it like every other unsupported
+    format. Stream order is the order-preserving walker's — a previous
     LIFO-stack version reversed sibling LIST order, which flipped
     frame order whenever frames sat inside 'rec ' wrapper lists
     (round-7 review finding, regression-tested)."""
-    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
-        raise ValueError("not a RIFF/AVI file")
-    return [
-        data[start:end]
-        for tag, start, end in _riff_walk(data, 12, len(data))
-        if tag in (b"00db", b"00dc")
-    ]
+    return _avi_parse(data)[2]
 
 
 def _synth_video_frames(doc_id: int) -> list[list[list[tuple[int, int, int]]]]:

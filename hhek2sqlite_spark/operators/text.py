@@ -297,27 +297,55 @@ def tfidf_topk(
     engine (a log-idf's libm ``ln`` has no such guarantee at the last
     ulp, which could flip a round() on a .5 boundary).
 
-    Scale shape (round 6): tf is one shuffle on (doc, token); df is a
-    COUNT window over tf partitioned by token — NOT a separate
-    aggregate joined back, which evaluated the whole scan+tokenize+tf
-    subtree twice (measured in the executed plan: 2 FileScans, 2
-    tokenize Generates, 7 Exchanges, zero ReusedExchange; the window
-    form is 1 scan / 3 keyed exchanges and cut the query from ~0.8s to
-    ~0.45s at sf0.1). df counts rows of tf (distinct (doc,token)
-    pairs), so the window count is exactly the document frequency. The
-    top-k window partitions by doc — every stage is keyed, nothing
-    global. Deterministic tiebreak: (score desc, token asc)."""
+    Scale shape (round 8 — skew-safe df): tf is one shuffle on
+    (doc, token) — a pair key, never hot. df is a ``groupBy(token)``
+    COUNT over tf joined back, NOT a COUNT window partitioned by token:
+    a window partition is indivisible, so a stopword-grade token with
+    df ~ N_docs would pin its entire group on ONE reducer at corpus
+    scale, while the groupBy form absorbs hot keys in map-side partial
+    aggregation and the join-back is AQE-splittable (skew-join splits a
+    hot shuffle-join partition; it can never split a window partition)
+    and AQE-broadcastable when the vocabulary is small. The round-6
+    window form was adopted because the naive join-back re-evaluated
+    the scan+tokenize+tf subtree twice (2 FileScans, 7 Exchanges, zero
+    ReusedExchange — column pruning makes the two tf subtrees differ,
+    defeating ReuseExchange); persisting tf keeps ONE scan+tokenize:
+    both the df aggregate and the join probe read the same
+    InMemoryRelation. df counts rows of tf (distinct (doc,token)
+    pairs), so the count is exactly the document frequency. The top-k
+    window partitions by doc — per-doc term lists are bounded, so that
+    window is safe. Deterministic tiebreak: (score desc, token asc).
+
+    The tf relation stays cached after the action (it backs the lazy
+    result plan, so it cannot be unpersisted here); it is one row per
+    distinct (doc, token) — bounded by the tokenized input — and is
+    evicted LRU under memory pressure (MEMORY_AND_DISK). Callers doing
+    one-shot batch jobs can ``spark.catalog.clearCache()`` afterwards.
+
+    Measured counter-result (round 8, interleaved A/B at sf0.1, 4 reps
+    each): join form median 0.99s vs window form 0.84s — the join form
+    pays one extra stage (cache materialization barrier) at a scale
+    where the whole query is stage-floor-bound (~0.1-0.15s/stage on
+    this box). Kept anyway on the skew bound: the window form's worst
+    single task processes an indivisible token partition of df_hot rows
+    (df_hot ~ N_docs for a stopword — unbounded in corpus size), while
+    the join form's worst task is bounded by the AQE target partition
+    size regardless of token skew, and the executed plan (verified
+    round 8) broadcasts the vocabulary side: the ONLY token-keyed
+    exchange feeds the map-side-combined groupBy, which a hot key
+    cannot overload."""
     from pyspark.sql.window import Window
 
     tok = documents.select(
         F.col(id_col), F.explode(tokens("text")).alias("token")
     ).filter(F.length("token") >= min_len)
-    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    scored = tf.select(
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_rel, "token").select(
         id_col,
         "token",
         "tf",
-        F.count(F.lit(1)).over(Window.partitionBy("token")).alias("df"),
+        "df",
     ).select(
         id_col,
         "token",

@@ -93,11 +93,15 @@ class TableSchema:
 # puts Löpnr first; the observed Transaktioner fixed order is Belopp,
 # Löpnr, Saldo, Fastöverföring — dbinfo order, refuting the Go order).
 #
-# The remaining four tables (Betalningar, LÅN, Överföringar, Budget —
-# reference column lists hhek2sqlite.go:481,1056,593,803) are DERIVED
-# from dbinfo.txt types + that learned rule, and validated by
-# writer-roundtrip (GOTEST1 has zero rows in them, so there are no real
-# bytes to diff against; a real HHEK file would be the true test).
+# Three more tables (Betalningar, LÅN, Överföringar — reference column
+# lists hhek2sqlite.go:481,1056,593) are DERIVED from dbinfo.txt types +
+# that learned rule, and validated by writer-roundtrip only (GOTEST1 has
+# zero rows in them, so there are no real bytes to diff against; a real
+# HHEK file would be the true test). Budget (hhek2sqlite.go:803) IS
+# byte-verified against real fixture bytes like the round-6 tables:
+# GOTEST1's Budget holds 34 rows, and decoding them is what
+# disambiguated the REVERSED multi-byte null-bitmap byte order (see
+# _decode_row; tests/test_jet2_mdb.py).
 # Access DDL type map: MONEY->currency, COUNTER/INTEGER->long,
 # SMALLINT->short, REAL->single, BIT->bool, TEXT(n)/LONGTEXT->var.
 # LÅN's Anteckningar is a LONGTEXT (MEMO): real Jet stores long memo

@@ -246,8 +246,14 @@ def test_video_stats_numpy_kernel_matches_reference_decoder(spark):
 def test_riff_walk_survives_corrupt_and_deep_payloads():
     """Truncated chunk lengths must not raise struct.error and ~1000
     nested LISTs must not blow the recursion limit (review findings) —
-    corrupt blobs with valid magic are routine in a real crawl."""
+    corrupt blobs with valid magic are routine in a real crawl.
+    Round 8: _avi_frame_chunks now validates headers like avi_decode,
+    so headerless blobs raise the documented ValueError (which
+    sample_frames catches and skips) — still never struct.error or
+    RecursionError."""
     import struct as _s
+
+    import pytest
 
     from hhek2sqlite_spark.operators import multimodal as mm
 
@@ -256,13 +262,15 @@ def test_riff_walk_survives_corrupt_and_deep_payloads():
         b"RIFF" + _s.pack("<I", 100) + b"AVI "
         + b"LIST" + _s.pack("<I", 1000) + b"movi"
     )
-    assert mm._avi_frame_chunks(truncated) == []  # no crash, no frames
+    with pytest.raises(ValueError):  # no struct.error, no frames
+        mm._avi_frame_chunks(truncated)
     # 2000-deep nested LISTs
     inner = b"junkdata"
     for _ in range(2000):
         inner = b"LIST" + _s.pack("<I", 4 + len(inner)) + b"rec " + inner
     blob = b"RIFF" + _s.pack("<I", 4 + len(inner)) + b"AVI " + inner
-    assert mm._avi_frame_chunks(blob) == []  # no RecursionError
+    with pytest.raises(ValueError):  # no RecursionError
+        mm._avi_frame_chunks(blob)
 
 
 def test_sample_frames_avi_skips_truncated_payloads(spark):
