@@ -420,85 +420,70 @@ def lsh_bucket_pairs(
     """
     e = _doubled(embeddings)
     planes = _hyperplanes(n_bands * band_bits, dim)
+    planes_np = np.array(planes, dtype=np.int64)
     # quantize once per vector, then every sign bit is an exact integer
     # dot (see _QUANT_SCALE note) — computed from the SAME literal plane
-    # matrix the SQL oracle embeds. Measured counter-result (round 4,
-    # sf0.1): rewriting these 64 dots in minhash's explode + SUM-agg
-    # style is 2x SLOWER here (11.5s vs 5.3s per fresh build) — the agg
-    # form pays element_at(literal-array, dim) per row per plane across
-    # 64 aggregate buffers, while minhash's aggs are pure scalar
-    # expressions. The zip_with fold stays.
+    # matrix the SQL oracle embeds.
     eq = F.transform(
         F.col("e"), lambda x: F.round(x * _QUANT_SCALE).cast("long")
     )
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col("eq"),
-                    F.array(*[F.lit(v) for v in p]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            1,
-        ).otherwise(0)
-        for p in planes
-    ]
-    band_keys = []
-    for b in range(n_bands):
-        key = None
-        for i in range(band_bits):
-            term = F.shiftleft(bits[b * band_bits + i].cast("long"), i)
-            key = term if key is None else key.bitwiseOR(term)
-        band_keys.append(key)
-    # 64-bit SimHash fingerprint over the same hyperplanes, derived from
-    # the band-keys ARRAY (fp is just the concatenation of the 16 4-bit
-    # keys) so the 64 expensive sign-bit dots are computed exactly ONCE.
-    # The binding discipline matters and was measured twice at sf0.1:
-    # fp built from the raw `bits` expressions re-evaluates every dot
-    # per join side (+2.1s), and even a two-step select re-inlines the
-    # array through CollapseProject (hashed 0.5s -> 3.0s). So the array
-    # is let_once-bound and the WHOLE exploded payload — struct(key,
-    # lo, hi) per band — is produced inside that single binding; the
-    # fp folds there only touch the already-materialized array slots.
-    # Two 32-bit halves keep the identical arithmetic in signed-BIGINT
-    # range in the SQL oracle (1<<63 would overflow there).
-    from hhek2sqlite_spark.operators.text import let_once
-
+    # Round-8 rewrite: band keys + SimHash fingerprint in ONE
+    # Arrow-batched numpy kernel instead of 64 zip_with/aggregate folds.
+    # Higher-order functions are interpreted (never whole-stage
+    # codegen'd), and the fold tree was this operator's dominant cost —
+    # evaluated once per self-join SIDE on top of that. The int64 matmul
+    # computes the IDENTICAL integers (every product < 2^42, every
+    # partial sum < 2^48 — exact in int64 regardless of order), so the
+    # sign bits, band keys, and fp halves are bit-identical to both the
+    # fold form and the SQL oracle; parity is unaffected by
+    # construction. Interleaved A/B at sf0.1 (this round, quiet box):
+    # similarity_lsh 5.2s -> see BASELINE.md round-8.
+    # Earlier measured counter-results this kernel supersedes, kept for
+    # the record: minhash-style explode+SUM-agg bits were 2x SLOWER
+    # than the folds (round 4, 11.5s vs 5.3s); deriving fp from raw
+    # bit expressions re-evaluated every dot per join side (+2.1s,
+    # round 6), which the struct-payload let_once binding fixed — the
+    # numpy kernel sidesteps that whole binding discipline: Catalyst
+    # extracts the UDF into a single ArrowEvalPython node, so the
+    # payload is computed exactly once per side no matter how many
+    # downstream references exist. Two 32-bit fp halves keep the
+    # identical arithmetic in signed-BIGINT range in the SQL oracle.
+    n_bits = n_bands * band_bits
     keys_per_half = max(1, 32 // band_bits)
 
-    def _explode_payload(bk):
-        fp_lo = fp_hi = None
+    @F.pandas_udf("struct<keys: array<bigint>, lo: bigint, hi: bigint>")
+    def _band_payload(eqs: pd.Series) -> pd.DataFrame:
+        if not len(eqs):
+            return pd.DataFrame(
+                {
+                    "keys": pd.Series([], dtype="object"),
+                    "lo": pd.Series([], dtype="int64"),
+                    "hi": pd.Series([], dtype="int64"),
+                }
+            )
+        A = np.stack(eqs.values).astype(np.int64)
+        sign = (A @ planes_np.T > 0).astype(np.int64)
+        keys = np.zeros((len(A), n_bands), dtype=np.int64)
         for b in range(n_bands):
-            k = F.element_at(bk, b + 1)
+            for i in range(band_bits):
+                keys[:, b] |= sign[:, b * band_bits + i] << i
+        lo = np.zeros(len(A), dtype=np.int64)
+        hi = np.zeros(len(A), dtype=np.int64)
+        for b in range(n_bands):
             if b < keys_per_half:
-                term = F.shiftleft(k, b * band_bits)
-                fp_lo = term if fp_lo is None else fp_lo.bitwiseOR(term)
+                lo |= keys[:, b] << (b * band_bits)
             else:
-                term = F.shiftleft(k, (b - keys_per_half) * band_bits)
-                fp_hi = term if fp_hi is None else fp_hi.bitwiseOR(term)
-        if fp_hi is None:
-            fp_hi = F.lit(0).cast("long")
-        return F.transform(
-            bk,
-            lambda k: F.struct(
-                k.alias("key"), fp_lo.alias("lo"), fp_hi.alias("hi")
-            ),
-        )
+                hi |= keys[:, b] << ((b - keys_per_half) * band_bits)
+        return pd.DataFrame({"keys": list(keys), "lo": lo, "hi": hi})
 
-    arr = let_once(F.array(*band_keys), _explode_payload)
     hashed = (
         e.withColumn("eq", eq)
-        .select("vec_id", F.posexplode(arr).alias("band", "_s"))
+        .withColumn("_p", _band_payload(F.col("eq")))
         .select(
             "vec_id",
-            "band",
-            F.col("_s.key").alias("key"),
-            F.col("_s.lo").alias("_lo"),
-            F.col("_s.hi").alias("_hi"),
+            F.posexplode(F.col("_p.keys")).alias("band", "key"),
+            F.col("_p.lo").alias("_lo"),
+            F.col("_p.hi").alias("_hi"),
         )
     )
     # Measured counter-result (round 6, sf0.1, uncontended A/B):

@@ -1136,8 +1136,21 @@ _LSH_MIN_SIM = 400_000
 _LSH_HAMMING_MAX = 34  # keep in sync with lsh_bucket_pairs' default
 
 
-def _sql_similarity_lsh() -> str:
-    planes = similarity._hyperplanes(_LSH_BANDS * _LSH_BAND_BITS, _LSH_DIM)
+def _sql_similarity_lsh(
+    n_bands: int = _LSH_BANDS,
+    band_bits: int = _LSH_BAND_BITS,
+    *,
+    min_sim: int = _LSH_MIN_SIM,
+    hamming_max: int = _LSH_HAMMING_MAX,
+    prelude: str = "",
+    source_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings",
+) -> str:
+    """SQL twin of ``lsh_bucket_pairs`` for any (n_bands, band_bits)
+    operating point with n_bands*band_bits == 64 (the fp halves assume
+    it); ``prelude`` lets a caller prepend extra CTEs that ``source_sql``
+    (the body of the ``e`` CTE) can reference."""
+    assert n_bands * band_bits == 64 and 32 % band_bits == 0
+    planes = similarity._hyperplanes(n_bands * band_bits, _LSH_DIM)
     scale = similarity._QUANT_SCALE
     # integer plane coeffs ride as DOUBLE[] literals: every product is an
     # integer < 2^42 and the 64-term sum an integer < 2^48, both exactly
@@ -1151,17 +1164,17 @@ def _sql_similarity_lsh() -> str:
     )
     keys = ", ".join(
         " + ".join(
-            f"{1 << i} * t{b * _LSH_BAND_BITS + i}" for i in range(_LSH_BAND_BITS)
+            f"{1 << i} * t{b * band_bits + i}" for i in range(band_bits)
         )
-        for b in range(_LSH_BANDS)
+        for b in range(n_bands)
     )
     # SimHash fingerprint halves, same bit packing as the Spark side
     # (two 32-bit halves keep every term in signed-BIGINT range)
-    n_bits = _LSH_BANDS * _LSH_BAND_BITS
+    n_bits = n_bands * band_bits
     fp_lo = " + ".join(f"{1 << i} * t{i}" for i in range(32))
     fp_hi = " + ".join(f"{1 << (i - 32)} * t{i}" for i in range(32, n_bits))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH {prelude}e AS ({source_sql}),
 q AS (
     SELECT vec_id, e,
            list_transform(e, x -> CAST(round(x * {scale}) AS BIGINT))::DOUBLE[] AS eq
@@ -1175,7 +1188,7 @@ bits AS (
 banded AS (
     SELECT vec_id, bnd AS band, ([{keys}])[bnd + 1] AS key,
            CAST({fp_lo} AS BIGINT) AS fp_lo, CAST({fp_hi} AS BIGINT) AS fp_hi
-    FROM bits, LATERAL unnest(generate_series(0, {_LSH_BANDS - 1})) u(bnd)
+    FROM bits, LATERAL unnest(generate_series(0, {n_bands - 1})) u(bnd)
 ),
 cand AS (
     -- Hamming prefilter mirrors the Spark plan exactly (same integer
@@ -1183,7 +1196,7 @@ cand AS (
     SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
     FROM banded x
     JOIN banded y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
-    WHERE bit_count(xor(x.fp_lo, y.fp_lo)) + bit_count(xor(x.fp_hi, y.fp_hi)) <= {_LSH_HAMMING_MAX}
+    WHERE bit_count(xor(x.fp_lo, y.fp_lo)) + bit_count(xor(x.fp_hi, y.fp_hi)) <= {hamming_max}
 )
 SELECT c.id_a, c.id_b,
        -- quantized-integer cosine, mirroring the Spark verify exactly:
@@ -1196,11 +1209,92 @@ FROM cand c
 JOIN q a ON c.id_a = a.vec_id
 JOIN q b ON c.id_b = b.vec_id
 WHERE CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq)
-      / (sqrt(list_dot_product(a.eq, a.eq)) * sqrt(list_dot_product(b.eq, b.eq))) + 0.5) AS BIGINT) >= {_LSH_MIN_SIM}
+      / (sqrt(list_dot_product(a.eq, a.eq)) * sqrt(list_dot_product(b.eq, b.eq))) + 0.5) AS BIGINT) >= {min_sim}
 """
 
 
 SQL_SIMILARITY_LSH = _sql_similarity_lsh()
+
+
+# --- high-similarity LSH operating point (round 8, VERDICT r7 #6) ----
+# The DEDUP tier: cosine >= 0.9 with 8 bands x 8 bits. Wider bands
+# collapse bucket sizes (~N/256 per band vs ~N/16 at 4 bits), so the
+# candidate volume drops ~16x while recall at the high-sim operating
+# point stays high (1-(1-p^8)^8: 93.5% at c=0.90, >99.9% at c>=0.97 —
+# near-duplicate copies sit at ~0.999). The synthetic corpus has NO
+# organic pairs above cosine 0.60 (measured: max sim_e6 512838 at
+# sf0.01 / 600856 at sf0.1), so to keep the check non-vacuous the query
+# injects deterministic near-duplicate copies — every vec_id % 10 == 0
+# vector reappears as vec_id + 10_000_000 with each element scaled by
+# (1 + 0.01*(((vec_id + i) % 5) - 2)), i.e. +-2% elementwise, cosine
+# ~0.9996 to its original — the exact workload shape of corpus-crawl
+# near-dup detection. Both engines build the identical augmentation
+# (IEEE double ops in the same order), so parity stays exact by
+# construction. Measured at sf0.1 (numpy ground truth): 200 injected
+# true pairs, 8x8 banding finds ALL 200 (recall 1.0), their hamming
+# max is 3; hamming_max=18 = E[ham at the 0.9 boundary] (64*arccos(.9)/pi
+# ~ 9.2) + 3 sigma (~2.8) — zero measured loss with headroom for
+# organic boundary pairs, pruning the 89k pre-filter candidates to ~2k.
+_LSH_HS_BANDS = 8
+_LSH_HS_BAND_BITS = 8
+_LSH_HS_MIN_SIM = 900_000
+_LSH_HS_HAMMING_MAX = 18
+_NEARDUP_COPY_OFFSET = 10_000_000
+
+
+def _augment_near_dups(embeddings: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate injection (see the operating-point
+    note above); the SQL oracle mirrors it in `_SQL_LSH_HS_SOURCE`."""
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _NEARDUP_COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.01)
+                * ((F.col("vec_id") + i) % 5 - 2).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return base.unionByName(copies)
+
+
+def q_similarity_lsh_highsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread(): the round-8 numpy band kernel removed the CPU-heavy
+    # per-row fold that spread() existed to parallelize, and the extra
+    # RoundRobin exchange (x2 union branches -> 64 partitions) measured
+    # STRICTLY SLOWER here (interleaved A/B at sf0.1: plain 1.47s
+    # median vs spread 2.45s)
+    return similarity.lsh_bucket_pairs(
+        _augment_near_dups(load_table(spark, sf_dir, "embeddings")),
+        n_bands=_LSH_HS_BANDS,
+        band_bits=_LSH_HS_BAND_BITS,
+        min_sim_e6=_LSH_HS_MIN_SIM,
+        hamming_max=_LSH_HS_HAMMING_MAX,
+    )
+
+
+SQL_SIMILARITY_LSH_HIGHSIM = _sql_similarity_lsh(
+    _LSH_HS_BANDS,
+    _LSH_HS_BAND_BITS,
+    min_sim=_LSH_HS_MIN_SIM,
+    hamming_max=_LSH_HS_HAMMING_MAX,
+    prelude=(
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),\n"
+    ),
+    source_sql=f"""
+    SELECT vec_id, e FROM base
+    UNION ALL
+    SELECT vec_id + {_NEARDUP_COPY_OFFSET} AS vec_id,
+           list_transform(e, (x, i) ->
+               x * (1.0 + 0.01 * CAST(((vec_id + i - 1) % 5) - 2 AS DOUBLE))) AS e
+    FROM base WHERE vec_id % 10 = 0
+""",
+)
 
 
 _CENTROID_SCALE = 1 << 20
@@ -2285,6 +2379,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_lsh_highsim": q_similarity_lsh_highsim,
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint_tokens": q_fingerprint_tokens,
@@ -2350,6 +2445,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     # brute-force SQL is a genuine oracle for it
     "similarity_ivf": SQL_SIMILARITY_TOPK,
     "similarity_lsh": SQL_SIMILARITY_LSH,
+    "similarity_lsh_highsim": SQL_SIMILARITY_LSH_HIGHSIM,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,
