@@ -55,6 +55,39 @@ from decimal import ROUND_HALF_UP, Decimal
 PAGE_SIZE = 2048
 CATALOG_TDEF = 3  # MSysObjects' own TDEF page — fixed by the engine
 
+# Jet 3/4/ACE header magic ("Standard Jet DB\x00" / "Standard ACE DB\x00"
+# at offset 4, version byte at 0x14) — public knowledge from the mdbtools
+# documentation. Jet 2.0 files (GOTEST1.MDB) have NONE of this: their
+# header page is a type-0x01 page with no magic string. The guard below
+# detects the *newer* formats so a Jet 3/4 file (the common kind in the
+# wild) fails with a format-specific message instead of a generic decode
+# error deep in the row parser.
+_JET3_MAGIC = b"Standard Jet DB\x00"
+_ACE_MAGIC = b"Standard ACE DB\x00"
+_JET_VERSION_NAMES = {
+    0x00: "Jet 3 (Access 95/97)",
+    0x01: "Jet 4 (Access 2000-2003)",
+    0x02: "ACE 12 (Access 2007)",
+    0x03: "ACE 14 (Access 2010+)",
+}
+
+# Tag marking an LVAL (long-value / memo) page: stored where data pages
+# keep their owning-TDEF page number, exactly as the public mdbtools
+# docs describe for Jet 3 LVAL pages. Never collides with a real page
+# number in our files (it is ~1.28 billion).
+LVAL_TAG = int.from_bytes(b"LVAL", "little")
+
+# Memo var-slot header flags (u32 little-endian: low 24 bits = value
+# length in bytes, high byte = storage flags), following the mdbtools
+# Jet 3 memo description. 0x80 = text inline after the 12-byte header;
+# 0x40 = value on a single LVAL page, slot carries a (page,row) pointer.
+_MEMO_INLINE = 0x80000000
+_MEMO_LVAL = 0x40000000
+_MEMO_LEN_MASK = 0x00FFFFFF
+# values whose cp1252 bytes exceed this go to an LVAL page instead of
+# inline; anything <= stays in-row (keeps typical short notes cheap)
+_MEMO_INLINE_MAX = 128
+
 _SYSTEM_NAMES = frozenset(
     {"Tables", "Databases", "Relationships", "MSysDb"}
 )
@@ -74,11 +107,14 @@ _FIXED_WIDTHS = {
 class TableSchema:
     """Physical row layout for one table: fixed columns in STORAGE
     order (observed, not DDL order) and var columns in trailer-offset
-    order."""
+    order. ``memo`` names the var columns that are LONGTEXT (MEMO) —
+    their var slot carries a 12-byte memo header (inline or LVAL
+    pointer) rather than bare cp1252 text."""
 
-    def __init__(self, fixed, var):
+    def __init__(self, fixed, var, memo=()):
         self.fixed = fixed  # [(name, kind)] kind in _FIXED_WIDTHS
         self.var = var  # [name]
+        self.memo = frozenset(memo)
 
 
 # Physical layouts for all 10 HHEK tables.
@@ -104,11 +140,13 @@ class TableSchema:
 # _decode_row; tests/test_jet2_mdb.py).
 # Access DDL type map: MONEY->currency, COUNTER/INTEGER->long,
 # SMALLINT->short, REAL->single, BIT->bool, TEXT(n)/LONGTEXT->var.
-# LÅN's Anteckningar is a LONGTEXT (MEMO): real Jet stores long memo
-# values on separate LVAL pages with a 12-byte pointer in the var slot;
-# this module handles INLINE memo text only (fine for roundtrip and for
-# short notes) and makes no claim about LVAL decoding — see
-# _decode_row's honesty note.
+# LÅN's Anteckningar is a LONGTEXT (MEMO): its var slot carries a
+# 12-byte memo header — text inline after the header for short values,
+# or a (page,row) pointer onto a separate LVAL page for long ones —
+# following the PUBLIC mdbtools description of Jet 3 memo storage
+# (GOTEST1's LÅN table is empty, so Jet 2.0's exact variant has no
+# fixture to verify against; unknown flag bytes fail loudly rather than
+# decode garbage — see _decode_memo).
 HHEK_SCHEMAS = {
     "Personer": TableSchema(
         [("Löpnr", "long")], ["Namn", "Född", "Kön"]
@@ -180,11 +218,12 @@ HHEK_SCHEMAS = {
             "Vem",
             "FrånKonto",
             "Grey",
-            "Anteckningar",  # MEMO: inline text only, see header note
+            "Anteckningar",  # MEMO: 12-byte header, inline or LVAL page
             "BudgetRanta",
             "BudgetAmort",
             "BudgetOvriga",
         ],
+        memo=("Anteckningar",),
     ),
     "Överföringar": TableSchema(
         [
@@ -226,7 +265,53 @@ HHEK_SCHEMAS = {
 }
 
 
-def _decode_row(buf: bytes, schema: TableSchema | None):
+def _decode_memo(slot: bytes, lval_fetch=None) -> str:
+    """Decode a MEMO var slot: empty slot -> "", else a 12-byte header
+    (u32 len|flags, u32 lval (page<<8)|row, u32 reserved) followed by
+    inline text or resolved through ``lval_fetch(page, row) -> bytes``.
+    Unknown flag combinations fail loudly — this header layout follows
+    the public mdbtools Jet 3 memo description and has no Jet 2.0
+    fixture to verify against (GOTEST1's only memo table is empty)."""
+    if not slot:
+        return ""
+    if len(slot) < 12:
+        raise ValueError(
+            f"memo slot is {len(slot)} bytes; expected empty or >=12-byte "
+            "memo header — this may be a Jet 2.0 memo variant the reader "
+            "does not know (no fixture exists to verify against)"
+        )
+    hdr, dp = struct.unpack_from("<II", slot, 0)
+    flags = hdr & ~_MEMO_LEN_MASK
+    length = hdr & _MEMO_LEN_MASK
+    if flags == _MEMO_INLINE:
+        raw = slot[12 : 12 + length]
+        if len(raw) != length:
+            raise ValueError(
+                f"inline memo header claims {length} bytes but slot holds "
+                f"{len(raw)}"
+            )
+        return raw.decode("cp1252")
+    if flags == _MEMO_LVAL:
+        if lval_fetch is None:
+            raise ValueError(
+                "memo value lives on an LVAL page but no page resolver is "
+                "available in this decode context"
+            )
+        raw = lval_fetch(dp >> 8, dp & 0xFF)
+        if len(raw) != length:
+            raise ValueError(
+                f"LVAL memo header claims {length} bytes but page row holds "
+                f"{len(raw)}"
+            )
+        return raw.decode("cp1252")
+    raise ValueError(
+        f"memo header flags 0x{flags:08x} unknown (inline=0x80000000, "
+        "single-page LVAL=0x40000000); multi-page LVAL chains and other "
+        "Jet variants are not decodable without a fixture"
+    )
+
+
+def _decode_row(buf: bytes, schema: TableSchema | None, lval_fetch=None):
     """Decode one row. With a schema returns {col: value}; without,
     returns {'_fixed': bytes, '_var': [bytes, ...]} raw parts."""
     n_fixed = buf[2]
@@ -248,24 +333,48 @@ def _decode_row(buf: bytes, schema: TableSchema | None):
     if trailer_n_var != n_var:
         raise ValueError(f"row trailer n_var {trailer_n_var} != header {n_var}")
     end -= 1
+    # Long-row trailer (rows whose total length exceeds 255 bytes): the
+    # u8 var offsets store offset % 256, and a jump table of
+    # (row_len - 1) // 256 bytes sits between the n_var byte and the
+    # offset table. Each jump entry holds the BOUND INDEX at which the
+    # running offset crosses into the next 256-byte window (repeated
+    # entries for a single value spanning multiple windows). This is the
+    # scheme the public mdbtools documentation describes for Jet 3 rows,
+    # carried over to this module's Jet 2 trailer; GOTEST1 contains no
+    # long rows, so it is writer-roundtrip-validated only.
+    num_jumps = (len(buf) - 1) // 256
+    jumps = [buf[end - 1 - i] for i in range(num_jumps)]
+    end -= num_jumps
     # n_var+1 bounds; the LAST trailer byte is the FIRST (lowest) bound,
     # so reading backward already yields ascending order
-    bounds = [buf[end - 1 - i] for i in range(n_var + 1)]
-    # the var region must end exactly where the offset table begins and
-    # the bounds must ascend; a >255-byte row (long-row encoding, not
-    # reverse-engineerable from the fixture — see _encode_row) or any
-    # other misparse breaks this invariant. Garbage values would be
-    # silently decoded otherwise.
+    raw_bounds = [buf[end - 1 - i] for i in range(n_var + 1)]
+    bounds = []
+    jumps_used = 0
+    for i, rb in enumerate(raw_bounds):
+        while jumps_used < num_jumps and jumps[jumps_used] == i:
+            jumps_used += 1
+        bounds.append(rb + 256 * jumps_used)
+    # the var region must end exactly where the trailer begins and the
+    # bounds must ascend; any misparse (or an unknown long-row variant)
+    # breaks this invariant. Garbage values would be silently decoded
+    # otherwise.
     if bounds[-1] != end - (n_var + 1) or any(
         bounds[i] > bounds[i + 1] for i in range(n_var)
     ):
         raise ValueError(
             "row var-offset table inconsistent with trailer position — "
-            "likely a long-row (>255B) encoding this reader does not support"
+            "likely a long-row encoding variant this reader does not support"
         )
-    var_vals = [
-        buf[bounds[i] : bounds[i + 1]].decode("cp1252") for i in range(n_var)
-    ]
+    var_raw = [buf[bounds[i] : bounds[i + 1]] for i in range(n_var)]
+    if schema is not None and schema.memo:
+        var_vals = [
+            _decode_memo(raw, lval_fetch)
+            if name in schema.memo
+            else raw.decode("cp1252")
+            for name, raw in zip(schema.var, var_raw)
+        ]
+    else:
+        var_vals = [raw.decode("cp1252") for raw in var_raw]
     if schema is None:
         # bounds[0] (the trailer's lowest bound) marks the end of the
         # fixed region even when n_var == 0 — slicing to the buffer end
@@ -309,8 +418,27 @@ class Jet2File:
     def __init__(self, path: str):
         with open(path, "rb") as fh:
             self._data = fh.read()
+        # Version guard BEFORE any page math: a Jet 3/4/ACE file (the
+        # common kind in the wild) announces itself with a magic string
+        # this Jet 2.0 reader must refuse by name, not with a generic
+        # decode error three layers down.
+        magic = self._data[4:20]
+        if magic in (_JET3_MAGIC, _ACE_MAGIC):
+            ver = self._data[0x14] if len(self._data) > 0x14 else -1
+            name = _JET_VERSION_NAMES.get(ver, f"unknown (version byte 0x{ver:02x})")
+            raise ValueError(
+                f"{path}: this is a {name} database "
+                f"({magic.rstrip(bytes(1)).decode('ascii', 'replace')} header); "
+                "this reader supports Jet 2.0 (Access 2.0) only — the format "
+                "HHEK databases use. Convert with Access or mdbtools first."
+            )
         if len(self._data) % PAGE_SIZE:
             raise ValueError(f"{path}: not a whole number of {PAGE_SIZE}B pages")
+        if not self._data or self._data[0] != 0x01:
+            raise ValueError(
+                f"{path}: first page is not a Jet 2.0 database header "
+                "(type byte 0x01)"
+            )
         self._pages_by_tdef: dict[int, list[int]] = {}
         for p in range(len(self._data) // PAGE_SIZE):
             pg = self._page(p)
@@ -323,6 +451,23 @@ class Jet2File:
             name = _decode_row(row, None)["_var"][0]
             if not name.startswith("MSys") and name not in _SYSTEM_NAMES:
                 self.tables[name] = obj_id
+
+    def _lval_fetch(self, page: int, row: int) -> bytes:
+        """Resolve a memo LVAL pointer to its raw bytes."""
+        if page >= len(self._data) // PAGE_SIZE:
+            raise ValueError(f"LVAL pointer to page {page} beyond file end")
+        pg = self._page(page)
+        if pg[0] != 0x06 or struct.unpack_from("<I", pg, 4)[0] != LVAL_TAG:
+            raise ValueError(f"page {page} is not an LVAL page")
+        n = struct.unpack_from("<H", pg, 8)[0]
+        if row >= n:
+            raise ValueError(f"LVAL row {row} beyond page {page}'s {n} rows")
+        raw_off = struct.unpack_from("<H", pg, 20 + 2 * row)[0]
+        off = raw_off & 0x0FFF
+        ln = struct.unpack_from("<H", pg, off)[0]
+        # LVAL rows are framed like data rows (u16 length prefix) but the
+        # payload is the raw value bytes — no column structure.
+        return pg[off + 2 : off + ln]
 
     def _page(self, p: int) -> bytes:
         return self._data[p * PAGE_SIZE : (p + 1) * PAGE_SIZE]
@@ -346,7 +491,10 @@ class Jet2File:
         """Decode a table's rows. Uses the verified HHEK layout when
         registered; otherwise returns raw fixed/var parts."""
         schema = schema or HHEK_SCHEMAS.get(table)
-        return [_decode_row(r, schema) for r in self._raw_rows(self.tables[table])]
+        return [
+            _decode_row(r, schema, self._lval_fetch)
+            for r in self._raw_rows(self.tables[table])
+        ]
 
 
 def _spark_schema_for(schema: TableSchema):
@@ -421,8 +569,15 @@ def default_mdb_path() -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def _encode_row(schema: TableSchema, row: dict) -> bytes:
-    """Inverse of _decode_row for a registered layout."""
+def _inline_memo(raw: bytes) -> bytes:
+    """12-byte inline memo header + text (flags 0x80, see _decode_memo)."""
+    return struct.pack("<III", len(raw) | _MEMO_INLINE, 0, 0) + raw
+
+
+def _encode_row(schema: TableSchema, row: dict, memo_slot=None) -> bytes:
+    """Inverse of _decode_row for a registered layout. ``memo_slot`` maps
+    a memo value's raw cp1252 bytes to its var-slot bytes (inline header
+    or LVAL pointer); defaults to always-inline."""
     n_fixed = len(schema.fixed)
     n_var = len(schema.var)
     fixed = bytearray()
@@ -458,10 +613,13 @@ def _encode_row(schema: TableSchema, row: dict) -> bytes:
                     (dv * 10000).to_integral_value(rounding=ROUND_HALF_UP)
                 )
             fixed += struct.pack("<q", units)
-    var_bytes = [
-        ("" if row.get(name) is None else str(row[name])).encode("cp1252")
-        for name in schema.var
-    ]
+    var_bytes = []
+    for name in schema.var:
+        v = row.get(name)
+        raw = ("" if v is None else str(v)).encode("cp1252")
+        if name in schema.memo and raw:
+            raw = (memo_slot or _inline_memo)(raw)
+        var_bytes.append(raw)
     body = bytearray()
     body += bytes(2)  # length placeholder
     body.append(n_fixed)
@@ -471,37 +629,54 @@ def _encode_row(schema: TableSchema, row: dict) -> bytes:
     for vb in var_bytes:
         body += vb
         bounds.append(len(body))
-    if bounds[-1] > 255:
-        # Documented cap, not an implementation shortcut: the trailer
-        # var-offset bytes observed in GOTEST1.MDB are u8, so a row
-        # whose var region ends past byte 255 is unrepresentable in the
-        # verified format. Real Jet has a long-row encoding (Jet 3
-        # documents u8 offsets + jump tables), but GOTEST1 contains no
-        # long rows to reverse-engineer Jet 2.0's variant from, and
-        # inventing one would silently corrupt data. All-maximal HHEK
-        # rows (e.g. Betalningar with every TEXT at declared width) can
-        # exceed this; typical rows don't. Fail loudly instead.
-        raise ValueError(
-            f"row is {bounds[-1]} bytes; the verified Jet 2.0 row format "
-            "(u8 var offsets) caps rows at 255 bytes — long-row encoding "
-            "is not reverse-engineerable from the available fixture"
-        )
-    # trailer: offsets with the LAST byte the FIRST bound, then n_var,
-    # then the fixed-column bitmap
-    for b in reversed(bounds):
-        body.append(b)
-    body.append(n_var)
     mask_len = (n_fixed + 7) // 8 if n_fixed else 0
+    # Long-row trailer (see _decode_row): offsets are stored mod 256 and
+    # a jump table records the bound index at each 256-window crossing.
+    # num_jumps is derived from the TOTAL row length on both sides, so
+    # the writer iterates to the (least, guaranteed-existing) fixed
+    # point: adding a jump byte can itself push the length over a
+    # boundary. Crossing entries can number fewer than num_jumps (the
+    # trailer, not a value, crossed the boundary) — pad with 0xFF, which
+    # never equals a bound index and is simply never consumed.
+    base_len = bounds[-1] + (n_var + 1) + 1 + mask_len
+    num_jumps = 0
+    while (base_len + num_jumps - 1) // 256 != num_jumps:
+        num_jumps = (base_len + num_jumps - 1) // 256
+    jump_entries = []
+    prev_window = 0
+    for i, b in enumerate(bounds):
+        jump_entries.extend([i] * (b // 256 - prev_window))
+        prev_window = b // 256
+    if len(jump_entries) > num_jumps:
+        raise AssertionError("jump table exceeds derived num_jumps")
+    jump_entries.extend([0xFF] * (num_jumps - len(jump_entries)))
+    # trailer: offsets with the LAST byte the FIRST bound, then the jump
+    # table (also back-to-front), then n_var, then the fixed bitmap
+    for b in reversed(bounds):
+        body.append(b % 256)
+    for j in reversed(jump_entries):
+        body.append(j)
+    body.append(n_var)
     # reversed byte order, matching the reader (see _decode_row)
     body += mask.to_bytes(mask_len, "big")
     struct.pack_into("<H", body, 0, len(body))
+    if len(body) > PAGE_SIZE - 22:
+        raise ValueError(
+            f"encoded row is {len(body)} bytes; a Jet 2.0 data page holds "
+            f"at most {PAGE_SIZE - 22} — move long memo values to LVAL "
+            "pages (write_jet2 does this automatically)"
+        )
     return bytes(body)
 
 
-def _pack_data_pages(tdef_page: int, rows: list[bytes]) -> list[bytes]:
+def _pack_data_pages(tdef_page: int, rows: list[bytes], base_page: int = 0):
     """Pack encoded rows into 0x06 data pages: header + u16 offset slots
-    growing from @20, row bytes packed downward from the page end."""
+    growing from @20, row bytes packed downward from the page end.
+    Returns (pages, locations) where locations[i] = (absolute page
+    number assuming the first emitted page lands at ``base_page``, row
+    slot index on that page) — used for LVAL memo pointers."""
     pages = []
+    locs: list[tuple[int, int]] = []
     cur: list[bytes] = []
 
     def flush():
@@ -519,14 +694,19 @@ def _pack_data_pages(tdef_page: int, rows: list[bytes]) -> list[bytes]:
         cur.clear()
 
     for rb in rows:
+        if 22 + len(rb) > PAGE_SIZE:
+            raise ValueError(
+                f"encoded row of {len(rb)} bytes cannot fit a {PAGE_SIZE}B page"
+            )
         used = sum(len(r) for r in cur)
         slots = 20 + 2 * (len(cur) + 1)
         if cur and slots + used + len(rb) > PAGE_SIZE:
             flush()
+        locs.append((base_page + len(pages), len(cur)))
         cur.append(rb)
     if cur:
         flush()
-    return pages
+    return pages, locs
 
 
 # Minimal MSysObjects row: the reader needs the object id (first fixed
@@ -548,20 +728,66 @@ def write_jet2(path: str, tables: dict[str, tuple[TableSchema, list[dict]]]) -> 
     table_pages: list[bytes] = []
     next_page = 5
     for name, (schema, rows) in tables.items():
+        # Long memo values (> _MEMO_INLINE_MAX cp1252 bytes) move to
+        # LVAL pages placed just before the table's TDEF. Pre-scan in
+        # the exact order _encode_row consumes var columns so the
+        # encode-time allocator can hand out pointers sequentially.
+        long_vals: list[bytes] = []
+        if schema.memo:
+            for r in rows:
+                for vname in schema.var:
+                    if vname not in schema.memo:
+                        continue
+                    v = r.get(vname)
+                    raw = ("" if v is None else str(v)).encode("cp1252")
+                    if len(raw) > _MEMO_INLINE_MAX:
+                        if len(raw) > PAGE_SIZE - 24:
+                            raise ValueError(
+                                f"memo value of {len(raw)} bytes exceeds one "
+                                f"LVAL page ({PAGE_SIZE - 24}B payload); "
+                                "multi-page LVAL chains have no Jet 2.0 "
+                                "fixture to verify against and are not "
+                                "implemented"
+                            )
+                        long_vals.append(raw)
+        lval_pages: list[bytes] = []
+        locs: list[tuple[int, int]] = []
+        if long_vals:
+            framed = [struct.pack("<H", len(raw) + 2) + raw for raw in long_vals]
+            lval_pages, locs = _pack_data_pages(LVAL_TAG, framed, next_page)
+            next_page += len(lval_pages)
+        alloc = iter(zip(long_vals, locs))
+
+        def memo_slot(raw, _alloc=alloc):
+            if len(raw) <= _MEMO_INLINE_MAX:
+                return _inline_memo(raw)
+            a_raw, (pg_no, row_no) = next(_alloc)
+            if a_raw != raw:
+                raise AssertionError("LVAL allocation order diverged from encode order")
+            if row_no > 0xFF:
+                raise ValueError("LVAL row index exceeds the pointer's u8 field")
+            return struct.pack(
+                "<III", len(raw) | _MEMO_LVAL, (pg_no << 8) | row_no, 0
+            )
+
         tdef_page = next_page
-        encoded = [_encode_row(schema, r) for r in rows]
-        data_pages = _pack_data_pages(tdef_page, encoded)
+        encoded = [
+            _encode_row(schema, r, memo_slot if schema.memo else None)
+            for r in rows
+        ]
+        data_pages, _ = _pack_data_pages(tdef_page, encoded, tdef_page + 1)
         next_page += 1 + len(data_pages)
         tdef = bytearray(PAGE_SIZE)
         tdef[0] = 0x05
         struct.pack_into("<I", tdef, 4, tdef_page)
         if data_pages:
             struct.pack_into("<I", tdef, 12, tdef_page + 1)
+        table_pages.extend(lval_pages)
         table_pages.append(bytes(tdef))
         table_pages.extend(data_pages)
         catalog_rows.append({"Id": tdef_page, "Name": name})
     cat_encoded = [_encode_row(_CATALOG_SCHEMA, r) for r in catalog_rows]
-    cat_pages = _pack_data_pages(CATALOG_TDEF, cat_encoded)
+    cat_pages, _ = _pack_data_pages(CATALOG_TDEF, cat_encoded)
     if len(cat_pages) != 1:
         raise ValueError("catalog exceeds one page (too many tables)")
     pages = []

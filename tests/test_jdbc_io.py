@@ -94,6 +94,73 @@ def test_jdbc_read_partition_tuple_enforced(spark, derby_url):
         )
 
 
+def test_ucanaccess_roundtrip_when_jar_present(tmp_path):
+    """Executable form of the real-Jet-consumer proof (VERDICT task 1 /
+    task 8, JET_VALIDATION.md): UCanAccess opens the `.mdb` written by
+    write_jet2 and reproduces checkDB1 (db_test.go:150-171).
+
+    Auto-skipped unless HHEK_UCANACCESS_JARS names a classpath with the
+    public UCanAccess jar set (ucanaccess + jackcess + hsqldb +
+    commons-lang/logging) — none is vendored and installs are
+    prohibited in the build container. Runs a FRESH py4j JVM so the
+    shared Spark session's classpath stays untouched. Also records the
+    Jet 2.0-acceptance question: if UCanAccess (Jackcess reads V1997+)
+    refuses the Jet 2.0 file, this test fails loudly with the driver's
+    message — that refusal is itself the evidence JET_VALIDATION.md
+    needs to retarget the writer."""
+    import os
+
+    jars = os.environ.get("HHEK_UCANACCESS_JARS")
+    if not jars:
+        pytest.skip("HHEK_UCANACCESS_JARS not set (no UCanAccess jars in env)")
+    from hhek2sqlite_spark.sources.jet2 import (
+        HHEK_SCHEMAS,
+        Jet2File,
+        default_mdb_path,
+        write_jet2,
+    )
+
+    src = default_mdb_path()
+    if src is None:
+        pytest.skip("GOTEST1.MDB fixture absent")
+    f = Jet2File(src)
+    out = str(tmp_path / "ours.mdb")
+    write_jet2(
+        out,
+        {
+            name: (HHEK_SCHEMAS[name], f.read_rows(name))
+            for name in ("Personer", "Platser", "Transaktioner", "Konton")
+        },
+    )
+
+    from py4j.java_gateway import launch_gateway
+
+    gw = launch_gateway(classpath=jars)
+    try:
+        gw.jvm.java.lang.Class.forName("net.ucanaccess.jdbc.UcanaccessDriver")
+        conn = gw.jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:ucanaccess://{out};immediatelyReleaseResources=true"
+        )
+        try:
+            st = conn.createStatement()
+
+            def one(sql):
+                rs = st.executeQuery(sql)
+                rs.next()
+                return rs.getString(1)
+
+            # checkDB1's assertions, db_test.go:151-171
+            assert one('SELECT COUNT(*) FROM "Personer"') == "3"
+            assert one('SELECT COUNT(*) FROM "Platser"') == "1"
+            assert one('SELECT COUNT(*) FROM "Transaktioner"') == "3"
+            saldo = one('SELECT MIN("Saldo") FROM "Konton"')
+            assert saldo is not None and float(saldo) == pytest.approx(0.90)
+        finally:
+            conn.close()
+    finally:
+        gw.shutdown()
+
+
 def test_jdbc_max_connections_caps_write_parallelism(spark, derby_url):
     """max_connections coalesces before the write — the knob that stops a
     wide cluster from opening one connection per task against a single
