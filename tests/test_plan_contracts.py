@@ -244,12 +244,10 @@ def test_tfidf_topk_no_token_partitioned_window(spark, sf_dir):
     for l in window_lines:
         assert "doc_id" in l, l
         assert not l.strip().startswith("windowspecdefinition(token"), l
-    # single scan+tokenize: both df and the join probe read the persisted
-    # tf relation, so the plan has exactly ONE documents FileScan node —
-    # the cached relation's subtree prints once per InMemoryTableScan,
-    # but every occurrence must carry the same node id
-    import re
-
-    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
-    assert len(scan_ids) <= 1, p
-    assert "InMemoryTableScan" in p, p
+    # single scan+tokenize: the shared tf relation is localCheckpoint'ed
+    # (round 10 — self-cleaning, no CacheManager entry), so the
+    # scan+tokenize+tf subtree ran exactly once in the checkpoint job
+    # and the FINAL plan reads the checkpointed partitions on both
+    # sides: zero parquet FileScans, >=1 ExistingRDD scan.
+    assert "Scan parquet" not in p, p
+    assert "ExistingRDD" in p, p
