@@ -55,6 +55,9 @@ def get_spark(app_name: str = "hhek2sqlite_spark", *, shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # no \r-progress bars in captured stdout/stderr — bench artifacts
+        # embed the process tail and the bars are non-reproducible noise
+        .config("spark.ui.showConsoleProgress", "false")
     )
     # layout-matched scan tuning, e.g. the multi-row-group fixture run
     # (scripts/make_multirg.py) lowers maxPartitionBytes/openCostInBytes
