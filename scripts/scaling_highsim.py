@@ -68,10 +68,16 @@ SLOW_CUTOFF_SEC = 15.0
 
 
 def _signs(dim: int, c: int) -> np.ndarray:
-    i = np.arange(dim, dtype=np.int64)
-    h = (i * 1103515245 + (c + 1) * 2654435761) >> 7
-    s = np.where(h % 2 == 0, 1.0, -1.0)
-    return s.astype(np.float32)
+    # A real PRNG, not an affine hash: the first cut used bit 7 of
+    # (i*a + c*b), which is affine mod 256 — copies whose offsets
+    # differed by a small residue (e.g. c2-c1=13 -> argument shift 3)
+    # got sign patterns differing in ~1 of dim coords, i.e. cosine
+    # ~0.97 cross-copy NEAR-COLLISIONS that showed up as superlinear
+    # pair counts in the x16/x64 linearity check. Independent
+    # per-copy PCG64 streams make cross-copy patterns differ in
+    # ~dim/2 coords (cosine ~0).
+    rng = np.random.default_rng(987654321 + c)
+    return (rng.integers(0, 2, size=dim).astype(np.float32) * 2.0) - 1.0
 
 
 def build_series(ks: list[int]) -> dict[str, str]:
