@@ -487,6 +487,46 @@ class Jet2File:
     def row_count(self, table: str) -> int:
         return sum(1 for _ in self._raw_rows(self.tables[table]))
 
+    def read_rows_located(self, table: str, schema: TableSchema | None = None):
+        """Like read_rows, but yields (page, row_slot, rowdict) — the
+        (page<<8|row) coordinates index entries point at."""
+        schema = schema or HHEK_SCHEMAS.get(table)
+        out = []
+        for p in self._pages_by_tdef.get(self.tables[table], ()):
+            pg = self._page(p)
+            n = struct.unpack_from("<H", pg, 8)[0]
+            for i in range(n):
+                raw_off = struct.unpack_from("<H", pg, 20 + 2 * i)[0]
+                off = raw_off & 0x0FFF
+                if raw_off & 0x8000 or off == 0:
+                    continue
+                ln = struct.unpack_from("<H", pg, off)[0]
+                out.append(
+                    (p, i, _decode_row(pg[off : off + ln], schema, self._lval_fetch))
+                )
+        return out
+
+    def index_pages(self, table: str) -> dict[int, list[int]]:
+        """{slot: [leaf page numbers]} of the table's 0x04 index pages
+        (grouped by owner TDEF + slot, in file order)."""
+        tdef = self.tables[table]
+        slots: dict[int, list[int]] = {}
+        for p in range(len(self._data) // PAGE_SIZE):
+            pg = self._page(p)
+            if pg[0] == 0x04 and struct.unpack_from("<I", pg, 4)[0] == tdef:
+                slots.setdefault(struct.unpack_from("<H", pg, 8)[0], []).append(p)
+        return slots
+
+    def read_index(self, table: str, slot: int):
+        """Decoded entries [(key_image, [(page, row), ...])] of one
+        index, concatenated across its leaf chain."""
+        from hhek2sqlite_spark.sources.jet2_index import decode_index_page
+
+        out = []
+        for p in self.index_pages(table).get(slot, ()):
+            out.extend(decode_index_page(self._page(p)))
+        return out
+
     def read_rows(self, table: str, schema: TableSchema | None = None):
         """Decode a table's rows. Uses the verified HHEK layout when
         registered; otherwise returns raw fixed/var parts."""
@@ -561,11 +601,13 @@ def default_mdb_path() -> str | None:
 # per table a TDEF page plus data pages with trailer-encoded rows.
 #
 # Honesty note: validation is (a) roundtrip through the independent
-# reader in this module and (b) structural agreement with the
-# reference's GOTEST1.MDB (same page headers, row trailers, and
-# catalog-id-equals-TDEF-page invariant). Real Access/ODBC cannot be
-# exercised in this environment; index pages and usage bitmaps are NOT
-# emitted (readers that require them would need a compact pass).
+# reader in this module, (b) structural agreement with the reference's
+# GOTEST1.MDB (same page headers, row trailers, and
+# catalog-id-equals-TDEF-page invariant), and (c) for index pages,
+# EXACT-BYTE agreement of re-encoded entries with the fixture's live
+# Access-written pages (tests/test_jet2_index.py). Real Access/ODBC
+# cannot be exercised in this environment (JET_VALIDATION.md); usage
+# bitmaps and index interior nodes (type 0x03) are NOT emitted.
 # ---------------------------------------------------------------------------
 
 
@@ -719,9 +761,16 @@ _CATALOG_SCHEMA = TableSchema(
 )
 
 
-def write_jet2(path: str, tables: dict[str, tuple[TableSchema, list[dict]]]) -> None:
+def write_jet2(
+    path: str,
+    tables: dict[str, tuple[TableSchema, list[dict]]],
+    indexes: dict | None = None,
+) -> None:
     """Write a Jet 2.0 .mdb containing ``tables`` (name -> (layout,
-    rows)). Readable by Jet2File; see the honesty note above."""
+    rows)). Readable by Jet2File; see the honesty note above.
+    ``indexes``: None emits the reference's index set
+    (jet2_index.REFERENCE_INDEXES) for known tables; {} emits none;
+    {table: [(name, (col, ...)), ...]} overrides per table."""
     # layout: p0 header, p1 (type 0x07, as in real files), p2 spare,
     # p3 catalog TDEF, p4 catalog data, then per table TDEF + data
     catalog_rows = []
@@ -775,8 +824,19 @@ def write_jet2(path: str, tables: dict[str, tuple[TableSchema, list[dict]]]) -> 
             _encode_row(schema, r, memo_slot if schema.memo else None)
             for r in rows
         ]
-        data_pages, _ = _pack_data_pages(tdef_page, encoded, tdef_page + 1)
+        data_pages, data_locs = _pack_data_pages(tdef_page, encoded, tdef_page + 1)
         next_page += 1 + len(data_pages)
+        # secondary-index leaf pages (S5 reverse half) — the reference
+        # database carries its 28 indexes in every file, so they are
+        # emitted by default; pass indexes={} to suppress, or a
+        # {table: [(name, (col, ...)), ...]} override.
+        from hhek2sqlite_spark.sources.jet2_index import build_table_indexes
+
+        specs = None if indexes is None else indexes.get(name, [])
+        index_pages = build_table_indexes(
+            schema, name, rows, data_locs, tdef_page, next_page, specs
+        )
+        next_page += len(index_pages)
         tdef = bytearray(PAGE_SIZE)
         tdef[0] = 0x05
         struct.pack_into("<I", tdef, 4, tdef_page)
@@ -785,6 +845,7 @@ def write_jet2(path: str, tables: dict[str, tuple[TableSchema, list[dict]]]) -> 
         table_pages.extend(lval_pages)
         table_pages.append(bytes(tdef))
         table_pages.extend(data_pages)
+        table_pages.extend(index_pages)
         catalog_rows.append({"Id": tdef_page, "Name": name})
     cat_encoded = [_encode_row(_CATALOG_SCHEMA, r) for r in catalog_rows]
     cat_pages, _ = _pack_data_pages(CATALOG_TDEF, cat_encoded)
