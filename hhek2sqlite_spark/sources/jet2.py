@@ -80,13 +80,23 @@ LVAL_TAG = int.from_bytes(b"LVAL", "little")
 # Memo var-slot header flags (u32 little-endian: low 24 bits = value
 # length in bytes, high byte = storage flags), following the mdbtools
 # Jet 3 memo description. 0x80 = text inline after the 12-byte header;
-# 0x40 = value on a single LVAL page, slot carries a (page,row) pointer.
+# 0x40 = value on a single LVAL page, slot carries a (page,row) pointer;
+# 0x00 = multi-page chain: the pointed-at row is u32 next-(page,row)
+# pointer + data bytes, repeated until a zero next pointer.
 _MEMO_INLINE = 0x80000000
 _MEMO_LVAL = 0x40000000
 _MEMO_LEN_MASK = 0x00FFFFFF
 # values whose cp1252 bytes exceed this go to an LVAL page instead of
 # inline; anything <= stays in-row (keeps typical short notes cheap)
 _MEMO_INLINE_MAX = 128
+# one LVAL page holds at most PAGE_SIZE - 20 header - 2 slot - 2 length
+# prefix payload bytes; a single-page (0x40) value uses all of it, a
+# chain (0x00) chunk loses 4 more to the next pointer
+_MEMO_1PAGE_MAX = PAGE_SIZE - 24
+_MEMO_CHUNK = PAGE_SIZE - 28
+# chain-walk guard: Access 2.0 memos cap at 64 KB, so a genuine chain
+# never exceeds ~33 chunks; a cycle would loop forever without this
+_MEMO_MAX_CHUNKS = 4096
 
 _SYSTEM_NAMES = frozenset(
     {"Tables", "Databases", "Relationships", "MSysDb"}
@@ -304,10 +314,36 @@ def _decode_memo(slot: bytes, lval_fetch=None) -> str:
                 f"{len(raw)}"
             )
         return raw.decode("cp1252")
+    if flags == 0:
+        # multi-page chain: each chunk row = u32 LE next-(page<<8|row)
+        # pointer (0 terminates) + data bytes
+        if lval_fetch is None:
+            raise ValueError(
+                "memo value lives on an LVAL chain but no page resolver is "
+                "available in this decode context"
+            )
+        parts = []
+        seen = 0
+        while dp:
+            if seen >= _MEMO_MAX_CHUNKS:
+                raise ValueError("LVAL chain exceeds the chunk guard (cycle?)")
+            chunk = lval_fetch(dp >> 8, dp & 0xFF)
+            if len(chunk) < 4:
+                raise ValueError("LVAL chain chunk shorter than its next pointer")
+            dp = struct.unpack_from("<I", chunk, 0)[0]
+            parts.append(chunk[4:])
+            seen += 1
+        raw = b"".join(parts)
+        if len(raw) != length:
+            raise ValueError(
+                f"LVAL chain header claims {length} bytes but the chain holds "
+                f"{len(raw)}"
+            )
+        return raw.decode("cp1252")
     raise ValueError(
         f"memo header flags 0x{flags:08x} unknown (inline=0x80000000, "
-        "single-page LVAL=0x40000000); multi-page LVAL chains and other "
-        "Jet variants are not decodable without a fixture"
+        "single-page LVAL=0x40000000, chain=0x00000000); other Jet "
+        "variants are not decodable without a fixture"
     )
 
 
@@ -751,6 +787,55 @@ def _pack_data_pages(tdef_page: int, rows: list[bytes], base_page: int = 0):
     return pages, locs
 
 
+def _pack_lval_values(values: list[bytes], base_page: int):
+    """Lay long memo values onto LVAL pages. Values fitting one page
+    become a single raw row (header flag 0x40); longer ones split into
+    chained chunk rows of u32-next-pointer + data (flag 0x00). Returns
+    (pages, [(first_dp, is_chain)] per value). Placement is computed
+    first with the same greedy rule _pack_data_pages uses, so forward
+    next-pointers are known before the bytes are built; the final pack
+    asserts the placements agree."""
+    items = []  # (value_idx, data, has_next_ptr)
+    for vi, raw in enumerate(values):
+        if len(raw) <= _MEMO_1PAGE_MAX:
+            items.append((vi, raw, False))
+        else:
+            for i in range(0, len(raw), _MEMO_CHUNK):
+                items.append((vi, raw[i : i + _MEMO_CHUNK], True))
+    # greedy placement over framed sizes (mirrors _pack_data_pages)
+    locs: list[tuple[int, int]] = []
+    page_i = cur_n = cur_used = 0
+    for _, d, ptr in items:
+        sz = 2 + (4 if ptr else 0) + len(d)
+        if cur_n and 20 + 2 * (cur_n + 1) + cur_used + sz > PAGE_SIZE:
+            page_i += 1
+            cur_n = cur_used = 0
+        locs.append((base_page + page_i, cur_n))
+        cur_n += 1
+        cur_used += sz
+    first: dict[int, tuple[int, bool]] = {}
+    rows = []
+    for k, (vi, d, ptr) in enumerate(items):
+        pg_no, row_no = locs[k]
+        if row_no > 0xFF:
+            raise ValueError("LVAL row index exceeds the pointer's u8 field")
+        if vi not in first:
+            first[vi] = ((pg_no << 8) | row_no, ptr)
+        if ptr:
+            nxt = 0
+            if k + 1 < len(items) and items[k + 1][0] == vi:
+                npg, nrow = locs[k + 1]
+                nxt = (npg << 8) | nrow
+            payload = struct.pack("<I", nxt) + d
+        else:
+            payload = d
+        rows.append(struct.pack("<H", len(payload) + 2) + payload)
+    pages, locs2 = _pack_data_pages(LVAL_TAG, rows, base_page)
+    if locs2 != locs:
+        raise AssertionError("LVAL chunk placement diverged from the plan")
+    return pages, [first[vi] for vi in range(len(values))]
+
+
 # Minimal MSysObjects row: the reader needs the object id (first fixed
 # u32) and the name (first var column). Observed GOTEST1 rows carry 9
 # fixed / 4 var columns; we emit the same shape with the unused fields
@@ -790,34 +875,27 @@ def write_jet2(
                     v = r.get(vname)
                     raw = ("" if v is None else str(v)).encode("cp1252")
                     if len(raw) > _MEMO_INLINE_MAX:
-                        if len(raw) > PAGE_SIZE - 24:
+                        if len(raw) > _MEMO_LEN_MASK:
                             raise ValueError(
-                                f"memo value of {len(raw)} bytes exceeds one "
-                                f"LVAL page ({PAGE_SIZE - 24}B payload); "
-                                "multi-page LVAL chains have no Jet 2.0 "
-                                "fixture to verify against and are not "
-                                "implemented"
+                                f"memo value of {len(raw)} bytes exceeds the "
+                                "24-bit memo length field"
                             )
                         long_vals.append(raw)
         lval_pages: list[bytes] = []
-        locs: list[tuple[int, int]] = []
+        allocs: list[tuple[int, bool]] = []
         if long_vals:
-            framed = [struct.pack("<H", len(raw) + 2) + raw for raw in long_vals]
-            lval_pages, locs = _pack_data_pages(LVAL_TAG, framed, next_page)
+            lval_pages, allocs = _pack_lval_values(long_vals, next_page)
             next_page += len(lval_pages)
-        alloc = iter(zip(long_vals, locs))
+        alloc = iter(zip(long_vals, allocs))
 
         def memo_slot(raw, _alloc=alloc):
             if len(raw) <= _MEMO_INLINE_MAX:
                 return _inline_memo(raw)
-            a_raw, (pg_no, row_no) = next(_alloc)
+            a_raw, (dp, is_chain) = next(_alloc)
             if a_raw != raw:
                 raise AssertionError("LVAL allocation order diverged from encode order")
-            if row_no > 0xFF:
-                raise ValueError("LVAL row index exceeds the pointer's u8 field")
-            return struct.pack(
-                "<III", len(raw) | _MEMO_LVAL, (pg_no << 8) | row_no, 0
-            )
+            flags = 0 if is_chain else _MEMO_LVAL
+            return struct.pack("<III", len(raw) | flags, dp, 0)
 
         tdef_page = next_page
         encoded = [

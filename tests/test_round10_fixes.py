@@ -161,12 +161,26 @@ def test_memo_and_empty_memo_mix(tmp_path):
     assert [r["Anteckningar"] for r in rows] == ["a" * 500, "", "", "inline kort"]
 
 
-def test_oversized_memo_fails_loudly(tmp_path):
-    with pytest.raises(ValueError, match="multi-page LVAL"):
-        write_jet2(
-            str(tmp_path / "big.mdb"),
-            {"LÅN": (HHEK_SCHEMAS["LÅN"], [_lan_row("x" * 3000)])},
-        )
+def test_multipage_memo_chain_roundtrips(tmp_path):
+    """Memos beyond one LVAL page ride a chunk chain (u32 next pointer
+    + data per chunk, header flags 0x00) — up to Access 2.0's 64 KB."""
+    for n in (3000, 10_000, 64_000):
+        memo = ("paragraf åäö-" * 400)[:n]
+        _, rows = _roundtrip(tmp_path, "LÅN", [_lan_row(memo)], name=f"m{n}.mdb")
+        assert rows[0]["Anteckningar"] == memo
+
+
+def test_memo_chain_interleaves_with_singles(tmp_path):
+    rows_in = [
+        _lan_row("x" * 5000, lopnr=1),   # chain
+        _lan_row("y" * 300, lopnr=2),    # single LVAL page
+        _lan_row("kort", lopnr=3),       # inline
+        _lan_row("z" * 2500, lopnr=4),   # chain
+    ]
+    _, rows = _roundtrip(tmp_path, "LÅN", rows_in)
+    assert [r["Anteckningar"] for r in rows] == [
+        "x" * 5000, "y" * 300, "kort", "z" * 2500
+    ]
 
 
 # ------------------------------------------------------------ long rows
@@ -281,3 +295,48 @@ def test_gotest1_still_reads_identically():
     konton = f.read_rows("Konton")
     assert any(r["Saldo"] == Decimal("0.9000") for r in konton)
     assert f.row_count("Budget") == 34
+
+
+# ------------------------------------------- round-10 corpus operators
+
+
+def test_bigram_repetition_values(spark):
+    from hhek2sqlite_spark.operators.text import bigram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham end"),   # "spam ham" x3 of 6
+            (2, "a b c d e"),                         # all unique -> first lex
+            (3, "x x x x"),                           # "x x" x3 of 3
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in bigram_repetition(docs).collect()}
+    assert got[1]["top_bigram"] == "spam ham"
+    assert got[1]["top_count"] == 3 and got[1]["n_bigrams"] == 6
+    assert got[1]["rep_frac_e6"] == 500000
+    assert got[2]["top_bigram"] == "a b" and got[2]["top_count"] == 1
+    assert got[3]["rep_frac_e6"] == 1000000
+
+
+def test_boilerplate_shingles_values(spark):
+    from hhek2sqlite_spark.operators.text import boilerplate_shingles
+
+    # "words the same" and "the same footer" both appear in 3 docs;
+    # max_df=2 flags them (2 of doc 1's 4 distinct shingles)
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha words the same footer"),
+            (2, "different beta words the same footer"),
+            (3, "other gamma words the same footer"),
+            (4, "nothing shared here at all friend"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_shingles(docs, shingle_n=3, max_df=2).collect()
+    }
+    assert got[1]["n_boilerplate"] == 2 and got[1]["n_shingles"] == 4
+    assert got[4]["n_boilerplate"] == 0
+    assert got[1]["bp_frac_e6"] == 500000
