@@ -486,3 +486,141 @@ def source_stats(documents: DataFrame) -> DataFrame:
         F.countDistinct("fp").alias("n_distinct_fp"),
         F.sum(F.when(F.col("quality") == "ok", 1).otherwise(0)).alias("n_quality_ok"),
     )
+
+
+def bigram_repetition(
+    documents: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-bigram repetition metrics — the Gopher/C4-style
+    repetition filter signal a corpus pipeline computes before training
+    (a document whose single most frequent word bigram covers a large
+    fraction of all bigrams is boilerplate or generation-loop junk).
+    Complements pipeline.repetition_profile, which measures the
+    CHARACTER-n-gram distinct share; this one identifies the dominant
+    WORD bigram and its exact coverage fraction.
+    Output per document: ``n_bigrams``, the winning ``top_bigram``
+    (most frequent, ties broken lexicographically ascending for
+    determinism), its ``top_count``, and ``rep_frac_e6`` =
+    round(1e6 * top_count / n_bigrams) — the exact-integer-ratio
+    encoding tfidf_topk established (products < 2^53, one IEEE
+    division, half-up round: bit-identical in any engine).
+
+    Scale shape: bigram assembly is row-local array work inside
+    whole-stage codegen; the only corpus-wide shuffle keys on the
+    (doc, bigram) PAIR — never hot, map-side combined. The window that
+    picks the winner partitions by document, whose bigram-count group
+    is bounded by document length, the same safety argument as
+    tfidf_topk's per-doc rank window (a stopword-hot token window
+    would NOT be safe; a per-doc window is)."""
+    from pyspark.sql.window import Window
+
+    toks = tokens("text")
+    base = documents.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at(F.col("toks"), i + F.lit(2))
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy(id_col, "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wpart = Window.partitionBy(id_col)
+    wrank = wpart.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("n_bigrams", F.sum("cnt").over(wpart).cast("int"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            "n_bigrams",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").cast("int").alias("top_count"),
+            F.round(F.lit(1000000.0) * F.col("cnt") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("rep_frac_e6"),
+        )
+    )
+
+
+def boilerplate_shingles(
+    documents: DataFrame,
+    *,
+    shingle_n: int = 3,
+    max_df: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of a document's
+    DISTINCT word ``shingle_n``-grams that occur in more than
+    ``max_df`` documents corpus-wide — the CCNet-style signal for
+    template/navigation text that repeats across a crawl (distinct
+    from contamination(), which compares against an eval set, and from
+    inverted_index(), which keeps postings). Output: ``n_shingles``,
+    ``n_boilerplate``, ``bp_frac_e6`` (exact integer ratio, see
+    repetition_profile).
+
+    Scale shape: (doc, shingle) pairs are deduped on the PAIR key (one
+    never-hot shuffle); the corpus document frequency is a
+    ``groupBy(shingle)`` whose map-side partial aggregation absorbs
+    hot template shingles, and the join-back is AQE-skew-splittable —
+    the same skew argument written out at tfidf_topk. The final
+    rollup keys on the document."""
+    toks = tokens("text")
+    base = documents.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= shingle_n
+    )
+    grams = (
+        base.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.slice("toks", 1, F.size("toks") - (shingle_n - 1)),
+                    lambda x, i: F.concat_ws(
+                        " ",
+                        F.array(
+                            *[
+                                F.element_at(F.col("toks"), i + F.lit(k + 1))
+                                for k in range(shingle_n)
+                            ]
+                        ),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        # shared by the df aggregate AND the join probe: checkpoint so
+        # the scan+shingle+distinct subtree runs ONCE (the same
+        # re-evaluation trap and fix as tfidf_topk — see its docstring;
+        # self-cleaning, no CacheManager entry)
+        .localCheckpoint(eager=True)
+    )
+    df_rel = grams.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        grams.join(df_rel, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > max_df, 1).otherwise(0))
+            .cast("int")
+            .alias("n_boilerplate"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_boilerplate",
+            F.round(
+                F.lit(1000000.0) * F.col("n_boilerplate") / F.col("n_shingles")
+            )
+            .cast("long")
+            .alias("bp_frac_e6"),
+        )
+    )

@@ -2368,9 +2368,89 @@ def q_stratified_sample_2p(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- repetition / boilerplate quality signals (round 10) --------------------
+
+_BP_SHINGLE_N = 3
+_BP_MAX_DF = 4
+
+
+def q_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-bigram repetition signal
+    (operators/text.py::repetition_profile)."""
+    from hhek2sqlite_spark.operators.text import bigram_repetition
+
+    return bigram_repetition(spread(load_table(spark, sf_dir, "documents")))
+
+
+SQL_BIGRAM_REPETITION = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+big AS (
+    SELECT doc_id, bg
+    FROM tok, LATERAL unnest(
+        list_transform(toks[1:len(toks)-1], (x, i) -> x || ' ' || toks[i+1])
+    ) u(bg)
+    WHERE len(toks) >= 2
+),
+counts AS (
+    SELECT doc_id, bg, COUNT(*) AS cnt FROM big GROUP BY doc_id, bg
+),
+ranked AS (
+    SELECT doc_id, bg, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS INTEGER) AS n_bigrams,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, bg ASC
+           ) AS rn
+    FROM counts
+)
+SELECT doc_id, n_bigrams, bg AS top_bigram, CAST(cnt AS INTEGER) AS top_count,
+       CAST(FLOOR(1e6 * cnt / n_bigrams + 0.5) AS BIGINT) AS rep_frac_e6
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-document boilerplate exposure
+    (operators/text.py::boilerplate_shingles)."""
+    from hhek2sqlite_spark.operators.text import boilerplate_shingles
+
+    return boilerplate_shingles(
+        spread(load_table(spark, sf_dir, "documents")),
+        shingle_n=_BP_SHINGLE_N,
+        max_df=_BP_MAX_DF,
+    )
+
+
+SQL_BOILERPLATE_SHINGLES = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+grams AS (
+    SELECT DISTINCT doc_id, g
+    FROM tok, LATERAL unnest(
+        list_transform(
+            toks[1:len(toks)-{_BP_SHINGLE_N - 1}],
+            (x, i) -> x || ' ' || toks[i+1] || ' ' || toks[i+2]
+        )
+    ) u(g)
+    WHERE len(toks) >= {_BP_SHINGLE_N}
+),
+freq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_shingles,
+       CAST(SUM(CASE WHEN freq.df > {_BP_MAX_DF} THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_boilerplate,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN freq.df > {_BP_MAX_DF} THEN 1 ELSE 0 END)
+            / COUNT(*) + 0.5) AS BIGINT) AS bp_frac_e6
+FROM grams JOIN freq ON grams.g = freq.g
+GROUP BY grams.doc_id
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bigram_repetition": q_bigram_repetition,
+    "boilerplate_shingles": q_boilerplate_shingles,
     "text_profile": q_text_profile,
     "source_stats": q_source_stats,
     "dedup_exact": q_dedup_exact,
@@ -2434,6 +2514,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
+    "bigram_repetition": SQL_BIGRAM_REPETITION,
+    "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
     "text_profile": SQL_TEXT_PROFILE,
     "source_stats": SQL_SOURCE_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,

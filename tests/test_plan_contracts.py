@@ -251,3 +251,32 @@ def test_tfidf_topk_no_token_partitioned_window(spark, sf_dir):
     # sides: zero parquet FileScans, >=1 ExistingRDD scan.
     assert "Scan parquet" not in p, p
     assert "ExistingRDD" in p, p
+
+
+def test_bigram_repetition_single_scan_pair_shuffle(spark, sf_dir):
+    # round-10 operator: one parquet scan; the corpus-wide shuffle keys
+    # on the (doc, bigram) PAIR (never hot); the winner-picking windows
+    # partition by doc (bounded group — tfidf's safety argument) and
+    # the rank window must compile to WindowGroupLimit (top-1 pushdown)
+    import re
+
+    p = plan_text(spark, sf_dir, "bigram_repetition")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE)) == 1, p
+    assert "WindowGroupLimit" in p, p
+    low = p.lower()
+    for l in low.splitlines():
+        if "windowspecdefinition" in l:
+            assert "doc_id" in l, l
+
+
+def test_boilerplate_shingles_checkpointed_single_pass(spark, sf_dir):
+    # round-10 operator: the distinct (doc, shingle) relation is
+    # localCheckpoint'ed (tfidf's re-evaluation fix), so the final plan
+    # reads it on both sides with ZERO parquet scans, and the
+    # vocabulary side broadcasts
+    import re
+
+    p = plan_text(spark, sf_dir, "boilerplate_shingles")
+    assert not re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE), p
+    assert "ExistingRDD" in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
