@@ -652,3 +652,101 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def temperature_sample(
+    documents: DataFrame,
+    *,
+    boost: int = 64,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    two_pass: bool = False,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Temperature-style language rebalancing — the multilingual mixing
+    step (e.g. the alpha-sampling multilingual corpora use): flatten the
+    language distribution by keeping ``n_l = min(f_l, ceil(sqrt(boost *
+    f_l)))`` documents of a language with ``f_l`` documents. That is
+    exactly alpha = 0.5 temperature sampling with a size multiplier —
+    chosen over an arbitrary-alpha ``pow(f, a)`` deliberately: IEEE
+    sqrt is CORRECTLY ROUNDED in every engine while pow is not, and the
+    target formula is per-language (no cross-language normalizing sum
+    whose float summation order could differ), so the kept set is
+    bit-identical in any engine. Within a language, documents are kept
+    in md5(normalized text) order (content-derived, stable,
+    duplicate-consistent — same key discipline as stratified_sample /
+    dataset_split).
+
+    Scale shape: the language targets are a tiny aggregate (one row per
+    language) joined back as a broadcast; the ranking window partitions
+    by language, which is LOW-cardinality — fine at fixture scale,
+    documented hot at corpus scale, so ``two_pass=True`` applies the
+    stratified_sample survivor-threshold refinement (pre-filter to
+    ~oversample*n_l rows per language by a hash threshold, recount,
+    fall back to the full language on undershoot) and is BIT-EXACT
+    equal to the one-pass form for the same reason given there.
+
+    Returns (id, lang, sample_key, sample_rank <= n_l)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    staged = documents.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.md5(normalized("text")).alias("sample_key"),
+    )
+    spark = documents.sparkSession
+    counts = {
+        r[0]: r[1]
+        for r in staged.groupBy(lang_col).agg(F.count(F.lit(1))).collect()
+    }
+    targets = {
+        lang: min(f, math.ceil(math.sqrt(boost * f))) for lang, f in counts.items()
+    }
+    if two_pass:
+        key_bits = 60
+        key60 = F.conv(F.substring("sample_key", 1, 15), 16, 10).cast("long")
+        thr_rows = [
+            (
+                lang,
+                (1 << key_bits)
+                if oversample * targets[lang] >= f
+                else math.ceil((1 << key_bits) * oversample * targets[lang] / f),
+            )
+            for lang, f in counts.items()
+        ]
+        thr = F.broadcast(
+            spark.createDataFrame(thr_rows, f"{lang_col} string, _thr long")
+        )
+        survivors = (
+            staged.join(thr, lang_col).filter(key60 < F.col("_thr")).drop("_thr")
+        )
+        kept = {
+            r[0]: r[1]
+            for r in survivors.groupBy(lang_col).agg(F.count(F.lit(1))).collect()
+        }
+        under = [
+            lang
+            for lang, f in counts.items()
+            if kept.get(lang, 0) < min(targets[lang], f)
+        ]
+        if under:
+            survivors = survivors.filter(
+                ~F.col(lang_col).isin(under)
+            ).unionByName(staged.filter(F.col(lang_col).isin(under)))
+        staged = survivors.select(id_col, lang_col, "sample_key")
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            list(targets.items()), f"{lang_col} string, _n_keep long"
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        staged.withColumn("sample_rank", F.row_number().over(w))
+        .join(tgt, lang_col)
+        .filter(F.col("sample_rank") <= F.col("_n_keep"))
+        .select(id_col, lang_col, "sample_key", "sample_rank")
+    )

@@ -2368,6 +2368,42 @@ def q_stratified_sample_2p(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temperature language rebalancing (round 10) ----------------------------
+
+_TEMP_BOOST = 64
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature language mix
+    (operators/pipeline.py::temperature_sample)."""
+    return pipeline.temperature_sample(
+        load_table(spark, sf_dir, "documents"), boost=_TEMP_BOOST
+    )
+
+
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH n AS (
+    SELECT doc_id, lang, md5({_NORM}) AS sample_key FROM documents
+),
+cnt AS (SELECT lang, COUNT(*) AS f FROM n GROUP BY lang),
+tgt AS (
+    SELECT lang,
+           LEAST(f, CAST(CEIL(SQRT({_TEMP_BOOST} * f)) AS BIGINT)) AS n_keep
+    FROM cnt
+),
+ranked AS (
+    SELECT doc_id, lang, sample_key,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY sample_key ASC, doc_id ASC
+           ) AS rn
+    FROM n
+)
+SELECT r.doc_id, r.lang, r.sample_key, CAST(r.rn AS INTEGER) AS sample_rank
+FROM ranked r JOIN tgt ON r.lang = tgt.lang
+WHERE r.rn <= tgt.n_keep
+"""
+
+
 # --- repetition / boilerplate quality signals (round 10) --------------------
 
 _BP_SHINGLE_N = 3
@@ -2451,6 +2487,7 @@ GROUP BY grams.doc_id
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_repetition": q_bigram_repetition,
     "boilerplate_shingles": q_boilerplate_shingles,
+    "temperature_sample": q_temperature_sample,
     "text_profile": q_text_profile,
     "source_stats": q_source_stats,
     "dedup_exact": q_dedup_exact,
@@ -2516,6 +2553,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLE_SQL: dict[str, str] = {
     "bigram_repetition": SQL_BIGRAM_REPETITION,
     "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "text_profile": SQL_TEXT_PROFILE,
     "source_stats": SQL_SOURCE_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -340,3 +340,35 @@ def test_boilerplate_shingles_values(spark):
     assert got[1]["n_boilerplate"] == 2 and got[1]["n_shingles"] == 4
     assert got[4]["n_boilerplate"] == 0
     assert got[1]["bp_frac_e6"] == 500000
+
+
+def test_temperature_sample_targets_and_flattening(spark):
+    from hhek2sqlite_spark.operators.pipeline import temperature_sample
+
+    docs = spark.createDataFrame(
+        [(i, "big " + f"doc {i}", "en") for i in range(100)]
+        + [(1000 + i, "small " + f"doc {i}", "fr") for i in range(4)],
+        ["doc_id", "text", "lang"],
+    )
+    out = temperature_sample(docs, boost=16).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    # en: ceil(sqrt(16*100)) = 40 of 100 (downsampled); fr: target
+    # ceil(sqrt(64)) = 8 > 4 -> keep all 4 (flattening: en 25x fr in,
+    # 10x fr out)
+    assert got == {"en": 40, "fr": 4}
+
+
+def test_temperature_sample_two_pass_bit_exact(spark):
+    from hhek2sqlite_spark.operators.pipeline import temperature_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words", ["en", "de", "fr"][i % 3])
+         for i in range(300)],
+        ["doc_id", "text", "lang"],
+    )
+    one = {tuple(r) for r in temperature_sample(docs, boost=8).collect()}
+    two = {
+        tuple(r)
+        for r in temperature_sample(docs, boost=8, two_pass=True).collect()
+    }
+    assert one == two and len(one) > 0
