@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hhek2sqlite_spark.operators.util import release_local_checkpoints  # noqa: E402
 from hhek2sqlite_spark.plans import QUERIES  # noqa: E402
 from hhek2sqlite_spark.session import get_spark  # noqa: E402
 
@@ -148,9 +149,19 @@ def main() -> None:
         try:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()  # warm (scan cache, codegen)
+            release_local_checkpoints(df)
+            # query CONSTRUCTION stays inside the timed window — eager
+            # localCheckpoint queries do their materialization there,
+            # and prior rounds / PERF_FLOOR measured it that way
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timed = fn(spark, SF_DIR)
+            timed.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
+            # free any localCheckpoint block sets NOW (outside the timed
+            # window): ContextCleaner reclamation is nondeterministic,
+            # and a 93-query x multi-rep sweep would otherwise pool
+            # orphaned checkpoint blocks in executor memory
+            release_local_checkpoints(timed)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     # self-defense against co-tenant noise: re-sample outliers vs the
@@ -163,10 +174,10 @@ def main() -> None:
         if ref and wall > OUTLIER_FACTOR * ref:
             try:
                 t0 = time.perf_counter()
-                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                rerun = QUERIES[name](spark, SF_DIR)
+                rerun.write.format("noop").mode("overwrite").save()
                 second = round(time.perf_counter() - t0, 4)
+                release_local_checkpoints(rerun)
             except Exception:  # noqa: BLE001
                 continue
             resampled[name] = [wall, second]
@@ -189,10 +200,10 @@ def main() -> None:
             for name in HEADLINE_23:
                 try:
                     t0 = time.perf_counter()
-                    QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
+                    rerun = QUERIES[name](spark, SF_DIR)
+                    rerun.write.format("noop").mode("overwrite").save()
                     second = round(time.perf_counter() - t0, 4)
+                    release_local_checkpoints(rerun)
                 except Exception:  # noqa: BLE001
                     continue
                 timings[name] = min(timings[name], second)

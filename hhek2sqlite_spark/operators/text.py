@@ -324,8 +324,14 @@ def tfidf_topk(
     cached relations. A local checkpoint gives the same
     single-materialization sharing (both the df aggregate and the join
     probe read the checkpointed partitions), registers nothing in the
-    CacheManager, and its blocks are reclaimed by Spark's ContextCleaner
-    as soon as callers drop the result DataFrame. Cost: the
+    CacheManager, and its blocks are freed either explicitly —
+    ``operators.util.release_local_checkpoints(result)`` once a caller
+    is done with the result (what bench/parity sweeps do; deterministic)
+    — or by Spark's ContextCleaner when the result is dropped. The
+    cleaner path is best-effort only: a measured round-10 failure mode
+    is a stale reference in an idle JVM thread's stack frame pinning the
+    RDD graph through arbitrarily many System.gc() cycles, so long-lived
+    sweep sessions must use the explicit release. Cost: the
     materialization happens at query-construction time instead of first
     action — the same work, moved earlier.
 

@@ -104,3 +104,51 @@ def materialize_access_path(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def release_local_checkpoints(df: DataFrame) -> int:
+    """Deterministically unpersist the block sets behind every
+    ``localCheckpoint`` relation in ``df``'s plan. Call when done with a
+    result whose operator materialized a shared relation this way
+    (tfidf_topk, boilerplate_shingles, pagerank, minhash cluster tails).
+
+    Why explicit release exists at all: the checkpoint blocks are
+    *supposed* to be reclaimed by Spark's ContextCleaner once the caller
+    drops the DataFrame — and usually are — but reclamation hinges on
+    the JVM seeing the RDD as weakly reachable, and a measured failure
+    mode (round 10) is a stale reference in an idle JVM thread's stack
+    frame pinning the RDD graph PAST any number of System.gc() calls
+    until that thread happens to run again. On a long-lived session
+    sweeping the registry hundreds of times (bench reps, parity sweeps,
+    a notebook), "eventually, probably" is not a resource bound;
+    explicit release is. The returned DataFrame must not be re-executed
+    afterwards (a local checkpoint is non-recomputable by design —
+    Spark raises on access to the freed blocks).
+
+    Returns the number of checkpointed RDDs unpersisted. Safe on any
+    DataFrame: plans without LogicalRDD nodes release nothing, and
+    unpersist on a non-persisted RDD is a no-op.
+    """
+    try:
+        root = df._jdf.queryExecution().analyzed()
+    except Exception:  # Connect / non-classic sessions: nothing to walk
+        return 0
+    released: set[int] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            # the same checkpoint relation appears once PER REFERENCE in
+            # the tree (e.g. both sides of tfidf's self-join) — dedupe
+            # by RDD id so the count means "distinct block sets freed"
+            try:
+                rdd = node.rdd()
+                if rdd.id() not in released:
+                    rdd.unpersist(False)
+                    released.add(rdd.id())
+            except Exception:  # noqa: BLE001 - best-effort per node
+                pass
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return len(released)

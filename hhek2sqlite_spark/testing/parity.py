@@ -152,6 +152,13 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 
 def run_parity(spark, name: str, query_fn, oracle_sql: str, sf_dir: str) -> ParityResult:
-    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    from hhek2sqlite_spark.operators.util import release_local_checkpoints
+
+    df = query_fn(spark, sf_dir)
+    spark_pdf = df.toPandas()
+    # free localCheckpoint block sets deterministically — a full-registry
+    # sweep in one session must not pool orphaned checkpoint blocks
+    # while waiting on the (nondeterministic) ContextCleaner
+    release_local_checkpoints(df)
     oracle_pdf = run_oracle(oracle_sql, sf_dir)
     return compare_frames(name, spark_pdf, oracle_pdf)
