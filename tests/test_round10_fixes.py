@@ -382,3 +382,18 @@ def test_temperature_sample_two_pass_bit_exact(spark):
         for r in temperature_sample(docs, boost=8, two_pass=True).collect()
     }
     assert one == two and len(one) > 0
+
+
+def test_release_local_checkpoints_noop_and_count(spark):
+    """Contract: plans without LogicalRDD release nothing (safe on any
+    DataFrame); a checkpointed plan releases exactly its one block set,
+    deduped even when the relation appears multiple times in the tree."""
+    from hhek2sqlite_spark.operators.util import release_local_checkpoints
+
+    plain = spark.range(10).selectExpr("id", "id * 2 AS x")
+    assert release_local_checkpoints(plain) == 0
+
+    ck = plain.localCheckpoint(eager=True)
+    joined = ck.join(ck.groupBy("x").count(), "x")  # same relation twice
+    assert joined.count() > 0
+    assert release_local_checkpoints(joined) == 1
