@@ -150,9 +150,16 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()  # warm (scan cache, codegen)
             release_local_checkpoints(df)
-            # query CONSTRUCTION stays inside the timed window — eager
-            # localCheckpoint queries do their materialization there,
-            # and prior rounds / PERF_FLOOR measured it that way
+            # query CONSTRUCTION stays inside the timed window. NOTE a
+            # round-10 semantics change for checkpointing operators
+            # (tfidf_topk, boilerplate_shingles): in the persist() era
+            # the warm run populated the CacheManager and the timed
+            # re-construction served the shared relation FROM CACHE,
+            # so pre-round-10 per-query numbers exclude its
+            # materialization; with localCheckpoint(eager=True) the
+            # timed run re-materializes it inside the window. Do not
+            # compare r9-vs-r10 per-query timings for those operators —
+            # PERF_FLOOR was re-baselined in round 10 (see BASELINE.md)
             t0 = time.perf_counter()
             timed = fn(spark, SF_DIR)
             timed.write.format("noop").mode("overwrite").save()

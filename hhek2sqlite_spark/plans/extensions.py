@@ -2412,7 +2412,7 @@ _BP_MAX_DF = 4
 
 def q_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top-bigram repetition signal
-    (operators/text.py::repetition_profile)."""
+    (operators/text.py::bigram_repetition)."""
     from hhek2sqlite_spark.operators.text import bigram_repetition
 
     return bigram_repetition(spread(load_table(spark, sf_dir, "documents")))

@@ -352,6 +352,16 @@ def _decode_row(buf: bytes, schema: TableSchema | None, lval_fetch=None):
     returns {'_fixed': bytes, '_var': [bytes, ...]} raw parts."""
     n_fixed = buf[2]
     n_var = buf[3]
+    # 0xFF is the jump-table pad byte and "never equals a bound index"
+    # only while bound indexes stay below 255 — a 255-var-column row
+    # would consume pads as real window crossings and decode shifted
+    # offsets. No Jet 2.0 table can be registered with that many var
+    # columns here, so refuse loudly instead of trusting the invariant.
+    if n_var >= 0xFF:
+        raise ValueError(
+            f"row declares {n_var} var columns; the Jet 2 long-row jump "
+            "table reserves 0xFF as padding, so at most 254 are supported"
+        )
     end = len(buf)
     mask_len = (n_fixed + 7) // 8 if n_fixed else 0
     # The bitmap's BYTES are stored in reverse order — the trailer is
@@ -658,6 +668,14 @@ def _encode_row(schema: TableSchema, row: dict, memo_slot=None) -> bytes:
     or LVAL pointer); defaults to always-inline."""
     n_fixed = len(schema.fixed)
     n_var = len(schema.var)
+    # mirror _decode_row's guard: bound index 255 would collide with the
+    # 0xFF jump-table pad byte, so the encoding caps var columns at 254
+    if n_var >= 0xFF:
+        raise ValueError(
+            f"schema has {n_var} var columns; the Jet 2 "
+            "long-row jump table reserves 0xFF as padding, so at most "
+            "254 are encodable"
+        )
     fixed = bytearray()
     mask = 0
     for i, (name, kind) in enumerate(schema.fixed):
@@ -778,7 +796,11 @@ def _pack_data_pages(tdef_page: int, rows: list[bytes], base_page: int = 0):
             )
         used = sum(len(r) for r in cur)
         slots = 20 + 2 * (len(cur) + 1)
-        if cur and slots + used + len(rb) > PAGE_SIZE:
+        # locs are later encoded as (page << 8) | row with 8 bits for the
+        # row slot (index entries, LVAL pointers), so a page may hold at
+        # most 256 rows — tiny rows (~7B framed) would otherwise pack
+        # more and silently corrupt every pointer built from these locs
+        if cur and (slots + used + len(rb) > PAGE_SIZE or len(cur) > 0xFF):
             flush()
         locs.append((base_page + len(pages), len(cur)))
         cur.append(rb)

@@ -26,6 +26,7 @@ from hhek2sqlite_spark.sources.jet2 import (
 )
 from hhek2sqlite_spark.sources.jet2_index import (
     REFERENCE_INDEXES,
+    _column_kind,
     _encode_entry,
     build_index_entries,
     decode_index_page,
@@ -140,13 +141,11 @@ def test_fixture_index_pointers_resolve(mdb):
             for key, ptrs in mdb.read_index(table, slot):
                 for ptr in ptrs:
                     row = located[ptr]
+                    # kind must be computed PER COLUMN — a single any()
+                    # over the compound would re-encode every column of
+                    # a mixed long+text index as long
                     rek = b"".join(
-                        encode_key(
-                            "long"
-                            if any(n == c and k == "long" for n, k in schema.fixed for c in columns)
-                            else "text",
-                            row.get(c),
-                        )
+                        encode_key(_column_kind(schema, c), row.get(c))
                         for c in columns
                     )
                     assert rek == key, f"{table} slot {slot} ptr {ptr}"
