@@ -249,7 +249,12 @@ def main() -> None:
         )
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # SPARK_GRAFT_DETAIL_OUT redirects the detail artifact so local
+    # sf0.01 iteration runs don't clobber the committed sf0.1
+    # BENCH_DETAIL.json the driver publishes per round
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     out = {

@@ -630,3 +630,230 @@ def boilerplate_shingles(
             .alias("bp_frac_e6"),
         )
     )
+
+
+def vocab_growth(
+    documents: DataFrame, *, n_buckets: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: corpus docs are split into
+    ``n_buckets`` equal-width ``doc_id`` ranges and each bucket reports
+    how many NEW token types it introduces (tokens whose corpus-first
+    occurrence falls in the bucket), plus the running vocabulary and
+    running token-occurrence totals. The curve is what a tokenizer /
+    dedup team reads to size vocabularies and spot templated segments
+    (a flat stretch = near-zero novelty = heavy duplication).
+
+    All outputs are exact integers; bucketing uses integer DIV so both
+    engines bucket identically (no float floor).
+
+    Scale shape: one scan explodes tokens (row-local), then two keyed
+    shuffles — token-level min(doc_id) with map-side combine (hot
+    stopwords collapse before the exchange) and a bucket-level count.
+    The final cumulative window runs over exactly ``n_buckets`` rows,
+    driver-scale by construction. No UDFs, no collect."""
+    from pyspark.sql.window import Window
+
+    occ = documents.select(
+        F.col(id_col), F.explode(tokens("text")).alias("w")
+    )
+    mx = documents.agg((F.max(id_col) + 1).alias("m"))
+    occ = occ.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.expr(f"CAST(({id_col} * {n_buckets}) DIV m AS INT)")
+    )
+    per_bucket = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bucket_tokens")
+    )
+    firsts = (
+        occ.groupBy("w")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy(F.col("fb").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket")
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .na.fill({"new_types": 0})
+        .select(
+            "bucket",
+            F.col("new_types").cast("int").alias("new_types"),
+            F.col("bucket_tokens").cast("long").alias("bucket_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_vocab"),
+            F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+def dice_collocations(
+    documents: DataFrame, *, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k collocations (word bigrams) ranked by the Dice coefficient
+    dice = 2*c(w1 w2) / (c(w1) + c(w2)) — the classic association
+    measure for multi-word-expression extraction. Dice is chosen over
+    PMI deliberately: it needs no logarithm (ln is not
+    correctly-rounded across engines) and its integer form
+    ``2*c_bg <= 2*N`` never overflows, so ``dice_e6`` is the exact
+    integer-ratio encoding every ranked operator here uses
+    (one IEEE division + half-up round, bit-identical anywhere).
+    Ties break on the bigram string ascending.
+
+    Scale shape: bigram assembly is row-local; corpus counts are two
+    map-side-combined groupBys (token and bigram keys); the
+    count-attach joins key on single tokens — hot keys are exactly the
+    stopwords whose partial aggregates already collapsed, and the
+    ``min_count`` filter runs BEFORE the joins so the joined relation
+    is the rare tail, not the raw stream. Global top-k orders a
+    pre-filtered relation."""
+    toks = tokens("text")
+    base = documents.select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = base.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda x, i: F.struct(
+                    x.alias("w1"),
+                    F.element_at(F.col("toks"), i + F.lit(2)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    )
+    bg = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .filter(F.col("c_bg") >= min_count)
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bg.join(c1, "w1")
+        .join(c2, "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_bg").cast("int").alias("c_bg"),
+            F.col("c1").cast("int").alias("c1"),
+            F.col("c2").cast("int").alias("c2"),
+            F.round(
+                F.lit(1000000.0) * 2 * F.col("c_bg") / (F.col("c1") + F.col("c2"))
+            )
+            .cast("long")
+            .alias("dice_e6"),
+        )
+        .orderBy(F.col("dice_e6").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+def ngram_novelty(
+    documents: DataFrame, *, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document novelty: the share of a document's DISTINCT word
+    ``n``-grams whose corpus-FIRST appearance (minimum doc_id) is this
+    document. Low novelty on a high-doc_id document = its content
+    already existed earlier in the corpus — the streaming-order
+    complement of boilerplate_shingles (which needs no order) and the
+    cheap pre-screen before MinHash when ingest order is meaningful.
+    Output: ``n_grams``, ``n_novel``, ``novelty_e6`` (exact integer
+    ratio). Documents shorter than ``n`` tokens are excluded.
+
+    Scale shape: (doc, gram) pairs dedup on the pair key; the
+    corpus-first table is a map-side-combined min over the gram key;
+    the join-back is AQE-skew-splittable (same argument as
+    boilerplate_shingles); final rollup keys on the document."""
+    toks = tokens("text")
+    base = documents.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - (n - 1)),
+                lambda x, i: F.concat_ws(
+                    " ",
+                    F.array(
+                        *[
+                            F.element_at(F.col("toks"), i + F.lit(j + 1))
+                            for j in range(n)
+                        ]
+                    ),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0))
+            .cast("int")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.lit(1000000.0) * F.col("n_novel") / F.col("n_grams"))
+            .cast("long")
+            .alias("novelty_e6"),
+        )
+    )
+
+
+def source_vocab_overlap(documents: DataFrame) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources: for every
+    unordered source pair, the distinct-token intersection size and
+    ``jaccard_e6`` = |A∩B| / |A∪B| as the exact integer-ratio encoding.
+    This is the corpus-mixing diagnostic (which crawls/snapshots share
+    vocabulary, hence likely content) run before assigning mixture
+    weights. Pairs with an empty intersection are kept at 0.
+
+    Scale shape: the (source, token) relation is deduped on its pair
+    key (one shuffle, map-side combine absorbs hot stopwords); the
+    intersection self-join keys on the TOKEN and fans out at most
+    |sources|² rows per token, so the join output is bounded by
+    |vocab| x |sources|² — fine for a bounded source taxonomy (this
+    operator's contract). For web-scale domain counts, bucket the
+    domains through minhash_lsh instead; this is documented, not
+    hidden."""
+    sv = (
+        documents.select(
+            F.col("source"), F.explode(tokens("text")).alias("w")
+        )
+        .distinct()
+    )
+    vocab = sv.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = sv.select(F.col("source").alias("source_a"), "w")
+    b = sv.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    va = vocab.select(F.col("source").alias("source_a"), F.col("v").alias("va"))
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("v").alias("vb"))
+    pairs = (
+        va.crossJoin(vb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .na.fill({"inter": 0})
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("inter").cast("int").alias("inter"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("inter")
+            / (F.col("va") + F.col("vb") - F.col("inter"))
+        )
+        .cast("long")
+        .alias("jaccard_e6"),
+    )

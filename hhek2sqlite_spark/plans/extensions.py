@@ -2482,9 +2482,233 @@ GROUP BY grams.doc_id
 """
 
 
+# --- corpus-analysis signals (round 11) --------------------------------------
+
+_VG_BUCKETS = 20
+_DICE_MIN_COUNT = 5
+_DICE_K = 50
+_NOVELTY_N = 3
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over doc_id-range buckets
+    (operators/text.py::vocab_growth)."""
+    from hhek2sqlite_spark.operators.text import vocab_growth
+
+    return vocab_growth(
+        spread(load_table(spark, sf_dir, "documents")), n_buckets=_VG_BUCKETS
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+occ AS (
+    SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n
+),
+mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+bucketed AS (
+    SELECT CAST((doc_id * {_VG_BUCKETS}) // m AS INTEGER) AS bucket, w
+    FROM occ, mx
+),
+per_bucket AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+    FROM bucketed GROUP BY bucket
+),
+firsts AS (
+    SELECT w, MIN(bucket) AS fb FROM bucketed GROUP BY w
+),
+news AS (
+    SELECT fb AS bucket, CAST(COUNT(*) AS INTEGER) AS new_types
+    FROM firsts GROUP BY fb
+)
+SELECT p.bucket,
+       CAST(COALESCE(n2.new_types, 0) AS INTEGER) AS new_types,
+       p.bucket_tokens,
+       CAST(SUM(COALESCE(n2.new_types, 0)) OVER (ORDER BY p.bucket)
+            AS BIGINT) AS cum_vocab,
+       CAST(SUM(p.bucket_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+           AS cum_tokens
+FROM per_bucket p LEFT JOIN news n2 ON p.bucket = n2.bucket
+"""
+
+
+def q_dice_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k word-bigram collocations by Dice coefficient
+    (operators/text.py::dice_collocations)."""
+    from hhek2sqlite_spark.operators.text import dice_collocations
+
+    return dice_collocations(
+        spread(load_table(spark, sf_dir, "documents")),
+        min_count=_DICE_MIN_COUNT,
+        k=_DICE_K,
+    )
+
+
+SQL_DICE_COLLOCATIONS = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+uni AS (
+    SELECT w, COUNT(*) AS c
+    FROM (SELECT unnest(toks) AS w FROM tok)
+    GROUP BY w
+),
+big AS (
+    SELECT p.w1, p.w2, COUNT(*) AS c_bg
+    FROM tok, LATERAL unnest(
+        list_transform(
+            toks[1:len(toks)-1],
+            (x, i) -> struct_pack(w1 := x, w2 := toks[i+1])
+        )
+    ) u(p)
+    WHERE len(toks) >= 2
+    GROUP BY p.w1, p.w2
+    HAVING COUNT(*) >= {_DICE_MIN_COUNT}
+)
+SELECT big.w1 || ' ' || big.w2 AS bigram,
+       CAST(c_bg AS INTEGER) AS c_bg,
+       CAST(u1.c AS INTEGER) AS c1,
+       CAST(u2.c AS INTEGER) AS c2,
+       CAST(FLOOR(1e6 * 2 * c_bg / (u1.c + u2.c) + 0.5) AS BIGINT)
+           AS dice_e6
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+ORDER BY dice_e6 DESC, bigram ASC
+LIMIT {_DICE_K}
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of corpus-first n-grams
+    (operators/text.py::ngram_novelty)."""
+    from hhek2sqlite_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(
+        spread(load_table(spark, sf_dir, "documents")), n=_NOVELTY_N
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+grams AS (
+    SELECT DISTINCT doc_id, g
+    FROM tok, LATERAL unnest(
+        list_transform(
+            toks[1:len(toks)-{_NOVELTY_N - 1}],
+            (x, i) -> x || ' ' || toks[i+1] || ' ' || toks[i+2]
+        )
+    ) u(g)
+    WHERE len(toks) >= {_NOVELTY_N}
+),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_grams,
+       CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_novel,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                                 THEN 1 ELSE 0 END) / COUNT(*) + 0.5)
+            AS BIGINT) AS novelty_e6
+FROM grams JOIN firsts ON grams.g = firsts.g
+GROUP BY grams.doc_id
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard
+    (operators/text.py::source_vocab_overlap)."""
+    from hhek2sqlite_spark.operators.text import source_vocab_overlap
+
+    return source_vocab_overlap(spread(load_table(spark, sf_dir, "documents")))
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH n AS (SELECT source, {_NORM} AS t FROM documents),
+sv AS (
+    SELECT DISTINCT source, w
+    FROM (SELECT source, unnest(string_split(t, ' ')) AS w FROM n)
+),
+vocab AS (SELECT source, COUNT(*) AS v FROM sv GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+    FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT va.source AS source_a, vb.source AS source_b,
+       CAST(COALESCE(inter.i, 0) AS INTEGER) AS inter,
+       CAST(FLOOR(1e6 * COALESCE(inter.i, 0)
+            / (va.v + vb.v - COALESCE(inter.i, 0)) + 0.5) AS BIGINT)
+           AS jaccard_e6
+FROM vocab va
+JOIN vocab vb ON va.source < vb.source
+LEFT JOIN inter
+  ON inter.source_a = va.source AND inter.source_b = vb.source
+"""
+
+
+def q_supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "blocking supplier" rollup (reference parity
+    tier: exercises the EXISTS + NOT-EXISTS self-join shape the
+    reference's orphan/equivalence checks combine —
+    hhek2sqlite.go:1090-1120's read-back verification joins). A
+    supplier "blocks" a multi-supplier order when its latest line ships
+    last (no other supplier ships later); ``numwait`` counts blocked
+    orders per supplier.
+
+    Spark-first plan note: the textbook Q21 uses EXISTS + NOT EXISTS
+    self-joins; this implementation collapses both into one keyed
+    aggregation (per-(order,supplier) max shipdate) and a per-order
+    window over that already-reduced relation — the semantics are
+    identical (ties: every supplier whose max equals the order max
+    qualifies, exactly NOT EXISTS strictly-later) but the plan is ONE
+    lineitem scan and two map-side-combinable shuffles instead of two
+    O(n²)-risk self-joins (a join-back formulation was tried first and
+    its .explain showed lineitem scanned twice — Spark does not reuse
+    the shared groupBy subplan across a self-join). The per-order
+    window group is bounded by suppliers-per-order, so it is skew-safe
+    at any corpus size. The oracle mirrors the aggregation formulation,
+    so the pair also documents the rewrite's equivalence."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms")
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        per.withColumn("mx", F.max("ms").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .filter((F.col("nsupp") > 1) & (F.col("ms") == F.col("mx")))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .select(F.col("l_suppkey").alias("suppkey"), "numwait")
+    )
+
+
+SQL_SUPPLIER_WAIT_CHAIN = """
+WITH per AS (
+    SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ms
+    FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+    SELECT l_orderkey, MAX(ms) AS mx, COUNT(*) AS nsupp
+    FROM per GROUP BY l_orderkey
+)
+SELECT per.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per JOIN per_order USING (l_orderkey)
+WHERE nsupp > 1 AND ms = mx
+GROUP BY per.l_suppkey
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "vocab_growth": q_vocab_growth,
+    "dice_collocations": q_dice_collocations,
+    "ngram_novelty": q_ngram_novelty,
+    "source_overlap": q_source_overlap,
+    "supplier_wait_chain": q_supplier_wait_chain,
     "bigram_repetition": q_bigram_repetition,
     "boilerplate_shingles": q_boilerplate_shingles,
     "temperature_sample": q_temperature_sample,
@@ -2551,6 +2775,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
+    "vocab_growth": SQL_VOCAB_GROWTH,
+    "dice_collocations": SQL_DICE_COLLOCATIONS,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "supplier_wait_chain": SQL_SUPPLIER_WAIT_CHAIN,
     "bigram_repetition": SQL_BIGRAM_REPETITION,
     "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,

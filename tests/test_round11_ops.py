@@ -1,0 +1,141 @@
+"""Hand-computed value tests for the round-11 corpus-analysis operators
+(vocab_growth, dice_collocations, ngram_novelty, source_vocab_overlap)
+and the Q21-shaped supplier_wait_chain rollup."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from hhek2sqlite_spark.operators.text import (
+    dice_collocations,
+    ngram_novelty,
+    source_vocab_overlap,
+    vocab_growth,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_vocab_growth_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "a b", "s"),
+            (1, "b c", "s"),
+            (2, "a d", "s"),
+            (3, "d e e", "s"),
+        ],
+    )
+    got = {
+        r["bucket"]: r.asDict()
+        for r in vocab_growth(df, n_buckets=2).collect()
+    }
+    # buckets: doc 0,1 -> 0 ; doc 2,3 -> 1 (doc_id*2 DIV 4)
+    assert got[0]["new_types"] == 3  # a, b, c first seen in bucket 0
+    assert got[0]["bucket_tokens"] == 4
+    assert got[0]["cum_vocab"] == 3 and got[0]["cum_tokens"] == 4
+    assert got[1]["new_types"] == 2  # d, e
+    assert got[1]["bucket_tokens"] == 5
+    assert got[1]["cum_vocab"] == 5 and got[1]["cum_tokens"] == 9
+
+
+def test_vocab_growth_empty_bucket_kept_at_zero(spark):
+    # bucket 1 (doc_id 2..3) has tokens but introduces no new types
+    df = _docs(spark, [(0, "a b c", "s"), (3, "a b", "s")])
+    got = {r["bucket"]: r.asDict() for r in vocab_growth(df, n_buckets=2).collect()}
+    assert got[1]["new_types"] == 0
+    assert got[1]["cum_vocab"] == 3
+
+
+def test_dice_collocations_hand_computed(spark):
+    df = _docs(spark, [(0, "x y x y", "s"), (1, "x y z", "s")])
+    rows = dice_collocations(df, min_count=2, k=10).collect()
+    assert len(rows) == 1  # only (x,y) reaches count 2
+    r = rows[0].asDict()
+    # c_bg("x y") = 3 (two in doc0, one in doc1); c(x) = c(y) = 3
+    assert r == {
+        "bigram": "x y",
+        "c_bg": 3,
+        "c1": 3,
+        "c2": 3,
+        "dice_e6": 1000000,  # 2*3/(3+3) = 1.0
+    }
+
+
+def test_dice_collocations_tie_break_and_k(spark):
+    # two bigrams with identical dice; ascending bigram breaks the tie
+    df = _docs(spark, [(0, "a b a b", "s"), (1, "c d c d", "s")])
+    rows = dice_collocations(df, min_count=2, k=1).collect()
+    assert len(rows) == 1 and rows[0]["bigram"] == "a b"
+
+
+def test_ngram_novelty_hand_computed(spark):
+    df = _docs(spark, [(0, "a b c", "s"), (1, "a b d", "s")])
+    got = {r["doc_id"]: r.asDict() for r in ngram_novelty(df, n=2).collect()}
+    assert got[0] == {
+        "doc_id": 0,
+        "n_grams": 2,
+        "n_novel": 2,
+        "novelty_e6": 1000000,
+    }
+    # doc 1: "a b" first seen in doc 0, "b d" is new -> 1/2
+    assert got[1] == {
+        "doc_id": 1,
+        "n_grams": 2,
+        "n_novel": 1,
+        "novelty_e6": 500000,
+    }
+
+
+def test_ngram_novelty_short_docs_excluded(spark):
+    df = _docs(spark, [(0, "solo", "s"), (1, "a b c", "s")])
+    got = ngram_novelty(df, n=3).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    df = _docs(
+        spark,
+        [(0, "a b", "s1"), (1, "b c", "s2"), (2, "x", "s3")],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in source_vocab_overlap(df).collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert got[("s1", "s2")]["inter"] == 1  # {b}
+    assert got[("s1", "s2")]["jaccard_e6"] == 333333  # 1/3 half-up
+    # zero-intersection pairs are KEPT at 0, not dropped
+    assert got[("s1", "s3")]["inter"] == 0
+    assert got[("s1", "s3")]["jaccard_e6"] == 0
+
+
+def test_supplier_wait_chain_hand_computed(spark, sf_dir, tmp_path):
+    import pandas as pd
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2, 3, 3],
+            "l_suppkey": [10, 20, 10, 10, 10, 20],
+            "l_shipdate": [
+                datetime(2024, 1, 1),
+                datetime(2024, 1, 5),  # o1: supp 20 ships last
+                datetime(2024, 2, 1),
+                datetime(2024, 2, 9),  # o2: single supplier -> excluded
+                datetime(2024, 3, 3),
+                datetime(2024, 3, 3),  # o3: tie -> both qualify
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet")
+    from hhek2sqlite_spark.plans.extensions import q_supplier_wait_chain
+
+    got = {
+        r["suppkey"]: r["numwait"]
+        for r in q_supplier_wait_chain(spark, str(d)).collect()
+    }
+    assert got == {10: 1, 20: 2}
