@@ -632,3 +632,43 @@ def simhash_pairs(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_keep_best(
+    documents: DataFrame,
+    clusters: DataFrame,
+    *,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-policy over near-dup clusters — the dedup ENDGAME: given the
+    (doc_id, cluster_id) assignment from neardup_clusters, every
+    document gets its cluster (its own id when unclustered), the
+    cluster size, and ``kept`` = 1 for exactly one representative per
+    cluster: the highest ``quality_col`` value, ties broken by lowest
+    document id. A curation pipeline filters ``kept = 1`` and ships.
+
+    Scale shape: one left join attaches cluster ids (the cluster
+    relation is pairs-only, far smaller than the corpus — broadcast
+    when it fits, AQE decides), then one shuffle on cluster_id for the
+    size/rank windows. Window groups are bounded by near-dup cluster
+    size — a corpus where one cluster is a scale problem has a
+    duplication problem the pipeline must fix FIRST (and
+    minhash_clusters' star fallback already names it)."""
+    from pyspark.sql.window import Window
+
+    base = documents.select(id_col, quality_col)
+    j = base.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    return j.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("int").alias("cluster_size"),
+        F.when(F.row_number().over(wr) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )

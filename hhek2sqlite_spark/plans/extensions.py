@@ -2701,9 +2701,108 @@ GROUP BY per.l_suppkey
 """
 
 
+# --- product analytics + dedup keep-policy (round 11) ------------------------
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel conversion
+    (operators/funnel.py::funnel_stages)."""
+    from hhek2sqlite_spark.operators.funnel import funnel_stages
+
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL_STAGES = """
+WITH s1 AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+    FROM events GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS users_total,
+       CAST(COUNT(s1.t1) AS BIGINT) AS users_view,
+       CAST(COUNT(s2.t2) AS BIGINT) AS users_click,
+       CAST(COUNT(s3.t3) AS BIGINT) AS users_purchase
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over first-event cohorts
+    (operators/funnel.py::retention_cohorts)."""
+    from hhek2sqlite_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH wk AS (
+    SELECT user_id,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                AS INTEGER) AS w
+    FROM events
+),
+cohorts AS (SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, w AS activity_week FROM wk)
+SELECT cohort_week, activity_week,
+       CAST(activity_week - cohort_week AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY cohort_week, activity_week
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster keep-policy: one representative per MinHash
+    cluster, highest n_chars wins (ties: lowest doc_id); singletons
+    keep themselves (operators/dedup.py::dedup_keep_best). This is the
+    dedup ENDGAME a curation pipeline actually ships — minhash_clusters
+    names the components, this query decides which document survives."""
+    from hhek2sqlite_spark.operators import dedup
+    from hhek2sqlite_spark.operators.dedup import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.neardup_clusters(dedup.minhash_lsh_pairs(docs))
+    return dedup_keep_best(docs, clusters)
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH j AS (
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d
+    LEFT JOIN ({SQL_MINHASH_CLUSTERS}) c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+           AS cluster_size,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM j
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "funnel_stages": q_funnel_stages,
+    "retention_cohorts": q_retention_cohorts,
+    "dedup_keep_best": q_dedup_keep_best,
     "vocab_growth": q_vocab_growth,
     "dice_collocations": q_dice_collocations,
     "ngram_novelty": q_ngram_novelty,
@@ -2775,6 +2874,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
+    "funnel_stages": SQL_FUNNEL_STAGES,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "dice_collocations": SQL_DICE_COLLOCATIONS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,

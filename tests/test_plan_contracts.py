@@ -280,3 +280,42 @@ def test_boilerplate_shingles_checkpointed_single_pass(spark, sf_dir):
     assert not re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE), p
     assert "ExistingRDD" in p, p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_dice_collocations_topk_not_global_sort(spark, sf_dir):
+    # the top-k over scored bigrams must compile to per-partition heaps
+    # (TakeOrderedAndProject), never a global Sort of the bigram table
+    p = plan_text(spark, sf_dir, "dice_collocations")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def _scan_nodes(p: str) -> int:
+    # formatted explain prints each node once in the tree and once as a
+    # "(n) Scan parquet" detail header — count the headers
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+
+
+def test_supplier_wait_chain_single_lineitem_scan(spark, sf_dir):
+    # the Q21 rewrite's whole point: one scan (the EXISTS/NOT-EXISTS
+    # join-back form scanned lineitem twice)
+    p = plan_text(spark, sf_dir, "supplier_wait_chain")
+    assert _scan_nodes(p) == 1, p
+
+
+def test_funnel_stages_single_user_exchange(spark, sf_dir):
+    # three stacked per-user window minima must share one exchange on
+    # user_id; a second would mean Catalyst stopped chaining the Windows
+    p = plan_text(spark, sf_dir, "funnel_stages")
+    assert p.count("hashpartitioning(user_id") <= 1, p
+    assert _scan_nodes(p) == 1, p
+
+
+def test_vocab_growth_final_window_is_bucket_scale(spark, sf_dir):
+    # the SinglePartition exchange may only feed the final cumulative
+    # window over n_buckets rows — both corpus-wide aggregations must be
+    # keyed hash exchanges with map-side partials
+    p = plan_text(spark, sf_dir, "vocab_growth")
+    assert "hashpartitioning(bucket" in p, p
+    assert "hashpartitioning(w" in p, p

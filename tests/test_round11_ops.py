@@ -139,3 +139,96 @@ def test_supplier_wait_chain_hand_computed(spark, sf_dir, tmp_path):
         for r in q_supplier_wait_chain(spark, str(d)).collect()
     }
     assert got == {10: 1, 20: 2}
+
+
+# ---------------------------------------------------------------- batch 2
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_stages_hand_computed(spark):
+    from hhek2sqlite_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # u1 converts every stage in order
+        (1, 1, "view", datetime(2024, 1, 1, 10)),
+        (2, 1, "click", datetime(2024, 1, 1, 11)),
+        (3, 1, "purchase", datetime(2024, 1, 1, 12)),
+        # u2: click BEFORE the first view -> click stage not reached
+        (4, 2, "click", datetime(2024, 1, 2, 9)),
+        (5, 2, "view", datetime(2024, 1, 2, 10)),
+        # u3: view + click, purchase NOT strictly after the click
+        (6, 3, "view", datetime(2024, 1, 3, 9)),
+        (7, 3, "click", datetime(2024, 1, 3, 10)),
+        (8, 3, "purchase", datetime(2024, 1, 3, 10)),
+        # u4: never views
+        (9, 4, "error", datetime(2024, 1, 4, 9)),
+    ]
+    got = funnel_stages(_events(spark, rows)).collect()[0].asDict()
+    assert got == {
+        "users_total": 4,
+        "users_view": 3,
+        "users_click": 2,
+        "users_purchase": 1,
+    }
+
+
+def test_funnel_single_exchange_for_stacked_windows(spark):
+    from hhek2sqlite_spark.operators.funnel import funnel_stages
+
+    df = funnel_stages(
+        _events(spark, [(1, 1, "view", datetime(2024, 1, 1))])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the three per-user window minima must share ONE hashpartitioning
+    # exchange on user_id (plus the final single-row aggregate)
+    assert plan.count("hashpartitioning(user_id") <= 1, plan
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from hhek2sqlite_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        (1, 1, "view", datetime(2024, 1, 2)),   # week 0
+        (2, 1, "view", datetime(2024, 1, 16)),  # week 2
+        (3, 2, "view", datetime(2024, 1, 17)),  # week 2 (new cohort)
+    ]
+    got = {
+        (r["cohort_week"], r["activity_week"]): r.asDict()
+        for r in retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert got[(0, 0)]["active_users"] == 1 and got[(0, 0)]["week_offset"] == 0
+    assert got[(0, 2)]["active_users"] == 1 and got[(0, 2)]["week_offset"] == 2
+    assert got[(2, 2)]["active_users"] == 1 and got[(2, 2)]["week_offset"] == 0
+    assert len(got) == 3
+
+
+def test_dedup_keep_best_hand_computed(spark):
+    from hhek2sqlite_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 5), (4, 5)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    got = {r["doc_id"]: r.asDict() for r in dedup_keep_best(docs, clusters).collect()}
+    # cluster {1,2}: doc 2 has more chars -> kept; doc 1 dropped
+    assert got[1]["kept"] == 0 and got[2]["kept"] == 1
+    assert got[1]["cluster_size"] == 2 and got[2]["cluster_id"] == 1
+    # singletons keep themselves with size 1
+    assert got[3] == {"doc_id": 3, "cluster_id": 3, "cluster_size": 1, "kept": 1}
+    assert got[4]["kept"] == 1
+
+
+def test_dedup_keep_best_tie_breaks_low_id(spark):
+    from hhek2sqlite_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame([(5, 7), (6, 7)], "doc_id long, n_chars long")
+    clusters = spark.createDataFrame([(5, 5), (6, 5)], "doc_id long, cluster_id long")
+    got = {r["doc_id"]: r["kept"] for r in dedup_keep_best(docs, clusters).collect()}
+    assert got == {5: 1, 6: 0}
