@@ -232,3 +232,149 @@ def test_dedup_keep_best_tie_breaks_low_id(spark):
     clusters = spark.createDataFrame([(5, 5), (6, 5)], "doc_id long, cluster_id long")
     got = {r["doc_id"]: r["kept"] for r in dedup_keep_best(docs, clusters).collect()}
     assert got == {5: 1, 6: 0}
+
+
+# ----------------------------------------------------- seeded invariants
+# (hypothesis-per-example Spark jobs are too slow; one seeded random
+# corpus per operator checks the algebraic invariants instead)
+
+
+def _rand_docs(spark, n_docs=40, vocab=12, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))),
+            f"src{i % 4}",
+        )
+        for i in range(n_docs)
+    ]
+    return _docs(spark, rows), rows
+
+
+def test_vocab_growth_invariants_random_corpus(spark):
+    df, rows = _rand_docs(spark)
+    out = sorted(
+        (r.asDict() for r in vocab_growth(df, n_buckets=5).collect()),
+        key=lambda r: r["bucket"],
+    )
+    all_tokens = [w for _, t, _ in rows for w in t.split()]
+    assert out[-1]["cum_vocab"] == len(set(all_tokens))
+    assert out[-1]["cum_tokens"] == len(all_tokens)
+    assert sum(r["new_types"] for r in out) == len(set(all_tokens))
+    # cumulative columns are actual prefix sums
+    acc_v = acc_t = 0
+    for r in out:
+        acc_v += r["new_types"]
+        acc_t += r["bucket_tokens"]
+        assert r["cum_vocab"] == acc_v and r["cum_tokens"] == acc_t
+
+
+def test_dice_collocations_bounds_random_corpus(spark):
+    df, _ = _rand_docs(spark, seed=11)
+    for r in dice_collocations(df, min_count=2, k=100).collect():
+        assert 0 < r["dice_e6"] <= 1000000
+        assert r["c_bg"] <= min(r["c1"], r["c2"])
+
+
+def test_ngram_novelty_invariants_random_corpus(spark):
+    df, _ = _rand_docs(spark, seed=13)
+    rows = ngram_novelty(df, n=2).collect()
+    assert rows, "corpus must yield docs with >= 2 tokens"
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    # the earliest scored doc introduces everything it contains
+    assert by_id[0]["novelty_e6"] == 1000000
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+
+
+def test_source_overlap_bounds_random_corpus(spark):
+    df, _ = _rand_docs(spark, seed=17)
+    rows = source_vocab_overlap(df).collect()
+    assert len(rows) == 6  # C(4,2) source pairs
+    for r in rows:
+        assert 0 <= r["jaccard_e6"] <= 1000000
+
+
+def test_dedup_keep_best_exactly_one_survivor_per_cluster(spark):
+    import random
+
+    from hhek2sqlite_spark.operators.dedup import dedup_keep_best
+
+    rng = random.Random(23)
+    docs = spark.createDataFrame(
+        [(i, rng.randint(1, 50)) for i in range(30)],
+        "doc_id long, n_chars long",
+    )
+    # random disjoint clusters labeled by their min member
+    members = list(range(30))
+    rng.shuffle(members)
+    assignments = []
+    while members:
+        size = min(rng.randint(1, 4), len(members))
+        group, members = members[:size], members[size:]
+        if size > 1:
+            label = min(group)
+            assignments += [(d, label) for d in group]
+    clusters = spark.createDataFrame(
+        assignments, "doc_id long, cluster_id long"
+    )
+    out = dedup_keep_best(docs, clusters).collect()
+    assert len(out) == 30  # every doc classified
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in per_cluster.items():
+        assert sum(r["kept"] for r in rows) == 1, cid
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+
+
+def test_funnel_counts_monotone_random_events(spark):
+    import random
+
+    from hhek2sqlite_spark.operators.funnel import funnel_stages
+
+    rng = random.Random(29)
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (
+            i,
+            rng.randint(1, 12),
+            rng.choice(types),
+            datetime(2024, 1, 1 + rng.randint(0, 27), rng.randint(0, 23)),
+        )
+        for i in range(300)
+    ]
+    got = funnel_stages(_events(spark, rows)).collect()[0].asDict()
+    assert (
+        got["users_total"]
+        >= got["users_view"]
+        >= got["users_click"]
+        >= got["users_purchase"]
+    )
+
+
+def test_retention_offset0_totals_all_users(spark):
+    import random
+
+    from hhek2sqlite_spark.operators.funnel import retention_cohorts
+
+    rng = random.Random(31)
+    rows = [
+        (
+            i,
+            rng.randint(1, 20),
+            "view",
+            datetime(2024, 1, 1 + rng.randint(0, 27)),
+        )
+        for i in range(200)
+    ]
+    out = retention_cohorts(_events(spark, rows)).collect()
+    users = len({u for _, u, _, _ in rows})
+    # offset-0 row of each cohort counts the whole cohort exactly once
+    assert sum(r["active_users"] for r in out if r["week_offset"] == 0) == users
+    for r in out:
+        assert r["week_offset"] >= 0
