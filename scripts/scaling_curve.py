@@ -92,6 +92,22 @@ SUBSET = [
     "video_frame_stats",
     "bloom_doc_bits",
     "epoch_shuffle",
+    # round-11 additions, all linear-work: funnel/retention reduce per
+    # user and key shifts keep user populations disjoint; the Q21 shape
+    # reduces per (order,supplier); vocab growth / collocations /
+    # novelty are explode + keyed groupBys (token-tier counts grow
+    # linearly; dice's fixed min_count admits more survivors with K but
+    # the attach joins stay linear in the bigram stream on both
+    # engines). source_overlap and dedup_keep_best are EXCLUDED for the
+    # same reason as the pair generators: replication multiplies source
+    # pairs / near-dup cluster pairs quadratically — a fixture
+    # artifact, not an engine property.
+    "funnel_stages",
+    "retention_cohorts",
+    "supplier_wait_chain",
+    "vocab_growth",
+    "dice_collocations",
+    "ngram_novelty",
 ]
 
 SLOW_CUTOFF_SEC = 15.0
