@@ -2797,10 +2797,179 @@ FROM j
 """
 
 
+# --- TPC-H planner shapes Q7 / Q11 / Q22 (round 11) ---------------------------
+
+_SHARE_K = 2000  # Q11-ish: keep parts with revenue share > 1/K of global
+_CHURN_CUTOFF = "2001-01-01"  # Q22-ish: last order strictly before this
+
+
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped five-table join: discounted revenue between
+    customer-nation / supplier-nation pairs per order year, cross-nation
+    only. Exercises the planner shape the reference tier lacked — a
+    fact table joined through two INDEPENDENT dimension chains (order →
+    customer → nation and lineitem → supplier → nation).
+
+    Scale shape: nation (25 rows) is broadcast on both chains and
+    supplier/customer are broadcast-or-shuffle at AQE's discretion; the
+    fact table is scanned once and every aggregate is an exact e6
+    integer before the boundary division (reference.py money rules)."""
+    from hhek2sqlite_spark.plans.reference import _disc_e6, _out1e6
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            _out1e6(F.sum(_disc_e6("l_extendedprice", "l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_TRADE_FLOWS = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount*10000) AS BIGINT)))
+            AS BIGINT) / 1000000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, year(o_orderdate)
+"""
+
+
+def q_revenue_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped global-threshold filter: parts whose discounted
+    revenue exceeds 1/K of TOTAL revenue. The scalar subquery becomes a
+    broadcast cross join of a one-row aggregate; the comparison is
+    rev_e6 > total_e6 DIV K in exact integers (a float fraction
+    multiply would be engine-rounding-dependent, and the cross-multiply
+    rev_e6 * K overflows BIGINT on scaled fixtures).
+
+    Scale shape: the per-part rollup is localCheckpoint'ed (the tfidf
+    pattern) because Catalyst does not reuse a shared subplan across a
+    self-cross-join — without it .explain showed the FACT TABLE scanned
+    and aggregated twice; checkpointing materializes only the
+    part-sized relation and both the total and the filter read it."""
+    from hhek2sqlite_spark.plans.reference import _disc_e6, _out1e6
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_disc_e6("l_extendedprice", "l_discount")).alias("rev_e6")
+    ).localCheckpoint(eager=True)
+    total = per_part.agg(F.sum("rev_e6").alias("total_e6"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_e6") > F.expr(f"total_e6 DIV {_SHARE_K}"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            _out1e6(F.col("rev_e6")).alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_SHARE_PARTS = f"""
+WITH pr AS (
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (10000 - CAST(ROUND(l_discount*10000) AS BIGINT))) AS rev_e6
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev_e6) AS total_e6 FROM pr)
+SELECT l_partkey AS partkey,
+       CAST(rev_e6 AS BIGINT) / 1000000.0 AS revenue
+FROM pr, tot
+WHERE rev_e6 > total_e6 // {_SHARE_K}
+"""
+
+
+def q_churned_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped churn rollup: customers whose account balance
+    beats the positive-balance average and whose LAST order predates
+    the cutoff, rolled up per market segment. The average threshold is
+    the exact cross-multiplication acctbal_cents * n > sum_cents — no
+    float average ever materializes (a double AVG's summation order is
+    engine-defined)."""
+    from hhek2sqlite_spark.plans.reference import _cents, _out100
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    last = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("md"))
+    return (
+        cust.join(last, cust.c_custkey == last.o_custkey)
+        .crossJoin(F.broadcast(pos))
+        .filter(
+            (_cents("c_acctbal") * F.col("n") > F.col("s"))
+            & (F.col("md") < F.lit(_CHURN_CUTOFF).cast("timestamp"))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            _out100(F.sum(_cents("c_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_CHURNED_HIGH_VALUE = f"""
+WITH pos AS (
+    SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS s, COUNT(*) AS n
+    FROM customer WHERE c_acctbal > 0
+),
+last AS (SELECT o_custkey, MAX(o_orderdate) AS md FROM orders GROUP BY o_custkey)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_acctbal
+FROM customer c
+JOIN last ON c.c_custkey = last.o_custkey, pos
+WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+  AND last.md < TIMESTAMP '{_CHURN_CUTOFF} 00:00:00'
+GROUP BY c_mktsegment
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_stages": q_funnel_stages,
+    "nation_trade_flows": q_nation_trade_flows,
+    "revenue_share_parts": q_revenue_share_parts,
+    "churned_high_value": q_churned_high_value,
     "retention_cohorts": q_retention_cohorts,
     "dedup_keep_best": q_dedup_keep_best,
     "vocab_growth": q_vocab_growth,
@@ -2875,6 +3044,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLE_SQL: dict[str, str] = {
     "funnel_stages": SQL_FUNNEL_STAGES,
+    "nation_trade_flows": SQL_NATION_TRADE_FLOWS,
+    "revenue_share_parts": SQL_REVENUE_SHARE_PARTS,
+    "churned_high_value": SQL_CHURNED_HIGH_VALUE,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "vocab_growth": SQL_VOCAB_GROWTH,

@@ -108,6 +108,14 @@ SUBSET = [
     "vocab_growth",
     "dice_collocations",
     "ngram_novelty",
+    # TPC-H shapes (late round 11), all linear-work under
+    # replicate-and-shift: Q7's join fan-out is 1:1 through every
+    # dimension chain; Q11's threshold is a SHARE (total grows with K,
+    # the per-part share distribution is scale-invariant); Q22's churn
+    # predicate is per-customer.
+    "nation_trade_flows",
+    "revenue_share_parts",
+    "churned_high_value",
 ]
 
 SLOW_CUTOFF_SEC = 15.0

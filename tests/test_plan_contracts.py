@@ -319,3 +319,34 @@ def test_vocab_growth_final_window_is_bucket_scale(spark, sf_dir):
     p = plan_text(spark, sf_dir, "vocab_growth")
     assert "hashpartitioning(bucket" in p, p
     assert "hashpartitioning(w" in p, p
+
+
+def test_nation_trade_flows_broadcasts_both_nation_chains(spark, sf_dir):
+    # the 25-row nation dim must be broadcast on BOTH dimension chains;
+    # the fact table must be scanned exactly once
+    p = plan_text(spark, sf_dir, "nation_trade_flows")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    import re
+
+    li_scans = [
+        m
+        for m in re.findall(r"^\(\d+\) Scan parquet.*$", p, re.MULTILINE)
+    ]
+    assert len([s for s in li_scans]) >= 1
+    assert "lineitem" in p and p.count("lineitem.parquet") <= 1, p
+
+
+def test_revenue_share_parts_checkpoints_shared_rollup(spark, sf_dir):
+    # the per-part rollup is localCheckpoint'ed so the global total and
+    # the threshold filter read the materialized part-sized relation —
+    # the FINAL plan must contain no parquet scans at all (tfidf rule)
+    p = plan_text(spark, sf_dir, "revenue_share_parts")
+    assert _scan_nodes(p) == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_churned_high_value_broadcasts_threshold(spark, sf_dir):
+    # the one-row positive-balance aggregate must reach the filter as a
+    # broadcast, never a shuffle
+    p = plan_text(spark, sf_dir, "churned_high_value")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p

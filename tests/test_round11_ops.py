@@ -378,3 +378,132 @@ def test_retention_offset0_totals_all_users(spark):
     assert sum(r["active_users"] for r in out if r["week_offset"] == 0) == users
     for r in out:
         assert r["week_offset"] >= 0
+
+
+# ------------------------------------------------- TPC-H shapes (batch 3)
+
+
+def _write_tpch_fixture(tmp_path):
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "n_nationkey": [1, 2],
+            "n_name": ["SWEDEN", "NORWAY"],
+            "n_regionkey": [0, 0],
+        }
+    ).to_parquet(d / "nation.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": [10, 11, 12],
+            "c_name": ["a", "b", "c"],
+            "c_nationkey": [1, 1, 2],
+            "c_acctbal": [100.0, 100.0, 1.0],
+            "c_mktsegment": ["SEG1", "SEG1", "SEG2"],
+        }
+    ).to_parquet(d / "customer.parquet")
+    pd.DataFrame(
+        {"s_suppkey": [20, 21], "s_name": ["s", "t"], "s_nationkey": [2, 1],
+         "s_acctbal": [0.0, 0.0]}
+    ).to_parquet(d / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [30, 31, 32],
+            "o_custkey": [10, 11, 12],
+            "o_orderstatus": ["F", "F", "F"],
+            "o_totalprice": [1.0, 1.0, 1.0],
+            "o_orderdate": [
+                datetime(2000, 12, 31),
+                datetime(2001, 2, 1),
+                datetime(2000, 6, 1),
+            ],
+            "o_orderpriority": ["1", "1", "1"],
+        }
+    ).astype({"o_orderdate": "datetime64[us]"}).to_parquet(d / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [30, 32, 30],
+            "l_partkey": [40, 41, 40],
+            "l_suppkey": [20, 21, 21],
+            "l_linenumber": [1, 1, 2],
+            "l_quantity": [1.0, 1.0, 1.0],
+            "l_extendedprice": [100.0, 2000.0, 0.01],
+            "l_discount": [0.05, 0.0, 0.0],
+            "l_tax": [0.0, 0.0, 0.0],
+            "l_returnflag": ["N", "N", "N"],
+            "l_linestatus": ["O", "O", "O"],
+            "l_shipdate": [datetime(2000, 1, 1)] * 3,
+        }
+    ).astype({"l_shipdate": "datetime64[us]"}).to_parquet(d / "lineitem.parquet")
+    return str(d)
+
+
+def test_nation_trade_flows_hand_computed(spark, tmp_path):
+    from hhek2sqlite_spark.plans.extensions import q_nation_trade_flows
+
+    d = _write_tpch_fixture(tmp_path)
+    rows = {
+        (r["cust_nation"], r["supp_nation"], r["order_year"]): r.asDict()
+        for r in q_nation_trade_flows(spark, d).collect()
+    }
+    # order 30 (cust nation SWEDEN): line via supp 20 (NORWAY) qualifies
+    # at 100.00 with 5% discount = 95.00; its second line via supp 21
+    # (SWEDEN) is same-nation and excluded. order 32 (cust NORWAY) via
+    # supp 21 (SWEDEN) qualifies at 2000.00.
+    assert rows[("SWEDEN", "NORWAY", 2000)]["revenue"] == 95.0
+    assert rows[("SWEDEN", "NORWAY", 2000)]["n_lines"] == 1
+    assert rows[("NORWAY", "SWEDEN", 2000)]["revenue"] == 2000.0
+    assert len(rows) == 2
+
+
+def test_revenue_share_parts_threshold_drops_tail(spark, tmp_path):
+    from hhek2sqlite_spark.plans.extensions import q_revenue_share_parts
+
+    d = _write_tpch_fixture(tmp_path)
+    # part 41 revenue 2000.00 dominates; part 40 revenue 95.01 is
+    # well above total/2000 too -> both kept; the exactness check is
+    # the revenue values themselves
+    rows = {r["partkey"]: r["revenue"] for r in q_revenue_share_parts(spark, d).collect()}
+    assert rows == {40: 95.01, 41: 2000.0}
+
+
+def test_revenue_share_parts_drops_sub_threshold_part(spark, tmp_path):
+    import pandas as pd
+
+    from hhek2sqlite_spark.plans.extensions import q_revenue_share_parts
+
+    d = tmp_path / "sf2"
+    d.mkdir()
+    # part 2's share is 10000/(2e9 + 10000) < 1/2000 -> dropped
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2],
+            "l_partkey": [1, 2],
+            "l_suppkey": [1, 1],
+            "l_linenumber": [1, 1],
+            "l_quantity": [1.0, 1.0],
+            "l_extendedprice": [2000.0, 0.01],
+            "l_discount": [0.0, 0.0],
+            "l_tax": [0.0, 0.0],
+            "l_returnflag": ["N", "N"],
+            "l_linestatus": ["O", "O"],
+            "l_shipdate": [datetime(2000, 1, 1)] * 2,
+        }
+    ).to_parquet(d / "lineitem.parquet")
+    rows = {r["partkey"]: r["revenue"] for r in q_revenue_share_parts(spark, str(d)).collect()}
+    assert rows == {1: 2000.0}
+
+
+def test_churned_high_value_hand_computed(spark, tmp_path):
+    from hhek2sqlite_spark.plans.extensions import q_churned_high_value
+
+    d = _write_tpch_fixture(tmp_path)
+    rows = [r.asDict() for r in q_churned_high_value(spark, d).collect()]
+    # c10: bal 100 > positive-avg 67, last order 2000-12-31 < cutoff -> churned
+    # c11: bal above avg but last order 2001-02-01 >= cutoff -> active
+    # c12: bal 1 below avg -> excluded
+    assert rows == [
+        {"c_mktsegment": "SEG1", "n_custs": 1, "total_acctbal": 100.0}
+    ]
