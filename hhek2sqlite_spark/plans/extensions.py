@@ -2810,10 +2810,18 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table joined through two INDEPENDENT dimension chains (order →
     customer → nation and lineitem → supplier → nation).
 
-    Scale shape: nation (25 rows) is broadcast on both chains and
-    supplier/customer are broadcast-or-shuffle at AQE's discretion; the
-    fact table is scanned once and every aggregate is an exact e6
-    integer before the boundary division (reference.py money rules)."""
+    Scale shape: the customer chain is folded into orders FIRST
+    (orders ⋈ customer ⋈ nation produces an order-keyed relation of
+    three columns), so the FACT table meets exactly one shuffle — on
+    l_orderkey. The first-cut join order (li⋈orders⋈customer⋈…)
+    shuffled the fact twice (orderkey, then custkey) and the x8 scaling
+    point jumped 3.4x for 2x data when orders outgrew the broadcast
+    threshold; this ordering removes the second fact shuffle. nation
+    (25 rows) is broadcast on both chains; supplier is dimension-sized
+    and broadcast-or-shuffle at AQE's discretion. Catalyst does not
+    reorder joins without CBO stats, so the order is written
+    deliberately. Aggregates are exact e6 integers before the boundary
+    division (reference.py money rules)."""
     from hhek2sqlite_spark.plans.reference import _disc_e6, _out1e6
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2831,18 +2839,27 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
         )
     )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    ord_enriched = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(cn, F.col("c_nationkey") == F.col("c_nk"))
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
-        .filter(F.col("cust_nation") != F.col("supp_nation"))
-        .groupBy(
+        .select(
+            "o_orderkey",
             "cust_nation",
-            "supp_nation",
             F.year("o_orderdate").cast("int").alias("order_year"),
         )
+    )
+    # supplier is left UNFORCED: AQE broadcasts it at dimension scale
+    # and falls back to a suppkey shuffle if a deployment's supplier
+    # relation outgrows the threshold (forcing broadcast would OOM there)
+    sp_enriched = supp.join(sn, F.col("s_nationkey") == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(sp_enriched, li.l_suppkey == F.col("s_suppkey"))
+        .join(ord_enriched, li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", "order_year")
         .agg(
             _out1e6(F.sum(_disc_e6("l_extendedprice", "l_discount"))).alias(
                 "revenue"
