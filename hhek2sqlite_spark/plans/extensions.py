@@ -2980,10 +2980,219 @@ GROUP BY c_mktsegment
 """
 
 
+# --- sparse cosine pairs + grouped OLS (round 11, batch 4) -------------------
+
+_COS_MAX_DF = 40  # rare-feature cutoff: tokens in more docs are pruned
+_COS_MIN_SCORE_E6 = 250000  # cosine^2 >= 0.25  <=>  cosine >= 0.5
+_COS_ENT_BUCKETS = 37  # driver-query entity augmentation (see below)
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse TF-cosine document pairs over the RARE-FEATURE
+    subspace via inverted-list join — the classic IR all-pairs
+    similarity without MinHash approximation: candidate pairs share at
+    least one rare token (df <= max_df), the dot product is an exact
+    integer sum of tf_a*tf_b over that subspace, and the score is
+    cosine² in the e6 integer-ratio encoding (dot² and the norm²
+    product are exact integers, so no square root is ever taken).
+    Scoring on the pruned subspace is the practical candidate-gen form:
+    discriminative features only, stopword mass excluded by
+    construction.
+
+    Driver-query augmentation (the domain_stats precedent): the fixture
+    corpus draws from a ~31-token uniform vocabulary, so NO token is
+    rare (min df ~ corpus size) and the raw query is a dead 0-row
+    check. Two deterministic entity tokens derived from doc_id are
+    appended — identically in the SQL twin — giving every doc a rare
+    signature whose collisions produce live pairs at every sf. The
+    bucket count scales with the corpus (n_docs DIV 13, floored at 37)
+    so entity document frequency stays ~26 regardless of sf — a fixed
+    bucket count would push df past max_df at sf0.1 and the check
+    would go dead again.
+
+    Scale shape: tf and df are map-side-combined keyed groupBys; the
+    df <= max_df prune (broadcast-joined back BEFORE the self-join)
+    bounds every token's pair fan-out at max_df² — the same
+    stopword-kill argument as inverted_index. The pair rollup keys on
+    the (doc_a, doc_b) pair; norms key on the doc."""
+    from hhek2sqlite_spark.operators.text import tokens
+
+    base = spread(load_table(spark, sf_dir, "documents"))
+    nb_rel = base.agg(
+        F.greatest(
+            F.lit(_COS_ENT_BUCKETS), F.expr("COUNT(*) DIV 13")
+        ).alias("nbuckets")
+    )
+    docs = base.crossJoin(F.broadcast(nb_rel)).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("ent"), F.col("doc_id") % F.col("nbuckets")),
+            F.concat(
+                F.lit("ent"),
+                (F.col("doc_id") * 11 + 3) % F.col("nbuckets"),
+            ),
+        ).alias("text"),
+    )
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = tf.join(
+        F.broadcast(df_rel.filter(F.col("df") <= _COS_MAX_DF)), "tok"
+    )
+    norms = rare.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2")
+    )
+    a = rare.select(
+        F.col("tok"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    )
+    b = rare.select(
+        F.col("tok"), F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("nb2"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.round(
+                F.lit(1000000.0)
+                * F.col("dot")
+                * F.col("dot")
+                / (F.col("na2") * F.col("nb2"))
+            )
+            .cast("long")
+            .alias("cos2_e6"),
+        )
+        .filter(F.col("cos2_e6") >= _COS_MIN_SCORE_E6)
+    )
+
+
+SQL_SPARSE_COSINE_PAIRS = f"""
+WITH nb AS (
+    SELECT GREATEST({_COS_ENT_BUCKETS}, COUNT(*) // 13) AS nbuckets
+    FROM documents
+),
+aug AS (
+    SELECT doc_id,
+           text || ' ent' || CAST(doc_id % nbuckets AS VARCHAR)
+                || ' ent' || CAST((doc_id * 11 + 3) % nbuckets
+                                  AS VARCHAR) AS text
+    FROM documents, nb
+),
+n AS (SELECT doc_id, {_NORM} AS t FROM aug),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+rare AS (
+    SELECT tf.doc_id, tf.tok, tf.tf
+    FROM tf JOIN dfr ON tf.tok = dfr.tok
+    WHERE dfr.df <= {_COS_MAX_DF}
+),
+norms AS (SELECT doc_id, SUM(tf * tf) AS norm2 FROM rare GROUP BY doc_id),
+dots AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+    FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+       CAST(FLOOR(1e6 * dot * dot / (na.norm2 * nb.norm2) + 0.5) AS BIGINT)
+           AS cos2_e6
+FROM dots
+JOIN norms na ON dots.id_a = na.doc_id
+JOIN norms nb ON dots.id_b = nb.doc_id
+WHERE CAST(FLOOR(1e6 * dot * dot / (na.norm2 * nb.norm2) + 0.5) AS BIGINT)
+      >= {_COS_MIN_SCORE_E6}
+"""
+
+_OLS_EPOCH = "2024-01-01"
+
+
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time — grouped
+    OLS from the five integer moment sums (n, Σx, Σy, Σxy, Σx²), never
+    a float accumulation: x is the integer day index from a fixed
+    epoch, y is value in cents, so both engines aggregate identical
+    BIGINTs and the slope/intercept are each ONE IEEE division at the
+    boundary. slope_e6 is in cents/day * 1e6. Overflow envelope: the
+    closed forms are O(n * Σxy) — with x <= 10⁴ days and y <= 10⁸
+    cents, BIGINT holds past 10⁹ rows per group; document-scale
+    corpora with bigger groups would move the sums to DECIMAL(38,0),
+    noted here rather than silently truncated.
+
+    Scale shape: one map-side-combined shuffle on the group key; five
+    integer aggregates fuse into one HashAggregate."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit(_OLS_EPOCH))).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    m = events.select(F.col("event_type"), x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = m.n * m.sxy - m.sx * m.sy
+    den = m.n * m.sxx - m.sx * m.sx
+    slope_e6 = F.round(F.lit(1000000.0) * num / den).cast("long")
+    # intercept = (sy - slope*sx) / n, reported in cents (e2 of dollars)
+    intercept_e2 = F.round(
+        (m.sy - (F.lit(1.0) * num / den) * m.sx) / m.n
+    ).cast("long")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        slope_e6.alias("slope_e6"),
+        intercept_e2.alias("intercept_cents"),
+    )
+
+
+SQL_GROUPED_OLS = f"""
+WITH m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    )
+    GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5)
+            AS BIGINT) AS slope_e6,
+       CAST(FLOOR((sy - (1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n + 0.5) AS BIGINT) AS intercept_cents
+FROM m
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_stages": q_funnel_stages,
+    "sparse_cosine_pairs": q_sparse_cosine_pairs,
+    "grouped_ols": q_grouped_ols,
     "nation_trade_flows": q_nation_trade_flows,
     "revenue_share_parts": q_revenue_share_parts,
     "churned_high_value": q_churned_high_value,
@@ -3061,6 +3270,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLE_SQL: dict[str, str] = {
     "funnel_stages": SQL_FUNNEL_STAGES,
+    "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
+    "grouped_ols": SQL_GROUPED_OLS,
     "nation_trade_flows": SQL_NATION_TRADE_FLOWS,
     "revenue_share_parts": SQL_REVENUE_SHARE_PARTS,
     "churned_high_value": SQL_CHURNED_HIGH_VALUE,

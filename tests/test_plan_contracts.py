@@ -350,3 +350,20 @@ def test_churned_high_value_broadcasts_threshold(spark, sf_dir):
     # broadcast, never a shuffle
     p = plan_text(spark, sf_dir, "churned_high_value")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_sparse_cosine_prunes_before_self_join(spark, sf_dir):
+    # the df <= max_df prune must reach the tf relation via BROADCAST
+    # join BEFORE the token self-join (the inverted_index stopword-kill
+    # rule); fan-out per token is then bounded at max_df^2
+    p = plan_text(spark, sf_dir, "sparse_cosine_pairs")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_grouped_ols_single_exchange(spark, sf_dir):
+    # five integer moment sums must fuse into ONE keyed aggregate pair
+    import re
+
+    p = plan_text(spark, sf_dir, "grouped_ols")
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) == 1, p

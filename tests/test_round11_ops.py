@@ -507,3 +507,60 @@ def test_churned_high_value_hand_computed(spark, tmp_path):
     assert rows == [
         {"c_mktsegment": "SEG1", "n_custs": 1, "total_acctbal": 100.0}
     ]
+
+
+# ------------------------------------------ sparse cosine + OLS (batch 4)
+
+
+def test_sparse_cosine_pairs_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    from hhek2sqlite_spark.plans.extensions import q_sparse_cosine_pairs
+
+    d = tmp_path / "sfc"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["apple banana", "apple banana", "cherry"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [12, 12, 6],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = [r.asDict() for r in q_sparse_cosine_pairs(spark, str(d)).collect()]
+    # with 3 docs the entity buckets (37) never collide, so the only
+    # candidate pair is (0,1) via the shared rare words: each rare
+    # vector is {apple:1, banana:1, ent_i:1, ent_j:1} -> norm2 = 4,
+    # dot = 2, cos^2 = 4/16 = 0.25 -> exactly at the >= 250000 keep line
+    assert rows == [{"id_a": 0, "id_b": 1, "dot": 2, "cos2_e6": 250000}]
+
+
+def test_grouped_ols_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    from hhek2sqlite_spark.plans.extensions import q_grouped_ols
+
+    d = tmp_path / "sfe"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-01", "2024-01-05"]
+            ).astype("datetime64[us]"),
+            "user_id": [1] * 5,
+            "event_type": ["a", "a", "a", "b", "b"],
+            "value": [1.0, 2.0, 3.0, 7.0, 7.0],
+            "props": ["{}"] * 5,
+        }
+    ).to_parquet(d / "events.parquet")
+    got = {r["event_type"]: r.asDict() for r in q_grouped_ols(spark, str(d)).collect()}
+    # type a: (0,100),(1,200),(2,300) cents -> slope 100 cents/day,
+    # intercept 100 cents
+    assert got["a"]["slope_e6"] == 100_000_000
+    assert got["a"]["intercept_cents"] == 100
+    assert got["a"]["n"] == 3
+    # type b: constant 7.00 across days 0 and 4 -> slope 0, intercept 700
+    assert got["b"]["slope_e6"] == 0
+    assert got["b"]["intercept_cents"] == 700
