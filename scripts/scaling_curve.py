@@ -116,6 +116,9 @@ SUBSET = [
     "nation_trade_flows",
     "revenue_share_parts",
     "churned_high_value",
+    # grouped_ols is one keyed integer-moment aggregate (linear);
+    # sparse_cosine_pairs is EXCLUDED like every pair generator.
+    "grouped_ols",
 ]
 
 SLOW_CUTOFF_SEC = 15.0
