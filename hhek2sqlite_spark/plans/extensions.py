@@ -2596,7 +2596,7 @@ grams AS (
     FROM tok, LATERAL unnest(
         list_transform(
             toks[1:len(toks)-{_NOVELTY_N - 1}],
-            (x, i) -> x || ' ' || toks[i+1] || ' ' || toks[i+2]
+            (x, i) -> x{"".join(f" || ' ' || toks[i+{j}]" for j in range(1, _NOVELTY_N))}
         )
     ) u(g)
     WHERE len(toks) >= {_NOVELTY_N}
@@ -3088,7 +3088,10 @@ WITH nb AS (
 ),
 aug AS (
     SELECT doc_id,
-           text || ' ent' || CAST(doc_id % nbuckets AS VARCHAR)
+           -- COALESCE matches Spark concat_ws's NULL-skip: a NULL text
+           -- must still yield the doc's two entity tokens, not a NULL
+           -- that drops the doc from tf entirely.
+           COALESCE(text, '') || ' ent' || CAST(doc_id % nbuckets AS VARCHAR)
                 || ' ent' || CAST((doc_id * 11 + 3) % nbuckets
                                   AS VARCHAR) AS text
     FROM documents, nb
@@ -3147,12 +3150,22 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    # Degenerate groups (n == 1, or all events on one day) have
+    # den == 0; both engines must drop them identically or Spark's
+    # non-ANSI 0.0/0 -> NaN -> 0 cast silently diverges from DuckDB's
+    # CAST(NaN) error. Cauchy-Schwarz gives den >= 0, so > 0 is the
+    # exact non-degenerate condition.
+    m = m.filter(m.n * m.sxx > m.sx * m.sx)
     num = m.n * m.sxy - m.sx * m.sy
     den = m.n * m.sxx - m.sx * m.sx
-    slope_e6 = F.round(F.lit(1000000.0) * num / den).cast("long")
+    # FLOOR(x + 0.5) on both sides: F.round is HALF_UP away from zero
+    # (-2.5 -> -3) while the oracle's FLOOR(x+0.5) rounds half toward
+    # +inf (-2.5 -> -2); slope/intercept are the first registered e6
+    # outputs that can be negative, so the convention must match.
+    slope_e6 = F.floor(F.lit(1000000.0) * num / den + F.lit(0.5)).cast("long")
     # intercept = (sy - slope*sx) / n, reported in cents (e2 of dollars)
-    intercept_e2 = F.round(
-        (m.sy - (F.lit(1.0) * num / den) * m.sx) / m.n
+    intercept_e2 = F.floor(
+        (m.sy - (F.lit(1.0) * num / den) * m.sx) / m.n + F.lit(0.5)
     ).cast("long")
     return m.select(
         "event_type",
@@ -3184,6 +3197,7 @@ SELECT event_type,
        CAST(FLOOR((sy - (1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
                   / n + 0.5) AS BIGINT) AS intercept_cents
 FROM m
+WHERE n * sxx > sx * sx
 """
 
 
