@@ -3201,10 +3201,205 @@ WHERE n * sxx > sx * sx
 """
 
 
+# --- TPC-H planner shapes Q4 / Q20 + budget variance (round 12) --------------
+
+_Q4_START = "1997-01-01"  # one quarter, Q4's date-range-on-outer predicate
+_Q4_END = "1997-04-01"
+_Q4_LAG_DAYS = 60  # a line is "late" if it ships > lag after the order date
+_Q20_SHARE_MULT = 4  # dominant = supplier share > MULT x fair share
+_BV_BUDGET_YEAR = 1995  # budget-vs-actual: prior year is the budget
+_BV_ACTUAL_YEAR = 1996
+
+
+def q_late_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS with a date range on the
+    OUTER: count orders per priority, within one quarter, that have at
+    least one late line (shipped > _Q4_LAG_DAYS after the order date).
+    This is the remaining decorrelation shape the planner tier had not
+    exercised — the EXISTS predicate references BOTH sides
+    (l_shipdate vs o_orderdate), so it cannot be pushed into either
+    scan; it must ride the semi-join as a residual condition.
+
+    Spark-first plan: the quarter filter is a parquet pushdown on
+    orders; the correlated EXISTS decorrelates to ONE left-semi join
+    keyed on orderkey with the cross-side comparison as the join
+    residual — lineitem is scanned once, never aggregated, and the
+    semi join short-circuits per order on the first qualifying line.
+    The final agg is a 5-group rollup.  At 100 TB: one fact shuffle
+    each side on the join key (or zero for the orders side if both
+    are bucketed by orderkey); no window, no self-join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), _Q4_LAG_DAYS)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+SQL_LATE_PRIORITY_ORDERS = f"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_START}'
+  AND o_orderdate < TIMESTAMP '{_Q4_END}'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND CAST(l_shipdate AS DATE)
+            > CAST(o_orderdate AS DATE) + {_Q4_LAG_DAYS}
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested IN with an aggregate threshold:
+    suppliers whose shipped quantity of some CONTESTED part (>= 2
+    suppliers) exceeds _Q20_SHARE_MULT x the fair per-supplier share of
+    that part's total volume.  Q20's inner query compares a supplier's
+    aggregate against a per-part threshold; with no partsupp table in
+    this data model the threshold is the fair-share multiple, which
+    keeps the shape (IN over a HAVING-style aggregate comparison)
+    while staying scale-invariant — shares are ratios, so replication
+    and sf growth leave the qualifying tail distribution unchanged.
+
+    Spark-first plan: lineitem reduces FIRST to one row per
+    (part, supplier) — a map-side-combinable integer-cents sum — then
+    a per-part window over that already-reduced relation computes the
+    total and the supplier count (bounded by suppliers-per-part, skew
+    safe), exactly the Q21 rewrite precedent.  The IN decorrelates to
+    a distinct + left-semi join against the 100-row supplier dim.
+    The comparison q*nsupp > MULT*t is kept in exact integers — no
+    division crosses an engine boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per.withColumn("t", F.sum("q").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("nsupp") > 1)
+            & (F.col("q") * F.col("nsupp") > F.lit(_Q20_SHARE_MULT) * F.col("t"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supplier.join(
+        dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+    )
+
+
+SQL_DOMINANT_PART_SUPPLIERS = f"""
+WITH per AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+w AS (
+    SELECT l_suppkey, q,
+           SUM(q) OVER (PARTITION BY l_partkey) AS t,
+           COUNT(*) OVER (PARTITION BY l_partkey) AS nsupp
+    FROM per
+)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM w
+    WHERE nsupp > 1 AND q * nsupp > {_Q20_SHARE_MULT} * t
+)
+"""
+
+
+def q_budget_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-vs-actual variance per category x month — the query the
+    original app's Budget table exists FOR (SURVEY §2.4/§2.5: the
+    reference materializes Budget Jan..Dec per category,
+    hhek2sqlite.go's Budget DDL; the user-facing point of that pivot
+    is comparing it against Transaktioner actuals).  Mapped onto the
+    driver tables the same way budget_pivot is: category =
+    o_orderpriority, budget = the prior year's monthly revenue,
+    actual = the current year's.
+
+    Spark-first plan: the naive form is Budget⋈Actual — two scans of
+    the fact and a join.  This plan is ONE orders scan with the year
+    filter pushed down, one map-side-combinable groupBy on
+    (category, month), and the year split done by conditional
+    aggregation (pivot-on-year) — no join at all, and months missing
+    from either year coalesce to 0 inside the same aggregate row.
+    At 100 TB: a single fact shuffle at (category x 12) granularity."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    base = orders.filter(y.isin(_BV_BUDGET_YEAR, _BV_ACTUAL_YEAR)).select(
+        F.col("o_orderpriority").alias("typ"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        y.alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    agg = base.groupBy("typ", "m").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("y") == _BV_BUDGET_YEAR, F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("budget_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("y") == _BV_ACTUAL_YEAR, F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("actual_c"),
+    )
+    return agg.withColumn(
+        "variance_c", (F.col("actual_c") - F.col("budget_c")).cast("long")
+    )
+
+
+SQL_BUDGET_VARIANCE = f"""
+SELECT o_orderpriority AS typ,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = {_BV_BUDGET_YEAR}
+                THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+            AS BIGINT) AS budget_c,
+       CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = {_BV_ACTUAL_YEAR}
+                THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+            AS BIGINT) AS actual_c,
+       CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = {_BV_ACTUAL_YEAR}
+                THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+            - COALESCE(SUM(CASE WHEN year(o_orderdate) = {_BV_BUDGET_YEAR}
+                THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+            AS BIGINT) AS variance_c
+FROM orders
+WHERE year(o_orderdate) IN ({_BV_BUDGET_YEAR}, {_BV_ACTUAL_YEAR})
+GROUP BY o_orderpriority, month(o_orderdate)
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_stages": q_funnel_stages,
+    "late_priority_orders": q_late_priority_orders,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
+    "budget_variance": q_budget_variance,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "grouped_ols": q_grouped_ols,
     "nation_trade_flows": q_nation_trade_flows,
@@ -3284,6 +3479,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLE_SQL: dict[str, str] = {
     "funnel_stages": SQL_FUNNEL_STAGES,
+    "late_priority_orders": SQL_LATE_PRIORITY_ORDERS,
+    "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
+    "budget_variance": SQL_BUDGET_VARIANCE,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "grouped_ols": SQL_GROUPED_OLS,
     "nation_trade_flows": SQL_NATION_TRADE_FLOWS,

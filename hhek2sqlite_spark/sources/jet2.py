@@ -472,11 +472,17 @@ class Jet2File:
         if magic in (_JET3_MAGIC, _ACE_MAGIC):
             ver = self._data[0x14] if len(self._data) > 0x14 else -1
             name = _JET_VERSION_NAMES.get(ver, f"unknown (version byte 0x{ver:02x})")
+            hint = (
+                "readable natively via sources/jet3.Jet3File (use "
+                "sources.mdb.open_mdb to dispatch on version)"
+                if magic == _JET3_MAGIC and ver == 0x00
+                else "use the documented jdbc:ucanaccess:// envelope "
+                "(sources/jdbc_io.py) or convert to Jet 3/2.0 first"
+            )
             raise ValueError(
                 f"{path}: this is a {name} database "
                 f"({magic.rstrip(bytes(1)).decode('ascii', 'replace')} header); "
-                "this reader supports Jet 2.0 (Access 2.0) only — the format "
-                "HHEK databases use. Convert with Access or mdbtools first."
+                f"this reader supports Jet 2.0 (Access 2.0) only — {hint}."
             )
         if len(self._data) % PAGE_SIZE:
             raise ValueError(f"{path}: not a whole number of {PAGE_SIZE}B pages")

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+from datetime import datetime
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,7 +64,39 @@ def _to_sqlite_value(v):
         return format(v, "f")
     if isinstance(v, bool):
         return int(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
     return v
+
+
+# generic Spark-dtype -> SQLite storage-class map for tables OUTSIDE the
+# HHEK registry (a Jet 3 source is self-describing and can carry any
+# schema; the registry's dual-dialect DDL still wins for HHEK tables)
+_GENERIC_DDL = {
+    "string": "TEXT",
+    "boolean": "INTEGER",
+    "tinyint": "INTEGER",
+    "smallint": "INTEGER",
+    "int": "INTEGER",
+    "bigint": "INTEGER",
+    "float": "REAL",
+    "double": "REAL",
+    "timestamp": "TEXT",
+    "date": "TEXT",
+}
+
+
+def _generic_create_table(df: DataFrame, table: str) -> str:
+    cols = []
+    for name, dtype in df.dtypes:
+        sql_t = "NUMERIC" if dtype.startswith("decimal") else _GENERIC_DDL.get(dtype)
+        if sql_t is None:
+            raise ValueError(
+                f"cannot derive SQLite DDL for column {name!r} of Spark "
+                f"type {dtype} in non-registry table {table!r}"
+            )
+        cols.append(f'"{name}" {sql_t}')
+    return f'CREATE TABLE "{table}" ({", ".join(cols)})'
 
 
 def _from_sqlite_value(v, dtype):
@@ -80,11 +113,19 @@ def write_table(df: DataFrame, db_path: str, table: str, *, batch_size: int = 10
     """CREATE (dialect DDL from the registry) + truncate-before-load (S6)
     + batched parameterized inserts in one transaction (T1). Returns the
     row count written."""
-    spec = HHEK_TABLES[table]
-    cols = [c.name for c in spec.columns]
+    spec = HHEK_TABLES.get(table)
+    # registry DDL requires the registry's full column set; a table from
+    # a self-describing source (Jet 3) that lacks columns — or isn't an
+    # HHEK table at all — gets DDL derived from its own Spark schema
+    if spec is not None and set(c.name for c in spec.columns) <= set(df.columns):
+        cols = [c.name for c in spec.columns]
+        ddl = render_create_table(table, "sqlite")
+    else:
+        cols = list(df.columns)
+        ddl = _generic_create_table(df, table)
     con = sqlite3.connect(db_path)
     try:
-        con.execute(render_create_table(table, "sqlite").replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+        con.execute(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
         con.execute(f'DELETE FROM "{table}"')
         placeholders = ", ".join("?" for _ in cols)
         collist = ", ".join(f'"{c}"' for c in cols)
@@ -141,7 +182,8 @@ def write_database(
     if overwrite and os.path.exists(db_path):
         os.remove(db_path)
     counts = {}
-    for name in COPY_ORDER:
+    extras = sorted(n for n in tables if n not in COPY_ORDER)
+    for name in [*COPY_ORDER, *extras]:
         if name in tables:
             counts[name] = write_table(tables[name], db_path, name)
     if create_indexes:
@@ -186,10 +228,8 @@ def convert(
     - ``dir -> .db``  : Parquet -> SQLite
     - any combination of the three endpoint kinds works the same way
     """
-    from hhek2sqlite_spark.sources.jet2 import (
-        jet2_read_database,
-        jet2_write_database,
-    )
+    from hhek2sqlite_spark.sources.jet2 import jet2_write_database
+    from hhek2sqlite_spark.sources.mdb import mdb_read_database
 
     def _kind(p: str) -> str:
         low = p.lower()
@@ -201,7 +241,7 @@ def convert(
 
     src_kind, dst_kind = _kind(src), _kind(dst)
     if src_kind == "mdb":
-        tables = jet2_read_database(spark, src)
+        tables = mdb_read_database(spark, src)
     elif src_kind == "sqlite":
         tables = read_database(spark, src)
     else:
@@ -210,8 +250,15 @@ def convert(
             for name in COPY_ORDER
             if os.path.exists(os.path.join(src, name))
         }
-    # stable reference copy order for the write side
-    tables = {name: tables[name] for name in COPY_ORDER if name in tables}
+    # stable reference copy order for the write side; tables outside
+    # the HHEK set (possible from a self-describing Jet 3 source)
+    # follow alphabetically rather than being dropped
+    extras = sorted(name for name in tables if name not in COPY_ORDER)
+    tables = {
+        name: tables[name]
+        for name in [*COPY_ORDER, *extras]
+        if name in tables
+    }
     if dst_kind == "mdb":
         return jet2_write_database(tables, dst)
     if dst_kind == "sqlite":
