@@ -3393,6 +3393,178 @@ GROUP BY o_orderpriority, month(o_orderdate)
 """
 
 
+# --- TPC-H planner shapes Q2 / Q13 / Q15 (round 12, batch 2) ------------------
+
+_Q2_PART_SIZE = 15  # Q2's part-dimension prefilter
+_Q15_START = "1997-01-01"  # Q15's revenue-view half year
+_Q15_END = "1997-07-01"
+_Q13_EXCLUDED_PRIORITY = "1-URGENT"  # Q13's NOT-LIKE analog
+
+
+def q_cheapest_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated SCALAR-MIN subquery: for each part of
+    a given size, every supplier whose cheapest line for that part
+    equals the part's global minimum (ties all qualify, exactly Q2's
+    semantics). The oracle keeps the textbook CORRELATED form
+    (cost_c = (SELECT MIN ... WHERE same part)) so the pair documents
+    the decorrelation rewrite's equivalence.
+
+    Spark-first plan: lineitem reduces to one integer-cents MIN per
+    (part, supplier) — map-side combinable; the 1/50-selective part
+    dimension broadcast-joins BEFORE the per-part window, so the window
+    (group bounded by suppliers-per-part) runs on ~2% of the pairs; the
+    correlated subquery never becomes a self-join. At 100 TB: one fact
+    shuffle, two broadcast dims, one bounded window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == _Q2_PART_SIZE
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cost_c"
+        )
+    )
+    sized = cost.join(
+        F.broadcast(part.select("p_partkey")),
+        cost.l_partkey == F.col("p_partkey"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_partkey")
+    best = sized.withColumn("mn", F.min("cost_c").over(w)).filter(
+        F.col("cost_c") == F.col("mn")
+    )
+    return (
+        best.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            best.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("cost_c").alias("min_cost_c"),
+        )
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PARTS = f"""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, s.s_suppkey, s.s_name, c.cost_c AS min_cost_c
+FROM cost c
+JOIN part p ON c.l_partkey = p.p_partkey
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE p.p_size = {_Q2_PART_SIZE}
+  AND c.cost_c = (SELECT MIN(c2.cost_c) FROM cost c2
+                  WHERE c2.l_partkey = c.l_partkey)
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (custdist): distribution of customers by order count,
+    INCLUDING zero-order customers — the left-outer-join +
+    two-level-aggregation shape (the zero bucket is unreachable from
+    any inner-join plan). The o_orderpriority exclusion plays Q13's
+    NOT-LIKE comment filter: a predicate on the PRESERVED-side join
+    partner that must ride the join condition (as a WHERE it would
+    turn the outer join inner).
+
+    Spark-first plan: the exclusion filter pushes into the orders scan
+    (inner side of a LEFT join — safe), one join shuffle pair keyed on
+    custkey, per-customer count map-side combinable, final distribution
+    agg over |customers| rows. At 100 TB: the only wide exchange is the
+    join; the second aggregate keys on a ~100-value domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = f"""
+WITH pc AS (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey
+     AND o.o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped scalar GLOBAL-MAX subquery: the supplier(s)
+    whose half-year discounted revenue equals the maximum over the
+    revenue view (ties all qualify — Q15's documented semantics).
+    Revenue is the exact e6 integer (cents x (1e4 - disc_e4)), so the
+    max-equality compare is engine-exact where a float SUM's order-
+    dependence could split ties.
+
+    Spark-first plan: the date range pushes into the scan; revenue is
+    one map-side-combined shuffle per supplier; the scalar max is a
+    ONE-ROW broadcast crossed back against the per-supplier rows (no
+    second fact scan, no self-join); the supplier dim broadcasts."""
+    from hhek2sqlite_spark.plans.reference import _disc_e6
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_e6("l_extendedprice", "l_discount")).alias("rev_e6")
+    )
+    mx = rev.agg(F.max("rev_e6").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_e6") == F.col("mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", F.col("rev_e6").cast("long").alias("rev_e6")
+        )
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+               AS rev_e6
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+      AND l_shipdate < TIMESTAMP '{_Q15_END}'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_e6 AS BIGINT) AS rev_e6
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_e6 = (SELECT MAX(rev_e6) FROM rev)
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3400,6 +3572,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_priority_orders": q_late_priority_orders,
     "dominant_part_suppliers": q_dominant_part_suppliers,
     "budget_variance": q_budget_variance,
+    "cheapest_supplier_parts": q_cheapest_supplier_parts,
+    "order_count_distribution": q_order_count_distribution,
+    "top_revenue_supplier": q_top_revenue_supplier,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "grouped_ols": q_grouped_ols,
     "nation_trade_flows": q_nation_trade_flows,
@@ -3482,6 +3657,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "late_priority_orders": SQL_LATE_PRIORITY_ORDERS,
     "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
     "budget_variance": SQL_BUDGET_VARIANCE,
+    "cheapest_supplier_parts": SQL_CHEAPEST_SUPPLIER_PARTS,
+    "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+    "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "grouped_ols": SQL_GROUPED_OLS,
     "nation_trade_flows": SQL_NATION_TRADE_FLOWS,

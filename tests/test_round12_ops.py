@@ -231,6 +231,99 @@ def test_budget_variance_single_orders_scan(spark):
     assert "Join" not in plan, plan
 
 
+# --- Q2 shape: cheapest_supplier_parts ----------------------------------------
+
+
+def _with_tables(spark, tabs, qname):
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: tabs[n]
+        return getattr(ext, qname)(spark, "unused").collect()
+    finally:
+        ext.load_table = orig
+
+
+def test_cheapest_supplier_parts_hand_computed(spark):
+    li = spark.createDataFrame(
+        [
+            # part 1 (size 15): supp 1 min 5.00, supp 2 min 4.00 -> supp 2
+            (1, 1, 5.00), (1, 1, 9.00), (1, 2, 4.00),
+            # part 2 (size 15): tie at 3.00 -> both suppliers qualify
+            (2, 1, 3.00), (2, 2, 3.00),
+            # part 3 (size 20): filtered out by the dimension prefilter
+            (3, 1, 1.00),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, 15), (2, 15), (3, 20)], "p_partkey long, p_size int"
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string"
+    )
+    rows = _with_tables(
+        spark,
+        {"lineitem": li, "part": part, "supplier": supplier},
+        "q_cheapest_supplier_parts",
+    )
+    got = sorted((r["p_partkey"], r["s_suppkey"], r["min_cost_c"]) for r in rows)
+    assert got == [(1, 2, 400), (2, 1, 300), (2, 2, 300)]
+
+
+# --- Q13 shape: order_count_distribution --------------------------------------
+
+
+def test_order_count_distribution_zero_bucket_and_join_condition(spark):
+    cust = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "2-HIGH"),
+            (1, 11, "2-HIGH"),
+            # urgent order must not count (rides the JOIN condition) —
+            # customer 2 still appears, in the ZERO bucket
+            (2, 12, "1-URGENT"),
+        ],
+        "o_custkey long, o_orderkey long, o_orderpriority string",
+    )
+    rows = _with_tables(
+        spark,
+        {"customer": cust, "orders": orders},
+        "q_order_count_distribution",
+    )
+    got = {r["c_count"]: r["custdist"] for r in rows}
+    # cust 1 -> 2 orders; cust 2 -> 0 (urgent excluded); cust 3 -> 0
+    assert got == {2: 1, 0: 2}
+
+
+# --- Q15 shape: top_revenue_supplier -------------------------------------------
+
+
+def test_top_revenue_supplier_tie_keeps_both(spark):
+    li = spark.createDataFrame(
+        [
+            (1, datetime(1997, 2, 1), 100.0, 0.0),
+            (2, datetime(1997, 3, 1), 50.0, 0.0),
+            (2, datetime(1997, 4, 1), 50.0, 0.0),  # ties supplier 1
+            (3, datetime(1997, 5, 1), 99.0, 0.0),
+            (1, datetime(1998, 1, 1), 500.0, 0.0),  # outside the window
+        ],
+        "l_suppkey long, l_shipdate timestamp, l_extendedprice double, "
+        "l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    rows = _with_tables(
+        spark, {"lineitem": li, "supplier": supplier}, "q_top_revenue_supplier"
+    )
+    got = sorted((r["s_suppkey"], r["rev_e6"]) for r in rows)
+    assert got == [(1, 100_00 * 10_000), (2, 100_00 * 10_000)]
+
+
 # --- streaming funnel twin (VERDICT r11 task 7) -------------------------------
 
 
