@@ -115,17 +115,27 @@ def _loadavg() -> list[float]:
 # isn't — downstream drift-guard comparisons must treat a contended
 # run as totals-only evidence. (VERDICT r9 task 7.)
 QUIET_LOAD = 1.0
-LOAD_WAIT_SECS = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+LOAD_WAIT_SECS = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
 
 
 def _wait_for_quiet() -> float:
-    """Poll until 1- and 15-min loadavg are both under QUIET_LOAD or the
-    bounded wait expires. Returns seconds actually waited."""
+    """Poll until the box is CURRENTLY quiet or the bounded wait
+    expires. Returns seconds actually waited.
+
+    Round-12 fix (VERDICT r11 task 6): the old gate demanded the
+    15-MIN average drop under QUIET_LOAD, which a 300s wait can rarely
+    deliver — the 15-min average remembers a departed co-tenant for
+    most of 15 minutes, so r10 AND r11 both waited the full budget and
+    then stamped "contended" on a box that was often already idle.
+    Current quiet is what the measurement needs: gate on the 1-MIN
+    average (plus a mild 5-min ceiling so we don't start in the first
+    seconds of a dip while a bursty co-tenant is merely between
+    spikes)."""
     t0 = time.monotonic()
     deadline = t0 + LOAD_WAIT_SECS
     while time.monotonic() < deadline:
         la = _loadavg()
-        if not la or (la[0] < QUIET_LOAD and la[2] < QUIET_LOAD):
+        if not la or (la[0] < QUIET_LOAD and la[1] < 3 * QUIET_LOAD):
             break
         time.sleep(15)
     return round(time.monotonic() - t0, 1)
@@ -136,7 +146,13 @@ def main() -> None:
     spark = get_spark("hhek2sqlite_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     load_start = _loadavg()
-    contended = bool(load_start) and load_start[2] >= QUIET_LOAD
+    # contended = the box was NOT currently quiet when the run began
+    # (1-min gate; the old 15-min-based stamp mislabeled already-idle
+    # boxes for up to 15 minutes after a co-tenant left). The 15-min
+    # value stays in loadavg_start for transparency, and the per-query
+    # drift re-sampling below still self-defends against co-tenants
+    # that ARRIVE mid-run.
+    contended = bool(load_start) and load_start[0] >= QUIET_LOAD
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:

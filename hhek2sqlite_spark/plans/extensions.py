@@ -3522,8 +3522,13 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first plan: the date range pushes into the scan; revenue is
     one map-side-combined shuffle per supplier; the scalar max is a
-    ONE-ROW broadcast crossed back against the per-supplier rows (no
-    second fact scan, no self-join); the supplier dim broadcasts."""
+    ONE-ROW broadcast crossed back against the per-supplier rows; the
+    supplier dim broadcasts. The per-supplier rollup is
+    localCheckpoint'ed (the tfidf / revenue_share_parts rule: Catalyst
+    does not reuse a shared subplan across a self-cross-join — without
+    it the FACT would be scanned and aggregated twice, once for the
+    rows and once for their max), so the final plan reads the fact
+    exactly once and both consumers read the supplier-sized relation."""
     from hhek2sqlite_spark.plans.reference import _disc_e6
 
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -3533,7 +3538,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(_disc_e6("l_extendedprice", "l_discount")).alias("rev_e6")
-    )
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("rev_e6").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -231,6 +231,58 @@ def test_budget_variance_single_orders_scan(spark):
     assert "Join" not in plan, plan
 
 
+# --- plan contracts for the round-12 TPC-H shapes ------------------------------
+
+
+def _scan_count(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+
+
+def test_dominant_part_suppliers_single_lineitem_scan(spark):
+    """Q20 contract: the aggregate-threshold IN must NOT become a
+    second scan of the fact — one lineitem scan, one supplier scan,
+    and the per-part total via Window (not a join-back)."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_dominant_part_suppliers(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 2, plan
+    assert "Window" in plan and "LeftSemi" in plan, plan
+
+
+def test_top_revenue_supplier_single_fact_scan(spark):
+    """Q15 contract: the scalar MAX must come from the already-reduced
+    (and localCheckpoint'ed) per-supplier relation — the fact parquet
+    is never scanned in the final plan at all (the tfidf rule), only
+    the supplier dim is."""
+    import hhek2sqlite_spark.plans.extensions as ext
+    from hhek2sqlite_spark.operators.util import release_local_checkpoints
+
+    df = ext.q_top_revenue_supplier(spark, "/root/testdata/sf0.001")
+    plan = _plan_text(df)
+    try:
+        assert _scan_count(plan) == 1, plan  # supplier dim only
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    finally:
+        release_local_checkpoints(df)
+
+
+def test_cheapest_supplier_parts_no_self_join(spark):
+    """Q2 contract: the correlated scalar-min decorrelates to a window
+    over the reduced (part,supplier) relation — one lineitem scan, and
+    the part prefilter joins BEFORE the window (broadcast)."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_cheapest_supplier_parts(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 3, plan  # lineitem + part + supplier, once each
+    assert "Window" in plan, plan
+
+
 # --- Q2 shape: cheapest_supplier_parts ----------------------------------------
 
 
