@@ -3570,6 +3570,60 @@ WHERE rev_e6 = (SELECT MAX(rev_e6) FROM rev)
 """
 
 
+_NTILE_N = 4  # quartiles
+
+
+def q_order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE distribution bucketing — the window primitive the
+    registry's rank/row_number/lag/rolling-sum tier lacked: orders
+    split into _NTILE_N equal buckets per priority by value, rolled up
+    to per-(priority, quartile) count and exact cents bounds. ANSI
+    NTILE is engine-identical (earlier buckets take the remainder) as
+    long as the ORDER BY is a total order — (cents, orderkey) makes the
+    assignment deterministic where a value-only order would tie-break
+    by engine whim.
+
+    Scale shape: ONE exchange on the 5-value priority key serves the
+    window; per-partition sort is the cost (same envelope as
+    topk_per_group); the rollup reuses the window's partitioning."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").asc(),
+        F.col("o_orderkey").asc(),
+    )
+    assigned = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.ntile(_NTILE_N).over(w).alias("quartile"),
+    )
+    return assigned.groupBy("priority", "quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+    )
+
+
+SQL_ORDER_VALUE_NTILE = f"""
+WITH a AS (
+    SELECT o_orderpriority AS priority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+           NTILE({_NTILE_N}) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) ASC,
+                        o_orderkey ASC
+           ) AS quartile
+    FROM orders
+)
+SELECT priority, CAST(quartile AS INTEGER) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(c) AS BIGINT) AS min_c,
+       CAST(MAX(c) AS BIGINT) AS max_c
+FROM a GROUP BY priority, quartile
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3580,6 +3634,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cheapest_supplier_parts": q_cheapest_supplier_parts,
     "order_count_distribution": q_order_count_distribution,
     "top_revenue_supplier": q_top_revenue_supplier,
+    "order_value_ntile": q_order_value_ntile,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "grouped_ols": q_grouped_ols,
     "nation_trade_flows": q_nation_trade_flows,
@@ -3665,6 +3720,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "cheapest_supplier_parts": SQL_CHEAPEST_SUPPLIER_PARTS,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
+    "order_value_ntile": SQL_ORDER_VALUE_NTILE,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "grouped_ols": SQL_GROUPED_OLS,
     "nation_trade_flows": SQL_NATION_TRADE_FLOWS,

@@ -111,6 +111,100 @@ def _funnel_func(stages: tuple[str, str, str]):
     return fn
 
 
+RETENTION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cohort_week", LongType()),
+        StructField("activity_week", LongType()),
+    ]
+)
+
+RETENTION_STATE_SCHEMA = StructType(
+    [
+        StructField("cohort_week", LongType()),
+        StructField("last_week", LongType()),
+    ]
+)
+
+
+def _retention_func(epoch_days: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            yield pd.DataFrame(
+                [], columns=[f.name for f in RETENTION_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        raw = ev["ts"].astype("int64").to_numpy()
+        us = raw // 1000 if "[ns]" in str(ev["ts"].dtype) else raw
+        # integer day index -> week DIV 7 from the fixed epoch, the same
+        # arithmetic as the batch plan (events precede the epoch nowhere
+        # in this data model; a negative-day corpus would need the
+        # floor-vs-truncate DIV distinction resolved first)
+        weeks = sorted({int(w) for w in (us // 86_400_000_000 - epoch_days) // 7})
+        cohort, last = state.get if state.exists else (None, None)
+        out = []
+        for w in weeks:
+            if cohort is None:
+                cohort = w
+            if last is None or w > last:
+                out.append((user_id, cohort, w))
+                last = w
+        if out:
+            state.update((cohort, last))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in RETENTION_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def streaming_retention(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    epoch: str = "2024-01-01",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stateful streaming twin of operators.funnel.retention_cohorts:
+    per-user (cohort_week, activity_week) increments emitted EXACTLY
+    ONCE per newly-seen activity week (state = two int64s per user).
+    The cohort x week triangle is then a plain aggregation over the
+    emitted stream — counting happens downstream, so the stateful
+    operator's state never grows with activity history. Same in-order
+    single-pass envelope as the funnel twin."""
+    from datetime import date
+
+    from hhek2sqlite_spark.sources.parquet import _normalize_events
+
+    y, m, d = (int(p) for p in epoch.split("-"))
+    epoch_days = (date(y, m, d) - date(1970, 1, 1)).days
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = _normalize_events(
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return (
+        raw.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _retention_func(epoch_days),
+            outputStructType=RETENTION_OUTPUT_SCHEMA,
+            stateStructType=RETENTION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_funnel(
     spark: SparkSession,
     sf_dir: str,

@@ -124,12 +124,25 @@ def test_sniff_and_dispatch(jet3_path, tmp_path):
     if p2 is not None:
         assert sniff_mdb_version(p2) == "jet2"
         assert isinstance(open_mdb(p2), Jet2File)
-    # Jet 4: refused by name with the envelope pointer
+    # Jet 4: dispatched to the native Jet 4 reader (r12) — a bare
+    # header page parses no catalog, so the structural error must come
+    # from the Jet 4 parser, not a version refusal
     p4 = str(tmp_path / "jet4.mdb")
     build_jet4_header(p4)
     assert sniff_mdb_version(p4) == "jet4"
-    with pytest.raises(ValueError, match="ucanaccess"):
+    with pytest.raises(ValueError, match="page 2 beyond file end"):
         open_mdb(p4)
+    # ACE: refused by name with the envelope pointer
+    pace = str(tmp_path / "ace.mdb")
+    hdr = bytearray(4096)
+    hdr[0:2] = b"\x00\x01"
+    hdr[4:20] = b"Standard Jet DB\x00"
+    hdr[0x14] = 0x02
+    with open(pace, "wb") as fh:
+        fh.write(bytes(hdr))
+    assert sniff_mdb_version(pace) == "ace"
+    with pytest.raises(ValueError, match="ucanaccess"):
+        open_mdb(pace)
 
 
 def test_jet2_reader_names_jet3_and_points_at_new_reader(jet3_path):

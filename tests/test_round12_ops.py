@@ -415,6 +415,38 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
     assert got.users_purchase == exp.users_purchase
 
 
+def test_streaming_retention_matches_batch(spark, sf_dir):
+    """Drain the stateful retention twin and check the aggregated
+    cohort x week triangle equals the batch plan's exactly."""
+    import pyspark.sql.functions as F
+
+    from hhek2sqlite_spark.operators.funnel import retention_cohorts
+    from hhek2sqlite_spark.sources.parquet import load_table
+    from hhek2sqlite_spark.streaming.funnel import streaming_retention
+
+    q = (
+        streaming_retention(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("retention_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.cohort_week, r.activity_week): r.n
+        for r in spark.table("retention_out")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    exp = {
+        (r.cohort_week, r.activity_week): r.active_users
+        for r in retention_cohorts(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == exp
+
+
 # --- UCanAccess proof stays warm (VERDICT r11 task 3) -------------------------
 
 
