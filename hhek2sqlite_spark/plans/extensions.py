@@ -3570,6 +3570,104 @@ WHERE rev_e6 = (SELECT MAX(rev_e6) FROM rev)
 """
 
 
+_Q8_REGION = "ASIA"  # the market
+_Q8_NATION = "NATION_7"  # the supplier nation whose share is measured
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one customer-REGION's
+    purchases, the fraction of discounted revenue supplied by one
+    NATION, per order year — the conditional-share aggregation over
+    the Q7 dual-dimension-chain join (numerator = CASE inside the same
+    SUM as the denominator; never two scans, never a self-join).
+
+    Scale shape: same deliberate join order as nation_trade_flows —
+    region⋈nation⋈customer folds into orders FIRST, so the fact meets
+    exactly ONE shuffle on orderkey; the supplier chain carries only an
+    is-target-nation flag. Share is the exact integer-ratio e6
+    encoding: both moment sums are exact BIGINTs and the single IEEE
+    division happens at the output boundary (FLOOR(x+0.5) both
+    engines)."""
+    from hhek2sqlite_spark.plans.reference import _disc_e6
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    region_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == _Q8_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    ord_in_market = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(region_nations, F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .select(
+            "o_orderkey", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+    )
+    target_nk = F.broadcast(
+        nation.filter(F.col("n_name") == _Q8_NATION).select(
+            F.col("n_nationkey").alias("t_nk")
+        )
+    )
+    sp = supp.join(
+        target_nk, F.col("s_nationkey") == F.col("t_nk"), "left_semi"
+    ).select(F.col("s_suppkey").alias("target_suppkey"))
+    rev = _disc_e6("l_extendedprice", "l_discount")
+    flagged = li.join(
+        F.broadcast(sp), li.l_suppkey == F.col("target_suppkey"), "left"
+    ).select(
+        "l_orderkey",
+        rev.alias("rev_e6"),
+        F.when(F.col("target_suppkey").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_target"),
+    )
+    per_year = (
+        flagged.join(ord_in_market, flagged.l_orderkey == F.col("o_orderkey"))
+        .groupBy("order_year")
+        .agg(
+            F.sum(F.col("rev_e6") * F.col("is_target")).alias("num"),
+            F.sum("rev_e6").alias("den"),
+        )
+    )
+    return per_year.select(
+        "order_year",
+        F.floor(F.lit(1000000.0) * F.col("num") / F.col("den") + F.lit(0.5))
+        .cast("long")
+        .alias("mkt_share_e6"),
+        F.col("den").cast("long").alias("market_rev_e6"),
+    )
+
+
+SQL_NATION_MARKET_SHARE = f"""
+WITH market AS (
+    SELECT year(o_orderdate) AS order_year,
+           CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (10000 - CAST(ROUND(l_discount*10000) AS BIGINT)) AS rev_e6,
+           CASE WHEN sn.n_name = '{_Q8_NATION}' THEN 1 ELSE 0 END AS is_target
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = '{_Q8_REGION}'
+)
+SELECT CAST(order_year AS INTEGER) AS order_year,
+       CAST(FLOOR(1e6 * SUM(rev_e6 * is_target) / SUM(rev_e6) + 0.5)
+            AS BIGINT) AS mkt_share_e6,
+       CAST(SUM(rev_e6) AS BIGINT) AS market_rev_e6
+FROM market
+GROUP BY order_year
+"""
+
+
 _NTILE_N = 4  # quartiles
 
 
@@ -3635,6 +3733,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_distribution": q_order_count_distribution,
     "top_revenue_supplier": q_top_revenue_supplier,
     "order_value_ntile": q_order_value_ntile,
+    "nation_market_share": q_nation_market_share,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "grouped_ols": q_grouped_ols,
     "nation_trade_flows": q_nation_trade_flows,
@@ -3721,6 +3820,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
     "order_value_ntile": SQL_ORDER_VALUE_NTILE,
+    "nation_market_share": SQL_NATION_MARKET_SHARE,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "grouped_ols": SQL_GROUPED_OLS,
     "nation_trade_flows": SQL_NATION_TRADE_FLOWS,

@@ -415,6 +415,57 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
     assert got.users_purchase == exp.users_purchase
 
 
+def test_nation_market_share_single_fact_scan_and_hand_value(spark):
+    """Q8 contract + hand value: the conditional share must come from
+    ONE lineitem scan (CASE inside the same aggregate, no self-join),
+    and the share math must be exact."""
+    import re
+
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(ext.q_nation_market_share(spark, "/root/testdata/sf0.001"))
+    # the formatted node header carries no table name; each scan node's
+    # detail block has exactly one Location line naming the file
+    li_scans = re.findall(r"^Location:.*lineitem", plan, flags=re.M)
+    assert len(li_scans) == 1, plan
+    assert "LeftSemi" in plan, plan
+
+    # hand-computed: market = region 0's single customer; supplier 1 is
+    # the target nation's, supplier 2 is not -> share 25.00% in e6
+    region = spark.createDataFrame([(0, "ASIA"), (1, "EUROPE")],
+                                   "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(0, "NATION_7", 0), (1, "NATION_1", 0), (2, "NATION_2", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    cust = spark.createDataFrame([(1, 0), (2, 2)],
+                                 "c_custkey long, c_nationkey int")
+    supp = spark.createDataFrame([(1, 0), (2, 1)],
+                                 "s_suppkey long, s_nationkey int")
+    orders = spark.createDataFrame(
+        [(10, 1, datetime(1997, 1, 1)), (11, 2, datetime(1997, 1, 2))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (10, 1, 25.0, 0.0),   # target nation supplies 25.00
+            (10, 2, 75.0, 0.0),   # other nation supplies 75.00
+            (11, 1, 999.0, 0.0),  # order outside the region: excluded
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    rows = _with_tables(
+        spark,
+        {"lineitem": li, "orders": orders, "customer": cust,
+         "supplier": supp, "nation": nation, "region": region},
+        "q_nation_market_share",
+    )
+    assert [(r["order_year"], r["mkt_share_e6"]) for r in rows] == [
+        (1997, 250000)
+    ]
+
+
 def test_streaming_retention_matches_batch(spark, sf_dir):
     """Drain the stateful retention twin and check the aggregated
     cohort x week triangle equals the batch plan's exactly."""
