@@ -118,6 +118,23 @@ SUBSET = [
     "churned_high_value",
     # grouped_ols is one keyed integer-moment aggregate (linear).
     "grouped_ols",
+    # round-12 additions, all linear-work under replicate-and-shift:
+    # Q4's semi join is 1:1-bounded per order; Q20/Q2 reduce to
+    # (part,supplier) then window per part (copies are disjoint key
+    # spaces); Q13 joins 1:1 through custkey and its second aggregate
+    # keys on a count domain; Q15/Q8/budget_variance are keyed
+    # aggregates over 1:1 chains; ntile is one keyed window whose
+    # per-partition sort both engines pay alike. Thresholds are shares/
+    # fair-share multiples (scale-invariant), except Q4's day lag and
+    # budget_variance's year slice which are per-row predicates.
+    "late_priority_orders",
+    "dominant_part_suppliers",
+    "budget_variance",
+    "cheapest_supplier_parts",
+    "order_count_distribution",
+    "top_revenue_supplier",
+    "nation_market_share",
+    "order_value_ntile",
     # sparse_cosine_pairs is linear-work DESPITE being a pair
     # generator, by construction of the query itself: raw-text tokens
     # have df ~ corpus/31 >> max_df at every scale (always pruned), and
