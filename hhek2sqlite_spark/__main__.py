@@ -10,7 +10,10 @@ without writing Python:
 
 The first form IS the reference's actual program (MDB -> SQLite in one
 command); the second is its ``-backa`` reverse, via the pure-Python Jet
-2.0 writer (sources/jet2.py) instead of Windows/COM.
+2.0 writer (sources/jet2.py) instead of Windows/COM. The read side
+dispatches on the .mdb header version (sources/mdb.py): Jet 2.0,
+Jet 3 (Access 95/97) and Jet 4 (Access 2000-2003) are read natively;
+ACE (2007+) is refused by name with the UCanAccess envelope pointer.
 
 Differences from the reference, by design:
 
