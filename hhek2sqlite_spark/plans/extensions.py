@@ -3220,30 +3220,41 @@ def q_late_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_shipdate vs o_orderdate), so it cannot be pushed into either
     scan; it must ride the semi-join as a residual condition.
 
-    Spark-first plan: the quarter filter is a parquet pushdown on
-    orders; the correlated EXISTS decorrelates to ONE left-semi join
-    keyed on orderkey with the cross-side comparison as the join
-    residual — lineitem is scanned once, never aggregated, and the
-    semi join short-circuits per order on the first qualifying line.
-    The final agg is a 5-group rollup.  At 100 TB: one fact shuffle
-    each side on the join key (or zero for the orders side if both
-    are bucketed by orderkey); no window, no self-join."""
+    Spark-first plan (round-12 rewrite, caught by its own scaling
+    curve): the naive decorrelation is a left-semi join with ORDERS on
+    the probe side — which puts the FACT on the build side, where it
+    can never broadcast, so both sides shuffle full rows and the x8
+    scaling point degraded (spark 4.94x for 8x data, ratio 15 -> 26).
+    The committed plan collapses EXISTS into aggregation instead (the
+    Q21 precedent): EXISTS(a line with shipdate > cutoff) is exactly
+    MAX(l_shipdate) > cutoff, so the quarter's orders (a ~4%
+    date-pushdown slice) broadcast-INNER-join into lineitem — dropping
+    non-quarter lines map-side, no fact shuffle of full rows — then one
+    map-side-combined per-order MAX, the residual compare, and the
+    5-group rollup. The oracle keeps the textbook correlated-EXISTS
+    form, documenting the rewrite's equivalence. At 100 TB: the only
+    exchange carries (orderkey, priority, date, max) for matched lines
+    only; if a deployment's quarter outgrows the broadcast threshold,
+    AQE falls back to a shuffle join on the already-pruned slice."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(
-        li,
-        (F.col("o_orderkey") == F.col("l_orderkey"))
-        & (
-            F.to_date("l_shipdate")
-            > F.date_add(F.to_date("o_orderdate"), _Q4_LAG_DAYS)
+    j = li.join(
+        F.broadcast(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
         ),
-        "left_semi",
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    per_order = j.groupBy("o_orderkey", "o_orderpriority", "o_orderdate").agg(
+        F.max("l_shipdate").alias("ms")
     )
     return (
-        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        per_order.filter(
+            F.to_date("ms") > F.date_add(F.to_date("o_orderdate"), _Q4_LAG_DAYS)
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
 

@@ -135,8 +135,11 @@ def _plan_text(df) -> str:
 
 
 def test_late_priority_orders_single_lineitem_scan(spark):
-    """Decorrelation contract: the EXISTS must become ONE semi join —
-    one lineitem scan, one orders scan in the physical plan."""
+    """Decorrelation contract (r12 rewrite): EXISTS collapses to a
+    per-order MAX behind a BROADCAST inner join — one lineitem scan,
+    one orders scan, and the fact side must never be the build side of
+    a shuffle join (the original left-semi form shuffled full fact
+    rows and degraded on the scaling curve)."""
     import re
 
     import hhek2sqlite_spark.plans.extensions as ext
@@ -145,7 +148,8 @@ def test_late_priority_orders_single_lineitem_scan(spark):
     # count "(n) Scan parquet" node headers (each scan prints once there)
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 2, plan
-    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" not in plan, plan
 
 
 # --- Q20 shape: dominant_part_suppliers --------------------------------------
