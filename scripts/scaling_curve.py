@@ -147,7 +147,12 @@ SUBSET = [
     "sparse_cosine_pairs",
 ]
 
-SLOW_CUTOFF_SEC = 15.0
+# 25s, not 15: a transient (GC pause, brief co-tenant) can push ONE
+# warm run of a ~3s query past a low cutoff, and the single-rep path
+# then RECORDS that outlier (observed: nation_trade_flows x8 warm run
+# hit 19.8s once while the median-of-3 in the same session was 2-3s —
+# the same trap perf_floor's round-5 fix closed at 20s).
+SLOW_CUTOFF_SEC = 25.0
 REPS = 3
 
 
