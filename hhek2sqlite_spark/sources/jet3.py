@@ -391,10 +391,12 @@ class Jet3File:
             raise ValueError(f"page {p} beyond file end")
         return self._data[p * PAGE_SIZE : (p + 1) * PAGE_SIZE]
 
-    def _row_extents(self, pg: bytes):
-        """Yield (start, end) byte extents of live rows on a data page.
-        Jet 3 rows have no length prefix: each row ends where the
-        previous offset-map entry begins (row 0 ends at the page end)."""
+    def _slot_entries(self, pg: bytes):
+        """Yield (raw_off, start, end) for EVERY offset-map slot on a
+        data page, deleted/lookup slots included — liveness and flag
+        handling belong to the caller. Jet 3 rows have no length
+        prefix: each row ends where the previous offset-map entry
+        begins (row 0 ends at the page end)."""
         n = struct.unpack_from("<H", pg, 8)[0]
         prev = PAGE_SIZE
         for i in range(n):
@@ -402,28 +404,74 @@ class Jet3File:
             off = raw_off & _OFFSET_MASK
             end = prev
             prev = off if off else prev
-            if raw_off & _FLAG_DELETED or off == 0:
+            yield raw_off, off, end
+
+    def _row_payloads(self, table: Jet3Table):
+        """Yield raw payload bytes for every live row of ``table``.
+
+        A slot flagged 0x4000 (lookup) is an OVERFLOW POINTER left
+        behind when an in-place update outgrew the row's page: its
+        payload starts with a 4-byte little-endian ``(page << 8) | row``
+        reference to where the row now lives (public mdbtools format
+        description — the same pg_row packing the memo/LVAL headers
+        use). The pointer is followed; pointed-at rows are excluded
+        from the sequential scan so a row is never yielded twice when
+        its overflow page is also in the table's page list."""
+        pages = list(self._pages_by_tdef.get(table.tdef_page, ()))
+        pointed: set = set()
+        for p in pages:
+            pg = self._page(p)
+            for raw_off, off, end in self._slot_entries(pg):
+                if (raw_off & _FLAG_LOOKUP and not raw_off & _FLAG_DELETED
+                        and off and end - off >= 4):
+                    ptr = struct.unpack_from("<I", pg, off)[0]
+                    pointed.add((ptr >> 8, ptr & 0xFF))
+        for p in pages:
+            pg = self._page(p)
+            for i, (raw_off, off, end) in enumerate(self._slot_entries(pg)):
+                if raw_off & _FLAG_DELETED or off == 0:
+                    continue
+                if off >= end:
+                    raise ValueError(
+                        "row offsets not descending — corrupt page or an "
+                        "offset-map variant this reader does not support"
+                    )
+                if raw_off & _FLAG_LOOKUP:
+                    yield self._overflow_row(pg, off, end)
+                elif (p, i) not in pointed:
+                    yield pg[off:end]
+
+    def _overflow_row(self, pg: bytes, off: int, end: int) -> bytes:
+        """Resolve a 0x4000 lookup slot to the row bytes it points at."""
+        if end - off < 4:
+            raise ValueError("lookup row shorter than its 4-byte pointer")
+        ptr = struct.unpack_from("<I", pg, off)[0]
+        tgt_page, tgt_row = ptr >> 8, ptr & 0xFF
+        tpg = self._page(tgt_page)
+        if tpg[0] != _PG_DATA:
+            raise ValueError(
+                f"overflow pointer targets page {tgt_page}, not a data page"
+            )
+        for i, (raw_off, o, e) in enumerate(self._slot_entries(tpg)):
+            if i != tgt_row:
                 continue
-            if off >= end:
+            if raw_off & _FLAG_DELETED or o == 0:
                 raise ValueError(
-                    "row offsets not descending — corrupt page or an "
-                    "offset-map variant this reader does not support"
+                    f"overflow row {tgt_row} on page {tgt_page} is deleted"
                 )
-            yield off, end
+            if raw_off & _FLAG_LOOKUP:
+                raise ValueError(
+                    "chained overflow pointers unsupported — no public "
+                    "fixture documents the chain shape"
+                )
+            return tpg[o:e]
+        raise ValueError(f"overflow row {tgt_row} beyond page {tgt_page}")
 
     def _lval_fetch(self, page: int, row: int) -> bytes:
         pg = self._page(page)
         if pg[0] != _PG_DATA or struct.unpack_from("<I", pg, 4)[0] != LVAL_TAG:
             raise ValueError(f"page {page} is not an LVAL page")
-        n = struct.unpack_from("<H", pg, 8)[0]
-        if row >= n:
-            raise ValueError(f"LVAL row {row} beyond page {page}")
-        prev = PAGE_SIZE
-        for i in range(n):
-            raw_off = struct.unpack_from("<H", pg, 0x0A + 2 * i)[0]
-            off = raw_off & _OFFSET_MASK
-            end = prev
-            prev = off if off else prev
+        for i, (raw_off, off, end) in enumerate(self._slot_entries(pg)):
             if i == row:
                 if raw_off & _FLAG_DELETED or off == 0:
                     raise ValueError(f"LVAL row {row} on page {page} is deleted")
@@ -431,20 +479,14 @@ class Jet3File:
         raise ValueError(f"LVAL row {row} not found on page {page}")
 
     def _rows_of(self, table: Jet3Table):
-        for p in self._pages_by_tdef.get(table.tdef_page, ()):
-            pg = self._page(p)
-            for start, end in self._row_extents(pg):
-                yield _decode_row3(pg[start:end], table, self._lval_fetch)
+        for payload in self._row_payloads(table):
+            yield _decode_row3(payload, table, self._lval_fetch)
 
     def read_rows(self, table: str):
         return list(self._rows_of(self.tables[table]))
 
     def row_count(self, table: str) -> int:
-        t = self.tables[table]
-        return sum(
-            sum(1 for _ in self._row_extents(self._page(p)))
-            for p in self._pages_by_tdef.get(t.tdef_page, ())
-        )
+        return sum(1 for _ in self._row_payloads(self.tables[table]))
 
 
 def _spark_schema_for(table: Jet3Table):

@@ -68,6 +68,7 @@ _PG_TDEF = 0x02
 
 _OFFSET_MASK = 0x1FFF
 _FLAG_DELETED = 0x8000
+_FLAG_LOOKUP = 0x4000
 
 _COLDEF_LEN = 25  # Jet 4 column definition record size
 _IDX_REC_LEN = 12  # Jet 4 real-index record size (Jet 3: 8)
@@ -336,7 +337,10 @@ class Jet4File:
             raise ValueError(f"page {p} beyond file end")
         return self._data[p * PAGE_SIZE : (p + 1) * PAGE_SIZE]
 
-    def _row_extents(self, pg: bytes):
+    def _slot_entries(self, pg: bytes):
+        """Yield (raw_off, start, end) for EVERY offset-map slot on a
+        data page (Jet 4: row count at 0x0C, map at 0x0E); liveness and
+        flag handling belong to the caller."""
         n = struct.unpack_from("<H", pg, 0x0C)[0]
         prev = PAGE_SIZE
         for i in range(n):
@@ -344,28 +348,70 @@ class Jet4File:
             off = raw_off & _OFFSET_MASK
             end = prev
             prev = off if off else prev
-            if raw_off & _FLAG_DELETED or off == 0:
+            yield raw_off, off, end
+
+    def _row_payloads(self, table: Jet3Table):
+        """Yield raw payload bytes for every live row of ``table``,
+        following 0x4000 lookup (overflow-pointer) slots — 4-byte LE
+        ``(page << 8) | row`` per the public mdbtools description —
+        and excluding pointed-at rows from the sequential scan so a
+        row is never yielded twice. Same scheme as jet3.py; see its
+        _row_payloads docstring."""
+        pages = list(self._pages_by_tdef.get(table.tdef_page, ()))
+        pointed: set = set()
+        for p in pages:
+            pg = self._page(p)
+            for raw_off, off, end in self._slot_entries(pg):
+                if (raw_off & _FLAG_LOOKUP and not raw_off & _FLAG_DELETED
+                        and off and end - off >= 4):
+                    ptr = struct.unpack_from("<I", pg, off)[0]
+                    pointed.add((ptr >> 8, ptr & 0xFF))
+        for p in pages:
+            pg = self._page(p)
+            for i, (raw_off, off, end) in enumerate(self._slot_entries(pg)):
+                if raw_off & _FLAG_DELETED or off == 0:
+                    continue
+                if off >= end:
+                    raise ValueError(
+                        "row offsets not descending — corrupt page or an "
+                        "offset-map variant this reader does not support"
+                    )
+                if raw_off & _FLAG_LOOKUP:
+                    yield self._overflow_row(pg, off, end)
+                elif (p, i) not in pointed:
+                    yield pg[off:end]
+
+    def _overflow_row(self, pg: bytes, off: int, end: int) -> bytes:
+        """Resolve a 0x4000 lookup slot to the row bytes it points at."""
+        if end - off < 4:
+            raise ValueError("lookup row shorter than its 4-byte pointer")
+        ptr = struct.unpack_from("<I", pg, off)[0]
+        tgt_page, tgt_row = ptr >> 8, ptr & 0xFF
+        tpg = self._page(tgt_page)
+        if tpg[0] != _PG_DATA:
+            raise ValueError(
+                f"overflow pointer targets page {tgt_page}, not a data page"
+            )
+        for i, (raw_off, o, e) in enumerate(self._slot_entries(tpg)):
+            if i != tgt_row:
                 continue
-            if off >= end:
+            if raw_off & _FLAG_DELETED or o == 0:
                 raise ValueError(
-                    "row offsets not descending — corrupt page or an "
-                    "offset-map variant this reader does not support"
+                    f"overflow row {tgt_row} on page {tgt_page} is deleted"
                 )
-            yield off, end
+            if raw_off & _FLAG_LOOKUP:
+                raise ValueError(
+                    "chained overflow pointers unsupported — no public "
+                    "fixture documents the chain shape"
+                )
+            return tpg[o:e]
+        raise ValueError(f"overflow row {tgt_row} beyond page {tgt_page}")
 
     def _lval_fetch(self, page: int, row: int) -> bytes:
         pg = self._page(page)
         if pg[0] != _PG_DATA or struct.unpack_from("<I", pg, 4)[0] != LVAL_TAG:
             raise ValueError(f"page {page} is not an LVAL page")
-        n = struct.unpack_from("<H", pg, 0x0C)[0]
-        if row >= n:
-            raise ValueError(f"LVAL row {row} beyond page {page}")
-        prev = PAGE_SIZE
-        for i in range(n):
-            raw_off = struct.unpack_from("<H", pg, 0x0E + 2 * i)[0]
-            off = raw_off & _OFFSET_MASK
-            end = prev
-            prev = off if off else prev
+        for i, (raw_off, off, end) in enumerate(self._slot_entries(pg)):
             if i == row:
                 if raw_off & _FLAG_DELETED or off == 0:
                     raise ValueError(
@@ -375,20 +421,14 @@ class Jet4File:
         raise ValueError(f"LVAL row {row} not found on page {page}")
 
     def _rows_of(self, table: Jet3Table):
-        for p in self._pages_by_tdef.get(table.tdef_page, ()):
-            pg = self._page(p)
-            for start, end in self._row_extents(pg):
-                yield _decode_row4(pg[start:end], table, self._lval_fetch)
+        for payload in self._row_payloads(table):
+            yield _decode_row4(payload, table, self._lval_fetch)
 
     def read_rows(self, table: str):
         return list(self._rows_of(self.tables[table]))
 
     def row_count(self, table: str) -> int:
-        t = self.tables[table]
-        return sum(
-            sum(1 for _ in self._row_extents(self._page(p)))
-            for p in self._pages_by_tdef.get(t.tdef_page, ())
-        )
+        return sum(1 for _ in self._row_payloads(self.tables[table]))
 
 
 def jet4_table(spark, path: str, table: str):

@@ -114,10 +114,14 @@ def write_table(df: DataFrame, db_path: str, table: str, *, batch_size: int = 10
     + batched parameterized inserts in one transaction (T1). Returns the
     row count written."""
     spec = HHEK_TABLES.get(table)
-    # registry DDL requires the registry's full column set; a table from
-    # a self-describing source (Jet 3) that lacks columns — or isn't an
-    # HHEK table at all — gets DDL derived from its own Spark schema
-    if spec is not None and set(c.name for c in spec.columns) <= set(df.columns):
+    # registry DDL requires EXACTLY the registry's column set; a table
+    # from a self-describing source (Jet 3/4) that lacks columns — or
+    # isn't an HHEK table at all — gets DDL derived from its own Spark
+    # schema. A SUPERSET (HHEK name + extra columns, possible from a
+    # self-describing source) must not silently truncate to the
+    # registry spec (ADVICE r12): fall through to the generic DDL so
+    # every column the source carries is written.
+    if spec is not None and set(c.name for c in spec.columns) == set(df.columns):
         cols = [c.name for c in spec.columns]
         ddl = render_create_table(table, "sqlite")
     else:

@@ -50,6 +50,26 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _ts_to_us(ts: pd.Series):
+    """Microsecond int64 array from an Arrow-delivered timestamp column.
+
+    A '[ns]' substring test is NOT enough: tz-aware timestamps print as
+    'datetime64[ns, UTC]' (no '[ns]' substring), and pandas 2 can carry
+    datetime64[us]/[ms] units — either would silently pass values
+    through at the wrong scale. Detect the datetime64 family, strip any
+    tz (int64 view is UTC-epoch-based regardless), normalize the unit
+    to ns, then divide down; refuse anything else loudly."""
+    if not pd.api.types.is_datetime64_any_dtype(ts.dtype):
+        raise TypeError(
+            f"expected a datetime64 ts column from Arrow, got {ts.dtype}"
+        )
+    s = ts
+    if getattr(ts.dtype, "tz", None) is not None:
+        s = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    s = s.astype("datetime64[ns]")
+    return s.astype("int64").to_numpy() // 1000
+
+
 def _funnel_func(stages: tuple[str, str, str]):
     s1, s2, s3 = stages
 
@@ -66,8 +86,7 @@ def _funnel_func(stages: tuple[str, str, str]):
             return
         ev = pd.concat(list(pdfs), ignore_index=True)
         ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
-        raw = ev["ts"].astype("int64").to_numpy()
-        us = raw // 1000 if "[ns]" in str(ev["ts"].dtype) else raw
+        us = _ts_to_us(ev["ts"])
         types = ev["event_type"].to_numpy()
 
         t1, t2, t3 = state.get if state.exists else (None, None, None)
@@ -140,8 +159,7 @@ def _retention_func(epoch_days: int):
             )
             return
         ev = pd.concat(list(pdfs), ignore_index=True)
-        raw = ev["ts"].astype("int64").to_numpy()
-        us = raw // 1000 if "[ns]" in str(ev["ts"].dtype) else raw
+        us = _ts_to_us(ev["ts"])
         # integer day index -> week DIV 7 from the fixed epoch, the same
         # arithmetic as the batch plan (events precede the epoch nowhere
         # in this data model; a negative-day corpus would need the

@@ -40,6 +40,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# robust ts handling (tz-aware dtypes print '[ns, UTC]'; pandas 2 can
+# carry [us]/[ms] units) — shared with the funnel/retention twins
+from hhek2sqlite_spark.streaming.funnel import _ts_to_us
+
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -82,9 +86,7 @@ def _session_func(gap_us: int):
 
         ev = pd.concat(list(pdfs), ignore_index=True)
         ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
-        raw = ev["ts"].astype("int64").to_numpy()
-        # Arrow may hand pandas datetime64[ns] or [us] depending on version
-        us = raw // 1000 if "[ns]" in str(ev["ts"].dtype) else raw
+        us = _ts_to_us(ev["ts"])
         vals = ev["value"].to_numpy()
 
         if state.exists:

@@ -145,9 +145,13 @@ def _row(cols, values):
     return body + trailer
 
 
-def _data_page(tdef_pg, rows, deleted=()):
+def _data_page(tdef_pg, rows, deleted=(), lookups=None):
     """Data page with rows packed from the page end downward; indices
-    in ``deleted`` get the 0x8000 delflag set on their offset entry."""
+    in ``deleted`` get the 0x8000 delflag set on their offset entry.
+    ``lookups`` maps a slot index -> (page, row): that slot becomes a
+    0x4000 overflow-pointer whose payload is the 4-byte little-endian
+    (page << 8) | row reference (the rows[i] content is ignored)."""
+    lookups = lookups or {}
     buf = bytearray(PAGE)
     buf[0] = 0x01
     buf[1] = 0x01
@@ -155,9 +159,15 @@ def _data_page(tdef_pg, rows, deleted=()):
     struct.pack_into("<H", buf, 8, len(rows))
     end = PAGE
     for i, row in enumerate(rows):
+        flag = 0
+        if i in deleted:
+            flag = 0x8000
+        if i in lookups:
+            pg_no, row_no = lookups[i]
+            row = struct.pack("<I", (pg_no << 8) | row_no)
+            flag |= 0x4000
         start = end - len(row)
         buf[start:end] = row
-        flag = 0x8000 if i in deleted else 0
         struct.pack_into("<H", buf, 0x0A + 2 * i, start | flag)
         end = start
     struct.pack_into("<H", buf, 2, end - (0x0A + 2 * len(rows)))  # free
@@ -242,6 +252,7 @@ PG_KONT_TDEF, PG_KONT_DATA = 8, 9
 PG_TRAN_TDEF, PG_TRAN_DATA = 10, 11
 PG_TYP_TDEF, PG_TYP_DATA = 12, 13
 PG_LVAL = 14
+PG_OVF = 15  # overflow page holding Typer row Id=4 (reached via 0x4000)
 
 # LVAL payloads: row 0 = single-page value; rows 1,2 = a 2-chunk chain
 LVAL_SINGLE = ("S" * 300).encode("cp1252")
@@ -358,10 +369,22 @@ def build_jet3(path: str) -> None:
                      "Note": _memo_chain(len(CHAIN_PART1) + len(CHAIN_PART2),
                                          PG_LVAL, 1),
                      "Pad": _t("y")}),
+        # slot 3 is a 0x4000 overflow pointer: the Id=4 row was
+        # "updated past its page" and lives on PG_OVF row 1
+        b"",
+    ], lookups={3: (PG_OVF, 1)})
+    # The overflow page is owned by the SAME TDEF, so it appears in the
+    # reader's page list — the sequential scan must NOT double-read the
+    # pointed-at row. Slot 0 is a deleted decoy so the pointer's row
+    # index (1) is actually exercised.
+    pages[PG_OVF] = _data_page(PG_TYP_TDEF, [
+        _row(TYPER, {"Id": 666, "B": 6, "F": 6.0, "D": 6.0,
+                     "När": None, "Aktiv": False,
+                     "Note": None, "Pad": _t("deleted decoy")}),
         _row(TYPER, {"Id": 4, "B": 1, "F": 0.5, "D": 0.25,
                      "När": _access_days(2024, 2, 29), "Aktiv": False,
                      "Note": None, "Pad": _t("z")}),
-    ])
+    ], deleted={0})
 
     # LVAL page: row 0 single value; rows 1->2 a chain (row 1 points at
     # row 2, row 2 terminates with next=0)

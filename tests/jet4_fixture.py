@@ -113,7 +113,11 @@ def _row(cols, values):
     return body + trailer
 
 
-def _data_page(tdef_pg, rows, deleted=()):
+def _data_page(tdef_pg, rows, deleted=(), lookups=None):
+    """``lookups`` maps slot index -> (page, row): that slot becomes a
+    0x4000 overflow-pointer whose payload is the 4-byte little-endian
+    (page << 8) | row reference (the rows[i] content is ignored)."""
+    lookups = lookups or {}
     buf = bytearray(PAGE)
     buf[0] = 0x01
     buf[1] = 0x01
@@ -121,9 +125,15 @@ def _data_page(tdef_pg, rows, deleted=()):
     struct.pack_into("<H", buf, 0x0C, len(rows))
     end = PAGE
     for i, row in enumerate(rows):
+        flag = 0
+        if i in deleted:
+            flag = 0x8000
+        if i in lookups:
+            pg_no, row_no = lookups[i]
+            row = struct.pack("<I", (pg_no << 8) | row_no)
+            flag |= 0x4000
         start = end - len(row)
         buf[start:end] = row
-        flag = 0x8000 if i in deleted else 0
         struct.pack_into("<H", buf, 0x0E + 2 * i, start | flag)
         end = start
     struct.pack_into("<H", buf, 2, end - (0x0E + 2 * len(rows)))
@@ -188,6 +198,7 @@ PG_KONT_TDEF, PG_KONT_DATA = 6, 7
 PG_TRAN_TDEF, PG_TRAN_DATA = 8, 9
 PG_TYP_TDEF, PG_TYP_DATA = 10, 11
 PG_LVAL = 12
+PG_OVF = 13  # overflow page holding Typer row Id=3 (reached via 0x4000)
 
 # UCS-2 payload on the LVAL page (non-cp1252 char forces the wide path)
 LVAL_TEXT = "längre anteckning ☃ " + "x" * 200
@@ -274,9 +285,16 @@ def build_jet4(path: str) -> None:
                      "Note": _memo_inline(_t_comp("kort anteckning"))}),
         _row(TYPER, {"Id": 2, "D": None, "När": None, "Aktiv": False,
                      "Note": _memo_lval(len(lval_payload), PG_LVAL, 0)}),
+        # slot 2 is a 0x4000 overflow pointer: the Id=3 row lives on
+        # PG_OVF row 1 (same-TDEF overflow page; deleted decoy at 0)
+        b"",
+    ], lookups={2: (PG_OVF, 1)})
+    pages[PG_OVF] = _data_page(PG_TYP_TDEF, [
+        _row(TYPER, {"Id": 666, "D": 6.0, "När": None, "Aktiv": False,
+                     "Note": None}),
         _row(TYPER, {"Id": 3, "D": 0.5, "När": _access_days(2024, 2, 29),
                      "Aktiv": True, "Note": None}),
-    ])
+    ], deleted={0})
     pages[PG_LVAL] = _data_page(LVAL_TAG, [lval_payload])
 
     n_pages = max(pages) + 1

@@ -206,3 +206,13 @@ def test_cli_convert_jet3_to_sqlite(spark, jet3_path, tmp_path):
         assert texts[1] == "Tom € räksmörgås"
     finally:
         con.close()
+
+
+def test_overflow_pointer_row_read_exactly_once(jet3):
+    """Typer Id=4 is stored on PG_OVF and reached ONLY via a 0x4000
+    lookup slot on the main data page; the overflow page is owned by
+    the same TDEF, so the sequential scan must not double-read it,
+    and the deleted decoy at overflow slot 0 must stay invisible."""
+    ids = [r["Id"] for r in jet3.read_rows("Typer")]
+    assert sorted(ids) == [1, 2, 3, 4]  # 4 exactly once, never 666
+    assert jet3.row_count("Typer") == 4

@@ -128,3 +128,12 @@ def test_spark_df_and_cli_convert(spark, jet4_path, tmp_path):
         assert texts[2] == "Tom ☃ RÄKSMÖRGÅS"
     finally:
         con.close()
+
+
+def test_overflow_pointer_row_read_exactly_once(jet4):
+    """Typer Id=3 lives on a same-TDEF overflow page reached via a
+    0x4000 lookup slot; exactly-once semantics and decoy invisibility
+    (see jet3 twin)."""
+    ids = [r["Id"] for r in jet4.read_rows("Typer")]
+    assert sorted(ids) == [1, 2, 3]
+    assert jet4.row_count("Typer") == 3
