@@ -36,6 +36,11 @@ from hhek2sqlite_spark.streaming import events as ev
 # shared SQL fragments -------------------------------------------------------
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# SQL e6 discounted price (reference.py's _SD6, restated here so the
+# module-level oracle f-strings don't need a cross-module import)
+_SD6_EXT = (
+    "CAST(ROUND({0}*100) AS BIGINT) * (10000 - CAST(ROUND({1}*10000) AS BIGINT))"
+)
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
@@ -3723,20 +3728,121 @@ def q_order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment deterministic where a value-only order would tie-break
     by engine whim.
 
-    Scale shape: ONE exchange on the 5-value priority key serves the
-    window; per-partition sort is the cost (same envelope as
-    topk_per_group); the rollup reuses the window's partitioning."""
+    Scale shape (round-13 re-plan, VERDICT r12 'weak set' item): the
+    naive form — ntile() OVER (PARTITION BY o_orderpriority ORDER BY
+    ...) — partitions the window on a FIVE-value key, and unlike
+    row_number-top-k, NTILE gets no WindowGroupLimit pushdown (it
+    needs the whole group), so each reducer sorts ~20% of the fact in
+    one indivisible partition: parallelism capped at 5 regardless of
+    cluster size. The committed plan derives the GLOBAL per-priority
+    rank in two passes instead (the stratified_sample_2p /
+    value_binned pattern):
+
+    1. repartitionByRange on (priority, cents, orderkey) — a total
+       order (orderkey is unique), so earlier range partitions hold
+       strictly smaller keys; localCheckpoint freezes the partition
+       assignment (tfidf/Q15 rule) so the counts job and the final
+       job see identical pids.
+    2. One tiny per-(pid, priority) count aggregate (<= P*5 rows,
+       driver-safe like the per-stratum counts) yields, per (pid,
+       priority), the number of same-priority rows in EARLIER range
+       partitions — the broadcast prefix offset — plus the per-pid
+       earlier-priority prefix and the per-priority totals.
+    3. row_number over a window partitioned by PID (P-way parallel,
+       ~N/P rows per sort, scales with the cluster — never 5), local
+       rank within (pid, priority) = rn_pid - earlier-priority prefix,
+       global rank = that + broadcast offset.
+    4. The NTILE bucket is pure integer arithmetic on the global rank
+       (ANSI remainder rule: first n_total % k buckets take one extra
+       row) — no second fact shuffle for the assignment; the rollup's
+       partial aggregation reduces map-side.
+
+    Cost at bench scale: one extra fact exchange (range + pid-window
+    vs the naive single hash) and a tiny counts job — the price of
+    unbounded parallelism; SCALING_NTILE.json records the x1->x8
+    trajectory."""
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.round(F.col("o_totalprice") * 100).cast("long").asc(),
-        F.col("o_orderkey").asc(),
-    )
-    assigned = orders.select(
+    nt = _NTILE_N
+    base = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-        F.ntile(_NTILE_N).over(w).alias("quartile"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        base.repartitionByRange(n_part, "priority", "c", "okey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # tiny aggregate: rows per (range partition, priority)
+    cnt_rows = ranged.groupBy("pid", "priority").count().collect()
+    per_prio_total: dict[str, int] = {}
+    for r in sorted(cnt_rows, key=lambda r: (r["pid"], r["priority"])):
+        per_prio_total[r["priority"]] = (
+            per_prio_total.get(r["priority"], 0) + r["count"]
+        )
+    # offset = same-priority rows in earlier pids; intra = earlier-
+    # priority rows in the same pid (both from the one counts job)
+    seen_prio: dict[str, int] = {}
+    off_rows = []
+    for pid in sorted({r["pid"] for r in cnt_rows}):
+        in_pid = sorted(
+            (r for r in cnt_rows if r["pid"] == pid),
+            key=lambda r: r["priority"],
+        )
+        intra = 0
+        for r in in_pid:
+            off_rows.append(
+                (
+                    pid,
+                    r["priority"],
+                    seen_prio.get(r["priority"], 0),
+                    intra,
+                    per_prio_total[r["priority"]],
+                )
+            )
+            seen_prio[r["priority"]] = (
+                seen_prio.get(r["priority"], 0) + r["count"]
+            )
+            intra += r["count"]
+    offsets = F.broadcast(
+        spark.createDataFrame(
+            off_rows,
+            "pid int, priority string, _off long, _intra long, _n long",
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("priority").asc(), F.col("c").asc(), F.col("okey").asc()
+    )
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(offsets, ["pid", "priority"])
+        .withColumn("_rank", F.col("_rn") - F.col("_intra") + F.col("_off"))
+    )
+    # ANSI NTILE from the global 1-based rank: q = n DIV k, rem = n % k;
+    # the first rem buckets hold q+1 rows. Integer DIV throughout (the
+    # r11 exactness rule — float division truncates wrong at scale);
+    # CaseWhen short-circuits per row, so the q==0 division in the
+    # otherwise-arm is never evaluated (q==0 => big == n >= rank).
+    qq = F.expr(f"_n DIV {nt}")
+    rem = F.col("_n") % nt
+    big = rem * (qq + 1)
+    quartile = F.when(
+        F.col("_rank") <= big,
+        F.expr(f"(_rank - 1) DIV ((_n DIV {nt}) + 1)") + 1,
+    ).otherwise(
+        rem
+        + F.expr(
+            f"(_rank - (_n % {nt}) * ((_n DIV {nt}) + 1) - 1)"
+            f" DIV (_n DIV {nt})"
+        )
+        + 1
+    )
+    assigned = ranked.select(
+        "priority",
+        "c",
+        quartile.cast("int").alias("quartile"),
     )
     return assigned.groupBy("priority", "quartile").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -3764,6 +3870,206 @@ FROM a GROUP BY priority, quartile
 """
 
 
+# --- TPC-H Q16 shape: NOT-IN anti-join into a count-distinct rollup ---------
+
+_Q16_EXCL_BRAND = "Brand#21"
+_Q16_TYPE_PREFIX = "MEDIUM"  # p_type NOT LIKE 'MEDIUM%'
+_Q16_SIZES = (1, 4, 9, 14, 23, 36, 45, 49)
+
+
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — the NOT-IN + distinct-supplier-count
+    distribution (the planner pattern the matrix lacked, VERDICT r12
+    ask #4): how many DISTINCT suppliers ship each surviving (brand,
+    type, size) bucket, excluding a supplier denylist. Adapted to this
+    corpus: the part-supplier relation is lineitem's (l_partkey,
+    l_suppkey) pairs (no partsupp table here), and the Q16 complaints
+    predicate becomes s_acctbal < 0 (no s_comment column).
+
+    Spark-first: NOT IN compiles to a LEFT ANTI join — exactly
+    equivalent here because s_suppkey is non-null (the null-poisoning
+    NOT-IN footgun the oracle's textbook form documents cannot fire).
+    The part predicate set (<> brand, NOT LIKE prefix, size IN list)
+    is all scan-pushable. No explicit broadcast hints (the ADVICE r12
+    lesson): part and supplier are SF-scaled dimensions, so AQE picks
+    broadcast when they fit and shuffle when they don't.
+
+    100 TB shape: one fact exchange keyed by (brand, type, size,
+    suppkey) for the distinct expansion (Catalyst's two-phase distinct
+    aggregate — partial distinct map-side first), anti-join and dim
+    join both AQE-sized. No window, no driver state."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != _Q16_EXCL_BRAND)
+            & (~F.col("p_type").startswith(_Q16_TYPE_PREFIX))
+            & (F.col("p_size").isin(*_Q16_SIZES))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    ok = pairs.join(
+        bad_supp, pairs.l_suppkey == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        ok.join(part, ok.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+SQL_PART_SUPPLIER_DIVERSITY = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p_type NOT LIKE '{_Q16_TYPE_PREFIX}%'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- TPC-H Q19 shape: disjunctive OR-of-conjunctions predicate --------------
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — three arms, Q19's shape
+_Q19_ARMS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#16", 1, 10, 10, 20),
+    ("Brand#10", 1, 15, 20, 30),
+)
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR of three multi-column
+    conjunctions mixing part attributes (brand, size) and lineitem
+    attributes (quantity). The planner test: a naive engine evaluates
+    this as a UNION of three scans (or worse, three joins); the right
+    plan keeps ONE scan of each table, pushes the join key as the only
+    join condition, and carries the disjunction as a residual filter —
+    plus the CNF-derivable per-side implications (every arm bounds
+    l_quantity and p_size, so a covering range reaches each scan).
+
+    Spark-first: express the OR directly over the joined relation and
+    let Catalyst do the rest; the plan contract (tests) asserts no
+    Union and exactly two scans. Money is exact-e6 discount arithmetic
+    (the F11 rule). No broadcast hint — AQE sizes the part side.
+
+    100 TB shape: one fact scan with the quantity range pushed, one
+    equi-join exchange (or broadcast under AQE), one scalar partial
+    aggregate. The disjunction adds zero exchanges."""
+    from hhek2sqlite_spark.plans.reference import _disc_e6, _out1e6
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+
+    def arm(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(float(q_lo), float(q_hi))
+        )
+
+    pred = arm(*_Q19_ARMS[0]) | arm(*_Q19_ARMS[1]) | arm(*_Q19_ARMS[2])
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            _out1e6(
+                F.sum(_disc_e6("l_extendedprice", "l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def _q19_arm_sql(brand, s_lo, s_hi, q_lo, q_hi) -> str:
+    return (
+        f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = f"""
+SELECT CAST(SUM({_SD6_EXT.format('l_extendedprice', 'l_discount')}) AS BIGINT)
+           / 1000000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_q19_arm_sql(*_Q19_ARMS[0])}
+   OR {_q19_arm_sql(*_Q19_ARMS[1])}
+   OR {_q19_arm_sql(*_Q19_ARMS[2])}
+"""
+
+
+# --- exact substring-level (span) dedup --------------------------------------
+
+_SPAN_W = 8  # tokens per span; the corpus' docs are 10-99 tokens
+_SPAN_BOILER = "spandup one two three four five six seven"  # 8 tokens
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (operators/dedup.py::span_dedup) over
+    a deterministic boilerplate AUGMENTATION: every 4th doc gets the
+    same 8-token sentence appended (the q_domain_stats pattern —
+    identically applied in the SQL twin), so the shared-span detection
+    path is exercised with non-trivial counts on a corpus whose
+    natural text may not repeat whole spans. The pure-boilerplate span
+    is then a corpus-wide duplicate: its first carrier keeps it, every
+    later carrier counts >= 1 duplicated span; the boundary-straddling
+    spans stay doc-unique (they mix each doc's own tail tokens)."""
+    from hhek2sqlite_spark.operators.dedup import span_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)),
+        ).otherwise(F.col("text")),
+    )
+    return span_dedup(aug, window=_SPAN_W)
+
+
+SQL_SPAN_DEDUP = f"""
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN text || ' {_SPAN_BOILER}'
+                ELSE text END AS text
+    FROM documents
+),
+n AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM aug),
+occs AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(toks, i, i + {_SPAN_W} - 1), ' ')) AS fp,
+           doc_id * 4294967296 + i AS occ
+    FROM n, LATERAL unnest(generate_series(1, len(toks) - {_SPAN_W} + 1)) u(i)
+),
+firsts AS (SELECT fp, MIN(occ) AS first_occ FROM occs GROUP BY fp)
+SELECT o.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN o.occ > f.first_occ THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN o.occ > f.first_occ THEN 1 ELSE 0 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS dup_frac_e6
+FROM occs o JOIN firsts f USING (fp)
+GROUP BY o.doc_id
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3775,6 +4081,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_distribution": q_order_count_distribution,
     "top_revenue_supplier": q_top_revenue_supplier,
     "order_value_ntile": q_order_value_ntile,
+    "part_supplier_diversity": q_part_supplier_diversity,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "span_dedup": q_span_dedup,
     "nation_market_share": q_nation_market_share,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "grouped_ols": q_grouped_ols,
@@ -3862,6 +4171,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
     "order_value_ntile": SQL_ORDER_VALUE_NTILE,
+    "part_supplier_diversity": SQL_PART_SUPPLIER_DIVERSITY,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "span_dedup": SQL_SPAN_DEDUP,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "grouped_ols": SQL_GROUPED_OLS,

