@@ -288,19 +288,26 @@ class Jet4File:
             self._data = fh.read()
         magic = self._data[4:20]
         ver = self._data[0x14] if len(self._data) > 0x14 else -1
-        if magic == _ACE_MAGIC or (magic == _JET3_MAGIC and ver >= 0x02):
+        # ACE (Access 2007+): the PUBLIC mdbtools dispatch maps every
+        # ACCDB version onto the SAME Jet-4 format constants (page
+        # size, offset maps, TDEF layout, row trailers), so the shared
+        # structure is parsed here (r13); ACE-only features (complex/
+        # attachment column types, encryption) have no fixture in this
+        # environment and refuse loudly at the point of use — an
+        # unknown column-type byte raises in the TDEF parse, never
+        # decodes garbage. _ACE_VERSIONS: 0x02=2007, 0x03=2010,
+        # 0x04=2013, 0x05=2016, 0x06=2019.
+        is_ace = (magic == _ACE_MAGIC and 0x02 <= ver <= 0x06) or (
+            magic == _JET3_MAGIC and 0x02 <= ver <= 0x06
+        )
+        if not is_ace and (magic != _JET3_MAGIC or ver != 0x01):
             raise ValueError(
-                f"{path}: ACE (Access 2007+) databases add format "
-                "features (complex columns, version history) with no "
-                "fixture here to validate a reader against — use the "
-                "documented jdbc:ucanaccess:// envelope "
-                "(sources/jdbc_io.py)."
+                f"{path}: not a Jet 4 (Access 2000-2003) or ACE "
+                "(Access 2007+) file — version dispatch lives in "
+                "sources.mdb.open_mdb"
             )
-        if magic != _JET3_MAGIC or ver != 0x01:
-            raise ValueError(
-                f"{path}: not a Jet 4 (Access 2000-2003) file — "
-                "version dispatch lives in sources.mdb.open_mdb"
-            )
+        self.vintage = "ace" if is_ace else "jet4"
+        self.version_byte = ver
         if len(self._data) % PAGE_SIZE:
             raise ValueError(
                 f"{path}: not a whole number of {PAGE_SIZE}B pages"

@@ -8,10 +8,15 @@ formats this repo can read natively, and refuses the rest BY NAME:
 - no magic header, page-0 type 0x01  -> Jet 2.0 (sources/jet2.py)
 - ``Standard Jet DB`` + version 0x00 -> Jet 3  (sources/jet3.py)
 - ``Standard Jet DB`` + version 0x01 -> Jet 4  (sources/jet4.py, r12)
-- version >= 0x02 / ``Standard ACE DB`` -> ACE (Access 2007+): loud
-  refusal with the documented jdbc:ucanaccess:// envelope
-  (sources/jdbc_io.py) — ACE adds format features with no fixture in
-  this environment to validate a reader against (JET_VALIDATION.md).
+- version 0x02-0x06 / ``Standard ACE DB`` -> ACE (Access 2007+),
+  read via the Jet 4 parser (r13): the public mdbtools dispatch maps
+  every ACCDB version onto the SAME Jet-4 format constants, so the
+  shared structure (pages, offset maps, TDEFs, row trailers, text/
+  memo encodings) parses identically; ACE-only features (complex/
+  attachment column types, encryption) refuse LOUDLY at the point of
+  use with the jdbc:ucanaccess:// envelope (sources/jdbc_io.py) as
+  the fallback. Validation scope: synthetic fixture only
+  (JET_VALIDATION.md) — like the other two native vintages.
 """
 
 from __future__ import annotations
@@ -43,16 +48,11 @@ def open_mdb(path: str):
         from hhek2sqlite_spark.sources.jet3 import Jet3File
 
         return Jet3File(path)
-    if ver == "jet4":
+    if ver in ("jet4", "ace"):
         from hhek2sqlite_spark.sources.jet4 import Jet4File
 
         return Jet4File(path)
-    raise ValueError(
-        f"{path}: ACE (Access 2007+) databases add format features "
-        "with no fixture here to validate a reader against; use the "
-        "documented jdbc:ucanaccess:// envelope (sources/jdbc_io.py) "
-        "or convert to Jet 4 / Jet 3 / Access 2.0 first."
-    )
+    raise ValueError(f"{path}: unrecognized .mdb vintage {ver!r}")
 
 
 def mdb_read_database(spark, path: str):
@@ -66,7 +66,7 @@ def mdb_read_database(spark, path: str):
         from hhek2sqlite_spark.sources.jet3 import jet3_read_database
 
         return jet3_read_database(spark, path)
-    if ver == "jet4":
+    if ver in ("jet4", "ace"):
         from hhek2sqlite_spark.sources.jet4 import jet4_read_database
 
         return jet4_read_database(spark, path)

@@ -145,6 +145,17 @@ SUBSET = [
     # space; no cross-copy quadratic blowup. Verified empirically: the
     # output row count in this curve's runs grows ~linearly in K.
     "sparse_cosine_pairs",
+    # round-13 additions. span_dedup is linear-work under
+    # replicate-and-shift even though copies share body text: K copies
+    # multiply each span's occurrence list by K, but the operator never
+    # materializes per-occurrence joins — occurrence rows (K x), per-
+    # (fp,doc) rows (K x) and the fp-keyed firsts (constant) all grow
+    # at most linearly, and the oracle pays the same relational shape.
+    # Q16 reduces to distinct (brand,type,size,supplier) per copy-
+    # disjoint key space; Q19 is a scan-pushed filter + one join.
+    "span_dedup",
+    "part_supplier_diversity",
+    "disjunctive_revenue",
 ]
 
 # 25s, not 15: a transient (GC pause, brief co-tenant) can push ONE

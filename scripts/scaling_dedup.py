@@ -54,6 +54,14 @@ ID_SHIFT = 10**7
 REPS = 3
 SLOW_CUTOFF_SEC = 15.0
 
+# r13 (x16/x32 points): the single-node oracle's recursive closure grew
+# 19.9s -> 385s over x1..x8 at r12 — extrapolated x32 is hours. A point
+# where the oracle blows its budget IS the measurement (the single-node
+# blowup the curve exists to show), so the oracle gets ONE run under an
+# interrupt timer; a fired timer records oracle_sec=null with the
+# budget as the recorded floor.
+ORACLE_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_ORACLE_BUDGET", "900"))
+
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 _DIGIT = "0123456789"
@@ -105,6 +113,32 @@ def _measure(fn) -> float:
     return statistics.median(ts)
 
 
+def _oracle_measure(con, fn) -> float | None:
+    """One budget-guarded run first; median-of-REPS only when the
+    oracle is fast enough that the reps carry no budget risk. Returns
+    None when the interrupt timer fired (wall >= ORACLE_BUDGET_SEC)."""
+    import threading
+
+    timer = threading.Timer(ORACLE_BUDGET_SEC, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        fn()
+    except duckdb.Error:
+        return None
+    finally:
+        timer.cancel()
+    warm = time.perf_counter() - t0
+    if warm > SLOW_CUTOFF_SEC:
+        return warm
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -144,33 +178,62 @@ def main() -> None:
             def _oracle():
                 rows_box["n"] = len(con.execute(ORACLE_SQL[name]).fetchall())
 
-            oracle_sec = _measure(_oracle)
-            results["queries"][name][f"x{k}"] = {
+            oracle_sec = _oracle_measure(con, _oracle)
+            rec = {
                 "spark_sec": round(spark_sec, 4),
-                "oracle_sec": round(oracle_sec, 4),
-                "ratio_raw": round(spark_sec / oracle_sec, 2),
-                "oracle_rows": rows_box["n"],
+                "oracle_sec": (
+                    round(oracle_sec, 4) if oracle_sec is not None else None
+                ),
             }
+            if oracle_sec is not None:
+                rec["ratio_raw"] = round(spark_sec / oracle_sec, 2)
+                rec["oracle_rows"] = rows_box["n"]
+            else:
+                rec["oracle_budget_exceeded_sec"] = ORACLE_BUDGET_SEC
+                rec["ratio_upper_bound"] = round(
+                    spark_sec / ORACLE_BUDGET_SEC, 4
+                )
+            results["queries"][name][f"x{k}"] = rec
             print(f"x{k} {name}: {results['queries'][name][f'x{k}']}",
                   file=sys.stderr)
         con.close()
     first, last = f"x{ks[0]}", f"x{ks[-1]}"
     slopes = {}
     for name, pts in results["queries"].items():
-        if first in pts and last in pts:
-            slopes[name] = {
-                "spark_growth": round(
-                    pts[last]["spark_sec"] / pts[first]["spark_sec"], 2
-                ),
-                "oracle_growth": round(
-                    pts[last]["oracle_sec"] / pts[first]["oracle_sec"], 2
-                ),
-                "ratio_first": pts[first]["ratio_raw"],
-                "ratio_last": pts[last]["ratio_raw"],
-                "rows_growth": round(
-                    pts[last]["oracle_rows"] / max(1, pts[first]["oracle_rows"]), 2
-                ),
-            }
+        if first not in pts or last not in pts:
+            continue
+        # oracle growth uses the LAST point the oracle finished within
+        # budget; a budget-exceeded tail point is recorded as a floor
+        last_orc = None
+        for k in ks:
+            key = f"x{k}"
+            if key in pts and pts[key].get("oracle_sec") is not None:
+                last_orc = key
+        entry = {
+            "spark_growth": round(
+                pts[last]["spark_sec"] / pts[first]["spark_sec"], 2
+            ),
+            "ratio_first": pts[first].get("ratio_raw"),
+        }
+        if last_orc is not None:
+            entry["oracle_growth_through"] = last_orc
+            entry["oracle_growth"] = round(
+                pts[last_orc]["oracle_sec"] / pts[first]["oracle_sec"], 2
+            )
+            entry["ratio_last_measured"] = pts[last_orc].get("ratio_raw")
+            entry["rows_growth"] = round(
+                pts[last_orc]["oracle_rows"]
+                / max(1, pts[first]["oracle_rows"]),
+                2,
+            )
+        if pts[last].get("oracle_sec") is None:
+            entry["oracle_exceeded_budget_at"] = last
+            entry["ratio_upper_bound_at_last"] = pts[last].get(
+                "ratio_upper_bound"
+            )
+        else:
+            entry["ratio_last"] = pts[last].get("ratio_raw")
+        slopes[name] = entry
     results["slopes"] = slopes
     with open(os.path.join(root, "SCALING_DEDUP.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -204,12 +204,20 @@ PG_OVF = 13  # overflow page holding Typer row Id=3 (reached via 0x4000)
 LVAL_TEXT = "längre anteckning ☃ " + "x" * 200
 
 
-def build_jet4(path: str) -> None:
+def build_jet4(path: str, *, ace_version: int | None = None) -> None:
+    """``ace_version`` (0x02..0x06) stamps an ACE header (``Standard
+    ACE DB`` magic + that version byte) around the SAME page content —
+    the shared-structure read path the public mdbtools dispatch
+    documents (every ACCDB version maps onto the Jet-4 format)."""
     pages = {}
     hdr = bytearray(PAGE)
     hdr[0:2] = b"\x00\x01"
-    hdr[4:20] = b"Standard Jet DB\x00"
-    hdr[0x14] = 0x01
+    if ace_version is None:
+        hdr[4:20] = b"Standard Jet DB\x00"
+        hdr[0x14] = 0x01
+    else:
+        hdr[4:20] = b"Standard ACE DB\x00"
+        hdr[0x14] = ace_version
     pages[0] = bytes(hdr)
     um = bytearray(PAGE)
     um[0] = 0x05

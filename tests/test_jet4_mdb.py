@@ -86,14 +86,16 @@ def test_dispatch_and_refusals(jet4_path, tmp_path):
 
     assert sniff_mdb_version(jet4_path) == "jet4"
     assert isinstance(open_mdb(jet4_path), Jet4File)
-    # ACE header (version 0x02): refused by name
+    # ACE header (version 0x02, r13): accepted by the Jet 4 parser
+    # (shared structure); the bare header fails structurally
     ace = bytearray(4096)
     ace[0:2] = b"\x00\x01"
     ace[4:20] = b"Standard Jet DB\x00"
     ace[0x14] = 0x02
     p = tmp_path / "ace.mdb"
     p.write_bytes(bytes(ace))
-    with pytest.raises(ValueError, match="ACE"):
+    assert sniff_mdb_version(str(p)) == "ace"
+    with pytest.raises(ValueError, match="page 2 beyond file end"):
         open_mdb(str(p))
     # the Jet 4 reader refuses a Jet 3 file (wrong version byte)
     from hhek2sqlite_spark.sources.jet3 import Jet3File  # noqa: F401
@@ -137,3 +139,37 @@ def test_overflow_pointer_row_read_exactly_once(jet4):
     ids = [r["Id"] for r in jet4.read_rows("Typer")]
     assert sorted(ids) == [1, 2, 3]
     assert jet4.row_count("Typer") == 3
+
+
+def test_ace_shared_structure_reads_like_jet4(tmp_path):
+    """ACE (Access 2007+) r13: the same page content under a
+    'Standard ACE DB' + version-0x02 header must read identically —
+    the public mdbtools dispatch maps every ACCDB version onto the
+    Jet-4 format constants, and this is that claim, executed. ACE-only
+    column types would refuse loudly in the TDEF parse."""
+    from tests.jet4_fixture import build_jet4
+
+    from hhek2sqlite_spark.sources.mdb import open_mdb, sniff_mdb_version
+
+    p = str(tmp_path / "acefull.accdb")
+    build_jet4(p, ace_version=0x02)
+    assert sniff_mdb_version(p) == "ace"
+    f = open_mdb(p)
+    assert f.vintage == "ace" and f.version_byte == 0x02
+    assert sorted(f.tables) == ["Konton", "Personer", "Transaktioner", "Typer"]
+    rows = {r["Löpnr"]: r for r in f.read_rows("Personer")}
+    assert rows[2]["Namn"] == "Person Ett"
+    tx = {r["Löpnr"]: r for r in f.read_rows("Transaktioner")}
+    assert tx[3]["Text"] == "Tom ☃ RÄKSMÖRGÅS"
+
+
+def test_ace_2010_version_byte_accepted(tmp_path):
+    from tests.jet4_fixture import build_jet4
+
+    from hhek2sqlite_spark.sources.mdb import open_mdb
+
+    p = str(tmp_path / "ace2010.accdb")
+    build_jet4(p, ace_version=0x03)
+    f = open_mdb(p)
+    assert f.vintage == "ace"
+    assert f.row_count("Personer") == 3
