@@ -36,11 +36,13 @@ from hhek2sqlite_spark.streaming import events as ev
 # shared SQL fragments -------------------------------------------------------
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
-# SQL e6 discounted price (reference.py's _SD6, restated here so the
-# module-level oracle f-strings don't need a cross-module import)
+# SQL e6 discounted price / SQL cents (reference.py's _SD6/_SC, restated
+# here so the module-level oracle f-strings don't need a cross-module
+# import)
 _SD6_EXT = (
     "CAST(ROUND({0}*100) AS BIGINT) * (10000 - CAST(ROUND({1}*10000) AS BIGINT))"
 )
+_SC_EXT = "CAST(ROUND({0}*100) AS BIGINT)"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
@@ -4070,6 +4072,159 @@ GROUP BY o.doc_id
 """
 
 
+# --- TPC-H Q5 shape: join CYCLE (customer-nation == supplier-nation) --------
+
+_Q5_REGION = "ASIA"
+_Q5_START = "1996-01-01"
+_Q5_END = "1997-01-01"
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the JOIN-CYCLE planner pattern the matrix
+    lacked: revenue per nation where the ordering CUSTOMER and the
+    line's SUPPLIER share a nation inside one region. The cycle
+    (customer->nation<-supplier joined through the fact) cannot be
+    expressed as a tree of independent dimension lookups — the
+    c_nationkey = s_nationkey equality must ride a join as a second
+    hash key.
+
+    Spark-first plan: region -> nation prefilter is a broadcast chain
+    into supplier; the fact path folds customer into orders FIRST
+    (Q7/Q8's proven order — orders is the smaller fact) carrying
+    c_nationkey to order grain, meets lineitem on orderkey (the only
+    big-fact exchange), then joins the region's suppliers on the
+    COMPOSITE key (l_suppkey, c_nationkey) = (s_suppkey, s_nationkey)
+    — Spark hashes both equalities, so the cycle costs zero residual
+    filtering. Exact-e6 money; final rollup on the tiny nation key.
+
+    100 TB: one lineitem exchange (orderkey), one orders exchange
+    (custkey), supplier side AQE-sized; the cycle adds no exchange."""
+    from hhek2sqlite_spark.plans.reference import _disc_e6, _out1e6
+
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == _Q5_REGION
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_END).cast("timestamp"))
+    )
+    cust_orders = orders.join(
+        load_table(spark, sf_dir, "customer"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = li.join(cust_orders, li.l_orderkey == F.col("o_orderkey")).join(
+        supp,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return j.groupBy("n_name").agg(
+        _out1e6(F.sum(_disc_e6("l_extendedprice", "l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+SQL_REGIONAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       CAST(SUM({_SD6_EXT.format('l_extendedprice', 'l_discount')}) AS BIGINT)
+           / 1000000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_START}'
+  AND o_orderdate < TIMESTAMP '{_Q5_END}'
+GROUP BY n_name
+"""
+
+
+# --- TPC-H Q18 shape: HAVING-threshold join-back -----------------------------
+
+_Q18_MIN_QTY = 200  # per-order quantity sum threshold (absolute, like Q18)
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the HAVING-threshold join-back: orders whose
+    TOTAL line quantity exceeds an absolute threshold, re-joined to
+    order and customer attributes. The planner pattern: the heavy
+    per-order aggregate must reduce the fact BEFORE any dimension
+    joins (never join first and aggregate the widened rows), and the
+    join back to orders is 1:1 at order grain.
+
+    Spark-first: one map-side-combined groupBy(l_orderkey) is the only
+    lineitem exchange; the HAVING filter drops ~94% of orders before
+    the joins; orders/customer attach by AQE-sized joins. Quantity is
+    summed in exact cents (the F11 rule: the fixture column is a
+    double). 100 TB: threshold selectivity is what Q18 exists to
+    exploit — the post-filter relation is tiny, so everything after
+    the one fact exchange is dimension-sized."""
+    from hhek2sqlite_spark.plans.reference import _cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > _Q18_MIN_QTY * 100)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents("o_totalprice").alias("totalprice_c"),
+            F.col("sum_qty_c"),
+        )
+    )
+
+
+SQL_LARGE_ORDER_CUSTOMERS = f"""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM({_SC_EXT.format('l_quantity')}) AS BIGINT) AS sum_qty_c
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM({_SC_EXT.format('l_quantity')}) > {_Q18_MIN_QTY} * 100
+)
+SELECT c_custkey, c_name, o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {_SC_EXT.format('o_totalprice')} AS totalprice_c,
+       sum_qty_c
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4084,6 +4239,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_supplier_diversity": q_part_supplier_diversity,
     "disjunctive_revenue": q_disjunctive_revenue,
     "span_dedup": q_span_dedup,
+    "regional_supplier_volume": q_regional_supplier_volume,
+    "large_order_customers": q_large_order_customers,
     "nation_market_share": q_nation_market_share,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "grouped_ols": q_grouped_ols,
@@ -4174,6 +4331,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "part_supplier_diversity": SQL_PART_SUPPLIER_DIVERSITY,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "span_dedup": SQL_SPAN_DEDUP,
+    "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
+    "large_order_customers": SQL_LARGE_ORDER_CUSTOMERS,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "grouped_ols": SQL_GROUPED_OLS,

@@ -156,6 +156,11 @@ SUBSET = [
     "span_dedup",
     "part_supplier_diversity",
     "disjunctive_revenue",
+    # Q5's join chains are 1:1 through copy-disjoint key spaces (the
+    # cycle predicate matches only within a copy); Q18's absolute
+    # threshold is per-order and replication preserves per-order sums.
+    "regional_supplier_volume",
+    "large_order_customers",
 ]
 
 # 25s, not 15: a transient (GC pause, brief co-tenant) can push ONE

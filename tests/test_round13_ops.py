@@ -195,3 +195,137 @@ def test_span_dedup_plan_contract(spark):
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+# --- Q5 shape: regional_supplier_volume ---------------------------------------
+
+
+def test_regional_supplier_volume_hand_computed(spark):
+    import hhek2sqlite_spark.plans.extensions as ext
+    from datetime import datetime
+
+    region = spark.createDataFrame(
+        [(1, "ASIA"), (2, "EUROPE")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(10, "JAPAN", 1), (11, "CHINA", 1), (20, "FRANCE", 2)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 20)], "s_suppkey long, s_nationkey int"
+    )
+    customer = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 20), (4, 10)],
+        "c_custkey long, c_nationkey int",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 1, datetime(1996, 3, 1)),
+            (2, 2, datetime(1996, 6, 1)),
+            (3, 3, datetime(1996, 7, 1)),
+            (4, 4, datetime(1995, 7, 1)),   # out of range
+            (5, 1, datetime(1997, 2, 1)),   # out of range
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 100.0, 0.0),   # JAPAN cust, JAPAN supp -> 100
+            (1, 2, 50.0, 0.0),    # JAPAN cust, CHINA supp -> cycle miss
+            (2, 2, 200.0, 0.1),   # CHINA-CHINA -> 180
+            (3, 1, 999.0, 0.0),   # FRANCE cust -> cycle miss
+            (4, 1, 777.0, 0.0),   # order out of date range
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    tabs = {
+        "region": region, "nation": nation, "supplier": supplier,
+        "customer": customer, "orders": orders, "lineitem": li,
+    }
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: tabs[n]
+        got = {
+            r["n_name"]: (float(r["revenue"]), r["n_lines"])
+            for r in ext.q_regional_supplier_volume(spark, "unused").collect()
+        }
+    finally:
+        ext.load_table = orig
+    assert got == {"JAPAN": (100.0, 1), "CHINA": (180.0, 1)}
+
+
+def test_regional_supplier_volume_plan_contract(spark):
+    """The join CYCLE (c_nationkey = s_nationkey) must ride a join as a
+    COMPOSITE hash key — never a post-join Filter — with all six scans
+    present exactly once."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_regional_supplier_volume(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 6, plan
+    assert re.search(
+        r"keys \[2\]: \[l_suppkey#\d+L?, c_nationkey#\d+", plan
+    ), plan
+    assert "Union" not in plan, plan
+
+
+# --- Q18 shape: large_order_customers -----------------------------------------
+
+
+def test_large_order_customers_hand_computed(spark):
+    import hhek2sqlite_spark.plans.extensions as ext
+    from datetime import datetime
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 1000.0, datetime(1996, 1, 2)),
+            (2, 2, 500.0, datetime(1996, 2, 3)),
+            (3, 2, 750.0, datetime(1996, 3, 4)),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(1, "Alice"), (2, "Bob")], "c_custkey long, c_name string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 150.0), (1, 100.0),          # 250 > 200 -> kept
+            (2, 60.0),                        # 60 -> dropped
+            (3, 67.0), (3, 67.0), (3, 67.0),  # 201 > 200 -> kept
+        ],
+        "l_orderkey long, l_quantity double",
+    )
+    tabs = {"orders": orders, "customer": customer, "lineitem": li}
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: tabs[n]
+        got = {
+            r["orderkey"]: (r["c_name"], r["sum_qty_c"], r["totalprice_c"],
+                            r["orderdate"])
+            for r in ext.q_large_order_customers(spark, "unused").collect()
+        }
+    finally:
+        ext.load_table = orig
+    assert got == {
+        1: ("Alice", 25000, 100000, "1996-01-02"),
+        3: ("Bob", 20100, 75000, "1996-03-04"),
+    }
+
+
+def test_large_order_customers_plan_contract(spark):
+    """The per-order aggregate must reduce lineitem BEFORE any join
+    (never aggregate join-widened rows): the plan's lineitem branch is
+    Scan -> partial HashAggregate -> Exchange -> HashAggregate ->
+    Filter, and only then the joins."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_large_order_customers(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 3, plan
+    # exactly one fact exchange keyed on l_orderkey
+    assert len(re.findall(r"hashpartitioning\(l_orderkey", plan)) == 1, plan
+    assert "partial_sum" in plan, plan
