@@ -857,3 +857,60 @@ def source_vocab_overlap(documents: DataFrame) -> DataFrame:
         .cast("long")
         .alias("jaccard_e6"),
     )
+
+
+def rare_token_share(
+    documents: DataFrame, *, max_count: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document share of token OCCURRENCES whose corpus-wide count
+    is at most ``max_count`` — the hapax/dis-legomenon rate at the
+    default. High rare-share flags OCR noise, codes/IDs, mangled
+    encodings and boilerplate-free junk; it is the frequency-tier
+    complement of quality_bucket's shape heuristics and a standard
+    corpus-linguistics statistic. Output: ``n_tokens``, ``n_rare``,
+    ``rare_share_e6`` (exact integer ratio, one boundary division).
+
+    Scale shape: occurrences reduce to (doc, token) counts FIRST — one
+    map-side-combined shuffle at document-bounded grain, so a hot
+    stopword contributes one row per carrying document, never an
+    occurrence row. Corpus counts re-aggregate that REDUCED relation
+    on the token key, and the flag attaches by a token-keyed join of
+    the two (the rare SET is most of a Zipfian vocabulary, so a
+    broadcast would not scale — but both join inputs already share the
+    token partitioning). The shared (doc, token) relation is
+    localCheckpoint'ed (the tfidf / revenue_share_parts rule: Catalyst
+    re-executes a shared subplan on both sides of a self-join —
+    unchecked, the explode and its shuffle would run twice). Final
+    rollup keys on the document."""
+    occ = documents.select(F.col(id_col), F.explode(tokens("text")).alias("w"))
+    per_dt = (
+        occ.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c_dt"))
+        .localCheckpoint(eager=True)
+    )
+    corpus = per_dt.groupBy("w").agg(F.sum("c_dt").alias("c_w"))
+    return (
+        per_dt.join(corpus, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("c_w") <= max_count, F.col("c_dt")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_rare",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_rare") / F.col("n_tokens")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rare_share_e6"),
+        )
+    )

@@ -4225,6 +4225,385 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- TPC-H Q6 shape: single-scan range-predicate aggregate -------------------
+
+_Q6_START = "1997-01-01"
+_Q6_END = "1998-01-01"
+_Q6_DISC_LO = 0.04
+_Q6_DISC_HI = 0.06
+_Q6_MAX_QTY = 24
+
+
+def q_discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-efficiency pattern: revenue that
+    WOULD be forfeited by dropping small-quantity discounts in a year
+    band. No joins at all; the whole query is three range predicates
+    and one sum, so the plan quality IS the pushdown: all three
+    ranges (shipdate, discount, quantity) must reach the parquet scan
+    as PushedFilters and the projection must prune to four columns.
+
+    Exactness: discount values are parquet doubles in both engines, so
+    the raw-double range compare is bit-identical; the forfeited
+    revenue price*discount is summed in exact e6 integers (cents x
+    discount-e4 — the _disc_e6 family's units).
+
+    100 TB: zero exchanges before the final one-row reduce; with the
+    year band as a partition column this prunes to ~1/7 of files, and
+    row-group min/max statistics skip most of the rest. The F11 rule
+    keeps the sum exact at any scale (e6 envelope: 9.2e12 currency
+    units per group)."""
+    from hhek2sqlite_spark.plans.reference import _cents
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= _Q6_DISC_LO)
+        & (F.col("l_discount") <= _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_MAX_QTY)
+    )
+    d_e4 = F.round(F.col("l_discount") * 10000).cast("long")
+    return li.agg(
+        F.sum(_cents("l_extendedprice") * d_e4).cast("long").alias(
+            "forfeited_rev_e6"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+SQL_DISCOUNT_REVENUE_FORECAST = f"""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND(l_discount*10000) AS BIGINT)) AS BIGINT)
+           AS forfeited_rev_e6,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_START}'
+  AND l_shipdate < TIMESTAMP '{_Q6_END}'
+  AND l_discount >= {_Q6_DISC_LO}
+  AND l_discount <= {_Q6_DISC_HI}
+  AND l_quantity < {_Q6_MAX_QTY}
+"""
+
+
+# --- TPC-H Q9 shape: multi-dimension profit rollup ---------------------------
+
+_Q9_PART_WORD = "red"  # p_name substring filter (Q9's '%green%')
+_Q9_COST_PCT = 60  # cost proxy: 60% of retail price (fixture has no partsupp)
+
+
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — the many-dimension profit rollup: for every
+    line selling a part whose name contains _Q9_PART_WORD, profit =
+    discounted revenue minus cost, grouped by the SUPPLIER's nation
+    and the order year. The planner pattern Q9 exists to test: three
+    dimension attaches on one fact (part by partkey, supplier->nation
+    by suppkey, orders by orderkey) where only the orders attach is
+    fact-sized — the plan must broadcast the two true dimensions and
+    spend exactly ONE big exchange (lineitem joins orders on orderkey).
+
+    The fixture has no partsupp table, so cost is a deterministic
+    proxy: _Q9_COST_PCT% of p_retailprice per unit (documented in the
+    oracle with the same constant — the two sides cannot drift). All
+    money stays exact-integer e6: rev = cents(ext)x(1e4-disc_e4),
+    cost = cents(retail) x cents(qty) x _Q9_COST_PCT / 100 scaled to
+    e6 (= cents x cents x pct x 0.01 x 100 — pure int multiply).
+
+    100 TB: the '%red%' name filter prunes the part broadcast ~1/7;
+    the broadcast part join then prunes the FACT before the one
+    orderkey exchange; supplier/nation fold to a suppkey->n_name map
+    broadcast. Group key (nation, year) is tiny — final agg map-side
+    combines to ~25x7 rows."""
+    from hhek2sqlite_spark.plans.reference import _cents, _disc_e6
+
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_PART_WORD))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nat = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    rev_e6 = _disc_e6("l_extendedprice", "l_discount")
+    cost_e6 = _cents("p_retailprice") * _cents("l_quantity") * F.lit(
+        _Q9_COST_PCT
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("order_year")
+    )
+    j = (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy("n_name", "order_year")
+        .agg(
+            F.sum(rev_e6 - cost_e6).cast("long").alias("profit_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_PRODUCT_PROFIT_BY_NATION = f"""
+SELECT n_name,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM({_SD6_EXT.format('l_extendedprice', 'l_discount')}
+                - {_SC_EXT.format('p_retailprice')}
+                  * {_SC_EXT.format('l_quantity')} * {_Q9_COST_PCT})
+            AS BIGINT) AS profit_e6,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{_Q9_PART_WORD}%'
+GROUP BY n_name, order_year
+"""
+
+
+# --- TPC-H Q10 shape: returned-item top-k report ------------------------------
+
+_Q10_START = "1996-01-01"
+_Q10_END = "1996-04-01"
+_Q10_TOPK = 20
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — the aggregate-then-decorate top-k report: the
+    _Q10_TOPK customers who returned the most revenue in one quarter,
+    with their name / nation / balance attached. The planner pattern:
+    the heavy rollup must run at BARE KEY grain (custkey only) and the
+    global top-k must CUT the relation to k rows BEFORE any decoration
+    join — aggregating over rows pre-widened by customer x nation (the
+    textbook SQL shape) drags the attribute bytes through the shuffle
+    and sorts the whole aggregate for a 20-row answer.
+
+    Spark-first: the quarter slice of orders meets lineitem('R') on
+    orderkey — the one fact exchange; groupBy(o_custkey) map-side
+    combines; orderBy+limit compiles to TakeOrderedAndProject (a
+    per-partition top-k + k-row merge, never a global sort); the
+    20-row result then broadcast-joins customer and nation. The tie
+    rule (revenue_e6 DESC, custkey ASC over exact integers) makes the
+    k-row SET engine-identical, so the oracle can mirror it exactly.
+
+    100 TB: both fact scans carry range/equality pushdowns; exchange
+    bytes are (custkey, rev_e6) pairs; the decoration side touches 20
+    rows regardless of scale."""
+    from hhek2sqlite_spark.plans.reference import _cents, _disc_e6
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp"))
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_disc_e6("l_extendedprice", "l_discount"))
+            .cast("long")
+            .alias("returned_rev_e6")
+        )
+        .orderBy(F.col("returned_rev_e6").desc(), F.col("o_custkey"))
+        .limit(_Q10_TOPK)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _cents("c_acctbal").alias("acctbal_c"),
+            "returned_rev_e6",
+        )
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM({_SD6_EXT.format('l_extendedprice', 'l_discount')})
+                AS BIGINT) AS returned_rev_e6
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{_Q10_START}'
+      AND o_orderdate < TIMESTAMP '{_Q10_END}'
+    GROUP BY o_custkey
+    ORDER BY returned_rev_e6 DESC, o_custkey
+    LIMIT {_Q10_TOPK}
+)
+SELECT c_custkey, c_name, n_name,
+       {_SC_EXT.format('c_acctbal')} AS acctbal_c,
+       returned_rev_e6
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+
+# --- TPC-H Q14 shape: conditional-share single-scan ratio ---------------------
+
+_Q14_START = "1997-09-01"
+_Q14_END = "1997-10-01"
+_Q14_PROMO_TYPE = "PROMO"
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — the conditional-share ratio over a broadcast
+    dimension flag: the fraction of one ship-month's discounted
+    revenue sold under promo-typed parts. Like Q8, the numerator is a
+    CASE inside the SAME sum as the denominator — one fact pass, never
+    two scans or a self-join — but where Q8's flag rides a fact-sized
+    join chain, Q14's flag is a pure broadcast dimension attach, so
+    the whole query is scan -> broadcast hash join -> one-row reduce:
+    ZERO exchanges on the fact.
+
+    Exactness: both moment sums are exact e6 BIGINTs; the single IEEE
+    division happens at the output boundary (FLOOR(1e6*x + 0.5), the
+    Q8/Q11 rule — correctly-rounded, bit-identical in both engines).
+
+    100 TB: the month predicate prunes the scan; the part dim
+    broadcasts at any scale (it grows with SKU count, not fact rows);
+    the aggregate is one row."""
+    from hhek2sqlite_spark.plans.reference import _disc_e6
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey",
+            (F.col("p_type") == _Q14_PROMO_TYPE)
+            .cast("long")
+            .alias("is_promo"),
+        )
+    )
+    rev = _disc_e6("l_extendedprice", "l_discount")
+    agg = li.join(part, li.l_partkey == F.col("p_partkey")).agg(
+        F.sum(rev * F.col("is_promo")).alias("num"),
+        F.sum(rev).alias("den"),
+    )
+    return agg.select(
+        F.col("num").cast("long").alias("promo_rev_e6"),
+        F.col("den").cast("long").alias("total_rev_e6"),
+        F.floor(F.lit(1000000.0) * F.col("num") / F.col("den") + F.lit(0.5))
+        .cast("long")
+        .alias("promo_share_e6"),
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+WITH m AS (
+    SELECT {_SD6_EXT.format('l_extendedprice', 'l_discount')} AS rev_e6,
+           CASE WHEN p_type = '{_Q14_PROMO_TYPE}' THEN 1 ELSE 0 END AS is_promo
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{_Q14_START}'
+      AND l_shipdate < TIMESTAMP '{_Q14_END}'
+)
+SELECT CAST(SUM(rev_e6 * is_promo) AS BIGINT) AS promo_rev_e6,
+       CAST(SUM(rev_e6) AS BIGINT) AS total_rev_e6,
+       CAST(FLOOR(1e6 * SUM(rev_e6 * is_promo) / SUM(rev_e6) + 0.5)
+            AS BIGINT) AS promo_share_e6
+FROM m
+"""
+
+
+# --- rare-token (hapax) share: frequency-tier quality signal ------------------
+
+_RARE_MAX_COUNT = 2  # <=2 corpus occurrences = hapax/dis legomenon
+
+
+def q_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax/rare-token occurrence share
+    (operators/text.py::rare_token_share) — the frequency-tier quality
+    signal (OCR noise / ID soup detector) the text tier lacked.
+
+    The fixture vocabulary is ~31 uniform tokens, each with corpus
+    count in the thousands — raw, NOTHING is rare and the check is a
+    dead all-zeros pass. The driver query therefore runs over a
+    deterministic doc_id-derived AUGMENTATION (the domain_stats /
+    sparse_cosine_pairs pattern), identically applied in the SQL twin:
+    every 3rd doc gains a unique 'uid<doc_id>' token (a guaranteed
+    hapax), every 2nd doc a 'grp<doc_id DIV 40>' cohort token (~20
+    occurrences — never rare, except genuinely-small tail groups,
+    which both engines bucket identically)."""
+    from hhek2sqlite_spark.operators.text import rare_token_share
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" uid"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" grp"),
+                    F.expr("CAST(doc_id DIV 40 AS STRING)"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return rare_token_share(aug, max_count=_RARE_MAX_COUNT)
+
+
+SQL_RARE_TOKEN_SHARE = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' uid' || CAST(doc_id AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' grp' || CAST(doc_id // 40 AS VARCHAR) ELSE '' END
+               AS text
+    FROM documents
+),
+n AS (SELECT doc_id, {_NORM} AS t FROM aug),
+occ AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n),
+per_dt AS (
+    SELECT doc_id, w, COUNT(*) AS c_dt FROM occ GROUP BY doc_id, w
+),
+corpus AS (SELECT w, SUM(c_dt) AS c_w FROM per_dt GROUP BY w)
+SELECT doc_id,
+       CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c_w <= {_RARE_MAX_COUNT} THEN c_dt ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN c_w <= {_RARE_MAX_COUNT} THEN c_dt
+                                 ELSE 0 END) / SUM(c_dt) + 0.5)
+            AS BIGINT) AS rare_share_e6
+FROM per_dt JOIN corpus USING (w)
+GROUP BY doc_id
+"""
+
+
 # registry -------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4241,6 +4620,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "regional_supplier_volume": q_regional_supplier_volume,
     "large_order_customers": q_large_order_customers,
+    "discount_revenue_forecast": q_discount_revenue_forecast,
+    "product_profit_by_nation": q_product_profit_by_nation,
+    "returned_item_customers": q_returned_item_customers,
+    "promo_revenue_share": q_promo_revenue_share,
+    "rare_token_share": q_rare_token_share,
     "nation_market_share": q_nation_market_share,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "grouped_ols": q_grouped_ols,
@@ -4333,6 +4717,11 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "span_dedup": SQL_SPAN_DEDUP,
     "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
     "large_order_customers": SQL_LARGE_ORDER_CUSTOMERS,
+    "discount_revenue_forecast": SQL_DISCOUNT_REVENUE_FORECAST,
+    "product_profit_by_nation": SQL_PRODUCT_PROFIT_BY_NATION,
+    "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "rare_token_share": SQL_RARE_TOKEN_SHARE,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "grouped_ols": SQL_GROUPED_OLS,

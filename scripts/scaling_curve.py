@@ -161,6 +161,25 @@ SUBSET = [
     # threshold is per-order and replication preserves per-order sums.
     "regional_supplier_volume",
     "large_order_customers",
+    # Round-13 matrix completion (Q6/Q9/Q10/Q14), all linear-work
+    # under replicate-and-shift: Q6 is a pure per-row scan predicate +
+    # one-row reduce; Q9's three attaches are 1:1 through copy-
+    # disjoint part/supplier/order keys and the (nation,year) group
+    # domain grows only with K; Q10's rollup is per-custkey and the
+    # top-k merge is O(partitions*k) on both engines; Q14 is a per-row
+    # broadcast flag + one-row reduce. Thresholds are per-row ranges
+    # (Q6/Q10/Q14 dates, Q6 qty) — scale-invariant selectivity.
+    "discount_revenue_forecast",
+    "product_profit_by_nation",
+    "returned_item_customers",
+    "promo_revenue_share",
+    # rare_token_share is linear-work under replicate-and-shift: the
+    # (doc,token) grain grows linearly; the doc_id-shifted uid tokens
+    # stay hapaxes and the base vocabulary was already non-rare at x1
+    # (counts only move further above the absolute threshold), so the
+    # rare-set semantics are scale-stable — unlike inverted_index's
+    # max_df cap, which shrinks its surviving set as K grows.
+    "rare_token_share",
 ]
 
 # 25s, not 15: a transient (GC pause, brief co-tenant) can push ONE

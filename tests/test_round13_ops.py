@@ -329,3 +329,307 @@ def test_large_order_customers_plan_contract(spark):
     # exactly one fact exchange keyed on l_orderkey
     assert len(re.findall(r"hashpartitioning\(l_orderkey", plan)) == 1, plan
     assert "partial_sum" in plan, plan
+
+
+# --- Q6 shape: discount_revenue_forecast --------------------------------------
+
+
+def test_discount_revenue_forecast_hand_computed(spark):
+    import datetime as dt
+
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    ts = dt.datetime
+    li = spark.createDataFrame(
+        [
+            # in band, in discount range, qty < 24 -> 100*0.05 = 5.0
+            (ts(1997, 3, 1), 0.05, 10.0, 100.0),
+            # boundary discounts are INCLUSIVE -> 200*0.04 + 300*0.06
+            (ts(1997, 6, 1), 0.04, 23.0, 200.0),
+            (ts(1997, 6, 2), 0.06, 1.0, 300.0),
+            # excluded: qty at the boundary (strict <)
+            (ts(1997, 6, 3), 0.05, 24.0, 999.0),
+            # excluded: discount outside the range
+            (ts(1997, 6, 4), 0.07, 1.0, 999.0),
+            # excluded: shipped outside the year band
+            (ts(1998, 1, 1), 0.05, 1.0, 999.0),
+        ],
+        "l_shipdate timestamp, l_discount double, l_quantity double, "
+        "l_extendedprice double",
+    )
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: {"lineitem": li}[n]
+        rows = ext.q_discount_revenue_forecast(spark, "unused").collect()
+    finally:
+        ext.load_table = orig
+    assert len(rows) == 1
+    # e6 units: cents * discount_e4
+    assert rows[0]["forfeited_rev_e6"] == (
+        100_00 * 500 + 200_00 * 400 + 300_00 * 600
+    )
+    assert rows[0]["n_lines"] == 3
+
+
+def test_discount_revenue_forecast_plan_contract(spark):
+    """Q6's planner test is pure pushdown: ONE scan, ZERO joins, all
+    three range predicates reaching the parquet scan, and the read
+    schema pruned to exactly the four referenced columns."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_discount_revenue_forecast(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 1, plan
+    assert "Join" not in plan, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"PushedFilters: \[.*{col}.*\]", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(f.split(":")[0] for f in m.group(1).split(",")) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ], plan
+
+
+# --- Q9 shape: product_profit_by_nation ---------------------------------------
+
+
+def test_product_profit_by_nation_hand_computed(spark):
+    import datetime as dt
+
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    ts = dt.datetime
+    part = spark.createDataFrame(
+        [(1, "red widget", 10.0), (2, "blue bolt", 99.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 10), (2, 20)], "s_suppkey long, s_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(10, "SWEDEN", 0), (20, "NORWAY", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    orders = spark.createDataFrame(
+        [(100, ts(1996, 5, 1)), (200, ts(1997, 5, 1))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            # red part, SWEDEN, 1996: rev=100*(1-0.1), cost=0.6*10*2
+            (100, 1, 1, 2.0, 100.0, 0.1),
+            # red part, NORWAY, 1997: rev=50, cost=0.6*10*1
+            (200, 1, 2, 1.0, 50.0, 0.0),
+            # non-red part: excluded entirely
+            (100, 2, 1, 1.0, 999.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    tabs = {
+        "part": part,
+        "supplier": supplier,
+        "nation": nation,
+        "orders": orders,
+        "lineitem": li,
+    }
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: tabs[n]
+        got = {
+            (r["n_name"], r["order_year"]): (r["profit_e6"], r["n_lines"])
+            for r in ext.q_product_profit_by_nation(spark, "unused").collect()
+        }
+    finally:
+        ext.load_table = orig
+    # e6 units: rev = cents*(1e4-d_e4); cost = cents(retail)*cents(qty)*60
+    assert got == {
+        ("SWEDEN", 1996): (100_00 * 9000 - 10_00 * 200 * 60, 1),
+        ("NORWAY", 1997): (50_00 * 10000 - 10_00 * 100 * 60, 1),
+    }
+
+
+def test_product_profit_by_nation_plan_contract(spark):
+    """Q9's planner test: four scans; the part and supplier->nation
+    attaches are BROADCAST joins; lineitem is scanned ONCE; the
+    p_name substring filter reaches the part scan."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_product_profit_by_nation(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 5, plan  # li, part, supplier, nation, orders
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert re.search(r"PushedFilters: \[.*p_name.*\]", plan), plan
+
+
+# --- Q10 shape: returned_item_customers ---------------------------------------
+
+
+def test_returned_item_customers_hand_computed(spark):
+    import datetime as dt
+
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    ts = dt.datetime
+    orders = spark.createDataFrame(
+        [
+            (100, 1, ts(1996, 2, 1)),
+            (200, 2, ts(1996, 3, 1)),
+            (300, 1, ts(1995, 12, 31)),  # outside the quarter
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (100, "R", 100.0, 0.1),   # cust 1 -> 90
+            (100, "R", 10.0, 0.0),    # cust 1 -> 10
+            (100, "N", 999.0, 0.0),   # not returned
+            (200, "R", 50.0, 0.5),    # cust 2 -> 25
+            (300, "R", 999.0, 0.0),   # order outside quarter
+        ],
+        "l_orderkey long, l_returnflag string, l_extendedprice double, "
+        "l_discount double",
+    )
+    cust = spark.createDataFrame(
+        [(1, "Alice", 12.34, 10), (2, "Bob", -1.0, 20)],
+        "c_custkey long, c_name string, c_acctbal double, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(10, "SWEDEN"), (20, "NORWAY")], "n_nationkey long, n_name string"
+    )
+    tabs = {
+        "orders": orders,
+        "lineitem": li,
+        "customer": cust,
+        "nation": nation,
+    }
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: tabs[n]
+        got = {
+            r["c_custkey"]: (
+                r["c_name"],
+                r["n_name"],
+                r["acctbal_c"],
+                r["returned_rev_e6"],
+            )
+            for r in ext.q_returned_item_customers(spark, "unused").collect()
+        }
+    finally:
+        ext.load_table = orig
+    assert got == {
+        1: ("Alice", "SWEDEN", 1234, 100_00 * 9000 + 10_00 * 10000),
+        2: ("Bob", "NORWAY", -100, 50_00 * 5000),
+    }
+
+
+def test_returned_item_customers_plan_contract(spark):
+    """Q10's planner test: the top-k must compile to
+    TakeOrderedAndProject (per-partition k + k-row merge, not a global
+    sort) and run BEFORE the customer/nation decoration joins — the
+    aggregate is keyed on bare o_custkey with no dimension columns in
+    the exchange."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_returned_item_customers(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 4, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert re.search(r"PushedFilters: \[.*l_returnflag.*\]", plan), plan
+    # the custkey rollup exchange carries no customer attributes
+    assert len(re.findall(r"hashpartitioning\(o_custkey", plan)) == 1, plan
+
+
+# --- Q14 shape: promo_revenue_share -------------------------------------------
+
+
+def test_promo_revenue_share_hand_computed(spark):
+    import datetime as dt
+
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    ts = dt.datetime
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, ts(1997, 9, 10), 100.0, 0.1),  # promo -> 90
+            (2, ts(1997, 9, 20), 200.0, 0.0),  # plain -> 200
+            (1, ts(1997, 10, 1), 999.0, 0.0),  # outside month
+        ],
+        "l_partkey long, l_shipdate timestamp, l_extendedprice double, "
+        "l_discount double",
+    )
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: {"part": part, "lineitem": li}[n]
+        rows = ext.q_promo_revenue_share(spark, "unused").collect()
+    finally:
+        ext.load_table = orig
+    assert len(rows) == 1
+    num = 100_00 * 9000
+    den = num + 200_00 * 10000
+    assert rows[0]["promo_rev_e6"] == num
+    assert rows[0]["total_rev_e6"] == den
+    import math
+
+    assert rows[0]["promo_share_e6"] == math.floor(1e6 * num / den + 0.5)
+
+
+def test_promo_revenue_share_plan_contract(spark):
+    """Q14's planner test: two scans, the part flag attaches by
+    BROADCAST hash join (zero exchanges on the fact before the one-row
+    reduce), numerator and denominator in the SAME aggregate (no
+    second lineitem scan), ship-month pushed."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(
+        ext.q_promo_revenue_share(spark, "/root/testdata/sf0.001")
+    )
+    assert _scan_count(plan) == 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+
+
+# --- rare-token (hapax) share --------------------------------------------------
+
+
+def test_rare_token_share_hand_computed(spark):
+    from hhek2sqlite_spark.operators.text import rare_token_share
+
+    docs = spark.createDataFrame(
+        [(1, "a a b e e"), (2, "a c"), (3, "d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_share_e6"])
+        for r in rare_token_share(docs, max_count=2).collect()
+    }
+    # corpus counts: a=3 (never rare), b=1, e=2, c=1, d=1 (all rare);
+    # occurrences weight the share (doc 1 counts BOTH e's)
+    assert got == {
+        1: (5, 3, 600000),
+        2: (2, 1, 500000),
+        3: (1, 1, 1000000),
+    }
+
+
+def test_rare_token_share_plan_contract(spark):
+    """The shared (doc, token) relation must be materialized ONCE: the
+    final plan reads the checkpointed RDD on both join sides — zero
+    parquet scans and zero Generate (explode) nodes downstream."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    plan = _plan_text(ext.q_rare_token_share(spark, "/root/testdata/sf0.001"))
+    assert _scan_count(plan) == 0, plan
+    assert "Generate" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
