@@ -4089,16 +4089,26 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash key.
 
     Spark-first plan: region -> nation prefilter is a broadcast chain
-    into supplier; the fact path folds customer into orders FIRST
-    (Q7/Q8's proven order — orders is the smaller fact) carrying
-    c_nationkey to order grain, meets lineitem on orderkey (the only
+    into supplier; lineitem is SEMI-FILTERED by the region's supplier
+    keys BEFORE the orderkey exchange (r13 scaling-harness finding:
+    Q5 was the steepest Spark-growth curve in SCALING.json because the
+    full fact rode the big exchange and only met the region filter
+    after it — the semi prefilter cuts shuffled fact bytes by the
+    region's supplier selectivity; interleaved A/B at x8:
+    3.0-3.3s -> 2.2s, results identical since the downstream inner
+    join already enforces membership). The fact path folds customer
+    into orders FIRST (Q7/Q8's proven order) carrying c_nationkey to
+    order grain, meets the filtered lineitem on orderkey (the only
     big-fact exchange), then joins the region's suppliers on the
     COMPOSITE key (l_suppkey, c_nationkey) = (s_suppkey, s_nationkey)
     — Spark hashes both equalities, so the cycle costs zero residual
     filtering. Exact-e6 money; final rollup on the tiny nation key.
 
-    100 TB: one lineitem exchange (orderkey), one orders exchange
-    (custkey), supplier side AQE-sized; the cycle adds no exchange."""
+    100 TB: one lineitem exchange (orderkey, ~1/|regions| of the
+    fact), one orders exchange (custkey); the supplier semi side and
+    the composite join are both AQE-sized (unforced, the Q7 rule —
+    supplier grows with business size, not fact rows); the cycle adds
+    no exchange."""
     from hhek2sqlite_spark.plans.reference import _disc_e6, _out1e6
 
     nat = (
@@ -4126,6 +4136,11 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "c_nationkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    li = li.join(
+        supp.select("s_suppkey"),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
     )
     j = li.join(cust_orders, li.l_orderkey == F.col("o_orderkey")).join(
         supp,

@@ -257,14 +257,19 @@ def test_regional_supplier_volume_hand_computed(spark):
 
 def test_regional_supplier_volume_plan_contract(spark):
     """The join CYCLE (c_nationkey = s_nationkey) must ride a join as a
-    COMPOSITE hash key — never a post-join Filter — with all six scans
-    present exactly once."""
+    COMPOSITE hash key — never a post-join Filter — and the fact must
+    be SEMI-filtered by the region's supplier keys before the orderkey
+    exchange (r13 scaling finding: the unfiltered fact rode the big
+    shuffle). The semi branch re-scans the dimension chain (9 scans,
+    dimension-sized — the fact is scanned exactly once)."""
     import hhek2sqlite_spark.plans.extensions as ext
 
     plan = _plan_text(
         ext.q_regional_supplier_volume(spark, "/root/testdata/sf0.001")
     )
-    assert _scan_count(plan) == 6, plan
+    assert _scan_count(plan) == 9, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "LeftSemi" in plan, plan
     assert re.search(
         r"keys \[2\]: \[l_suppkey#\d+L?, c_nationkey#\d+", plan
     ), plan
