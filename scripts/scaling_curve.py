@@ -190,6 +190,31 @@ SUBSET = [
 SLOW_CUTOFF_SEC = 25.0
 REPS = 3
 
+# The oracle shares the box with the Spark JVM; uncapped, DuckDB's
+# default 80%-of-RAM allocator can take the whole process down with a
+# system-level bad_alloc (observed: supplier_pagerank's recursive
+# closure at x16). Cap it so an over-budget oracle query OOMs CLEANLY
+# inside DuckDB and gets recorded as a blowup data point instead of
+# crashing the run.
+ORACLE_MEMORY_LIMIT = "48GB"
+
+
+def _fresh_con(d: str):
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.cpu_count()}")
+    con.execute(f"SET memory_limit='{ORACLE_MEMORY_LIMIT}'")
+    for t in TABLES:
+        path = os.path.join(d, f"{t}.parquet")
+        if os.path.isdir(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
 
 def _median_time(fn, reps: int) -> float:
     ts = []
@@ -227,22 +252,12 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.files.openCostInBytes", str(16384 if multirg else 4 << 20)
         )
-        con = duckdb.connect()
-        con.execute(f"SET threads={os.cpu_count()}")
+        con = _fresh_con(d)
         nrows = {}
         for t in TABLES:
             path = os.path.join(d, f"{t}.parquet")
-            if os.path.isdir(path):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
-                )
-            elif os.path.exists(path):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
-            else:
-                continue
-            nrows[t] = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+            if os.path.isdir(path) or os.path.exists(path):
+                nrows[t] = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
         tables[label] = nrows
         for name in SUBSET:
             fn = QUERIES[name]
@@ -254,7 +269,24 @@ def main() -> None:
             def _oracle():
                 rows_box["n"] = len(con.execute(ORACLE_SQL[name]).fetchall())
 
-            oracle_sec = _measure(_oracle)
+            # A single-node oracle that cannot fit a query at this scale
+            # is itself the measurement (the SCALING_DEDUP budget-exceeded
+            # precedent): record the blowup as a data point — Spark's wall
+            # stands, the ratio becomes an upper-bound-free marker — and
+            # rebuild the connection for the remaining queries.
+            try:
+                oracle_sec = _measure(_oracle)
+            except duckdb.OutOfMemoryException:
+                con.close()
+                con = _fresh_con(d)
+                queries[name][label] = {
+                    "spark_sec": round(spark_sec, 4),
+                    "oracle_sec": None,
+                    "oracle_oom": True,
+                    "oracle_memory_limit": ORACLE_MEMORY_LIMIT,
+                }
+                print(f"{label} {name}: {queries[name][label]}", file=sys.stderr)
+                continue
             queries[name][label] = {
                 "spark_sec": round(spark_sec, 4),
                 "oracle_sec": round(oracle_sec, 4),
@@ -268,19 +300,35 @@ def main() -> None:
         os.path.basename(dirs[0].rstrip("/")),
         os.path.basename(dirs[-1].rstrip("/")),
     )
+    labels = [os.path.basename(d.rstrip("/")) for d in dirs]
     slopes = {}
     for name, pts in queries.items():
-        if first in pts and last in pts:
-            slopes[name] = {
-                "spark_growth": round(
-                    pts[last]["spark_sec"] / pts[first]["spark_sec"], 2
-                ),
-                "oracle_growth": round(
-                    pts[last]["oracle_sec"] / pts[first]["oracle_sec"], 2
-                ),
-                "ratio_first": pts[first]["ratio_raw"],
-                "ratio_last": pts[last]["ratio_raw"],
-            }
+        if first not in pts or last not in pts:
+            continue
+        # oracle endpoints use the last scale the oracle SURVIVED;
+        # spark growth always spans the full series
+        valid = [
+            lbl
+            for lbl in labels
+            if lbl in pts and pts[lbl].get("oracle_sec") is not None
+        ]
+        if not valid or valid[0] != first:
+            continue
+        lastv = valid[-1]
+        slopes[name] = {
+            "spark_growth": round(
+                pts[last]["spark_sec"] / pts[first]["spark_sec"], 2
+            ),
+            "oracle_growth": round(
+                pts[lastv]["oracle_sec"] / pts[first]["oracle_sec"], 2
+            ),
+            "ratio_first": pts[first]["ratio_raw"],
+            "ratio_last": pts[lastv]["ratio_raw"],
+        }
+        ooms = [lbl for lbl in labels if lbl in pts and pts[lbl].get("oracle_oom")]
+        if ooms:
+            slopes[name]["oracle_oom_at"] = ooms
+            slopes[name]["oracle_series_end"] = lastv
     results.update(
         {
             "series": [os.path.basename(d.rstrip("/")) for d in dirs],

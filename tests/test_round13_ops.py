@@ -638,3 +638,44 @@ def test_rare_token_share_plan_contract(spark):
     assert _scan_count(plan) == 0, plan
     assert "Generate" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_rare_token_share_matches_pure_python_reference(spark):
+    """Deterministic randomized corpus vs an independent pure-Python
+    reference (Counter-based): exact equality on every doc, plus the
+    global invariant sum(n_rare) == total occurrences of rare types."""
+    import random
+    from collections import Counter
+
+    from hhek2sqlite_spark.operators.text import rare_token_share
+
+    rng = random.Random(1313)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 15))]
+        if d % 4 == 0:
+            words.append(f"unique{d}")  # guaranteed hapax
+        docs.append((d, " ".join(words)))
+
+    corpus = Counter(w for _, t in docs for w in t.split())
+    expect = {}
+    for d, t in docs:
+        ws = t.split()
+        n_rare = sum(1 for w in ws if corpus[w] <= 2)
+        import math
+
+        expect[d] = (
+            len(ws),
+            n_rare,
+            math.floor(1e6 * n_rare / len(ws) + 0.5),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_share_e6"])
+        for r in rare_token_share(df, max_count=2).collect()
+    }
+    assert got == expect
+    rare_total = sum(c for c in corpus.values() if c <= 2)
+    assert sum(v[1] for v in got.values()) == rare_total
