@@ -203,6 +203,12 @@ def _fresh_con(d: str):
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count()}")
     con.execute(f"SET memory_limit='{ORACLE_MEMORY_LIMIT}'")
+    # No spilling: a capped oracle that can't fit must FAIL (recorded as
+    # a blowup point), not page through the disk — observed at x16, the
+    # pagerank closure wrote 66GB of temp and filled the volume before
+    # dying anyway. The comparison is in-memory engine vs in-memory
+    # engine; out-of-core paging is a different experiment.
+    con.execute("SET temp_directory=''")
     for t in TABLES:
         path = os.path.join(d, f"{t}.parquet")
         if os.path.isdir(path):
@@ -238,9 +244,17 @@ def main() -> None:
         raise SystemExit("usage: scaling_curve.py DIR [DIR...]")
     spark = get_spark("hhek2sqlite_spark-scaling")
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_SCALING_ONLY: comma-separated SUBSET names for a
+    # targeted run (e.g. adding one scale for marquee queries without
+    # re-measuring all 64); SPARK_GRAFT_SCALING_OUT redirects the
+    # artifact so a targeted run can't clobber the committed full curve.
+    only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
+    subset = (
+        [n for n in SUBSET if n in set(only.split(","))] if only else SUBSET
+    )
     results: dict = {"protocol": {"reps": REPS, "stat": "median", "warm_runs": 1}}
     tables: dict = {}
-    queries: dict = {name: {} for name in SUBSET}
+    queries: dict = {name: {} for name in subset}
     for d in dirs:
         label = os.path.basename(d.rstrip("/"))
         multirg = os.path.isdir(os.path.join(d, "lineitem.parquet"))
@@ -259,7 +273,7 @@ def main() -> None:
             if os.path.isdir(path) or os.path.exists(path):
                 nrows[t] = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
         tables[label] = nrows
-        for name in SUBSET:
+        for name in subset:
             fn = QUERIES[name]
             spark_sec = _measure(
                 lambda: fn(spark, d).write.format("noop").mode("overwrite").save()
@@ -276,7 +290,7 @@ def main() -> None:
             # rebuild the connection for the remaining queries.
             try:
                 oracle_sec = _measure(_oracle)
-            except duckdb.OutOfMemoryException:
+            except (duckdb.OutOfMemoryException, duckdb.IOException):
                 con.close()
                 con = _fresh_con(d)
                 queries[name][label] = {
@@ -341,7 +355,7 @@ def main() -> None:
             "n_queries": len(slopes),
         }
     )
-    out_path = os.path.join(
+    out_path = os.environ.get("SPARK_GRAFT_SCALING_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"
     )
     with open(out_path, "w") as f:
