@@ -570,3 +570,157 @@ def lsh_bucket_pairs(
         )
         .filter(F.col("sim_e6") >= min_sim_e6)
     )
+
+
+def _dot_long(a: Column, b: Column) -> Column:
+    """Exact int64 dot product over quantized vectors (fold form).
+
+    Every product of two _QUANT_SCALE-quantized coordinates is < 2^42
+    and every 64-term partial sum < 2^48, so the result is an exact
+    integer — identical to DuckDB's float64 ``list_dot_product`` over
+    the same values (all partials < 2^53) and to numpy's int64 einsum,
+    regardless of summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    seed_stride: int = 64,
+    seed_max_id: int | None = None,
+    tau_e6: int = 990_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space with a coarse
+    quantizer, then mark as removable every vector whose WITHIN-CELL
+    cosine to a lower-id vector is >= tau — the modern training-data
+    dedup tier between MinHash (lexical near-dup) and nothing
+    (semantic near-dup: paraphrases, re-encodes, translations of the
+    same content that share no shingles). Composition of shipped
+    parts: the IVF cell idea from ``build_ivf_index`` + the
+    keep-first policy of ``incremental_dedup``/``span_dedup``.
+
+    DETERMINISTIC BY CONSTRUCTION so a SQL oracle can mirror it
+    exactly (the reason this uses seed vectors rather than the Lloyd
+    quantizer in ``train_ivf_centroids``: k-means converges to
+    engine-identical centroids only by luck; seed cells are a pure
+    function of the data). Semantics:
+
+    - cells: the vectors with ``vec_id % seed_stride == 0`` (and
+      ``vec_id < seed_max_id`` if given, to exclude injected test
+      copies), ordered by vec_id, are the cell seeds; cell k = the
+      k-th seed (0-based).
+    - assignment: every vector goes to the seed with the highest
+      quantized-integer cosine (sim_e6 = floor(1e6*dot/(na*nb)+0.5)
+      over _QUANT_SCALE-quantized coordinates — exact integers in
+      both engines, see ``_dot_long``), ties to the lowest cell.
+    - dedup: within a cell, a vector is removable (kept = 0) iff some
+      SAME-CELL vector with a LOWER vec_id has sim_e6 >= tau_e6.
+
+    Returns (vec_id, cell, kept) — one row per input vector.
+
+    Scale shape (100 TB): the seed count K = N/seed_stride GROWS WITH
+    THE CORPUS, so per-cell population stays ~seed_stride and the
+    within-cell pair work is N*seed_stride/2 — linear in N with a
+    tunable constant, never all-pairs (the plan contract: every pair
+    join carries the cell equi-key). Assignment is a broadcast
+    nested-loop join against the K-row seed relation collapsed by a
+    map-side-combined min_by per vec_id — the exchange carries N rows,
+    never N*K (at K where even the seed relation stops broadcasting,
+    real systems route through a centroid index; the within-cell
+    contract downstream is unchanged). The assigned relation feeds
+    three consumers (both pair sides + the output), so it is
+    localCheckpoint'ed once at N-row grain — the rare_token_share
+    precedent. Cell skew (a dense semantic region) lands in one
+    shuffle partition per hot cell; AQE skew-join splits the probe
+    side, and seed_stride bounds the damage by construction.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    q = e.select(
+        "vec_id",
+        F.transform("ed", lambda x: F.round(x * _QUANT_SCALE).cast("long")).alias(
+            "eq"
+        ),
+    ).withColumn("n", F.sqrt(_dot_long(F.col("eq"), F.col("eq")).cast("double")))
+
+    seed_pred = F.col("vec_id") % seed_stride == 0
+    if seed_max_id is not None:
+        seed_pred = seed_pred & (F.col("vec_id") < seed_max_id)
+    # global row_number over the K-row seed relation: single-partition
+    # by design — K = N/seed_stride rows of model-sized state, the same
+    # envelope as the IVF centroid matrix
+    seeds = (
+        q.filter(seed_pred)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("cell"),
+            F.col("eq").alias("seq"),
+            F.col("n").alias("sn"),
+        )
+    )
+    # sim to every seed; operand order mirrors the SQL oracle exactly:
+    # (1e6 * dot) / (n * sn) + 0.5, then floor
+    seed_sim = F.floor(
+        F.lit(1e6)
+        * _dot_long(F.col("eq"), F.col("seq")).cast("double")
+        / (F.col("n") * F.col("sn"))
+        + F.lit(0.5)
+    ).cast("long")
+    assigned = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "eq", "n", seed_sim.alias("s"), "cell")
+        .groupBy("vec_id")
+        .agg(
+            # argmax sim, ties to lowest cell == argmin (-sim, cell);
+            # eq/n are functionally dependent on vec_id, so first() is
+            # deterministic in value (cheaper than widening the key)
+            F.min_by(
+                "cell", F.struct((-F.col("s")).alias("ns"), F.col("cell"))
+            ).alias("cell"),
+            F.first("eq").alias("eq"),
+            F.first("n").alias("n"),
+        )
+    ).localCheckpoint()
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("eq").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("eq").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    pair_sim = F.floor(
+        F.lit(1e6)
+        * _dot_long(F.col("ea"), F.col("eb")).cast("double")
+        / (F.col("na") * F.col("nb"))
+        + F.lit(0.5)
+    ).cast("long")
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_sim >= tau_e6)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

@@ -1304,6 +1304,81 @@ SQL_SIMILARITY_LSH_HIGHSIM = _sql_similarity_lsh(
 )
 
 
+# --- SemDeDup-style semantic dedup (round 14) ---------------------------------
+# The modern training-data dedup tier between MinHash (lexical) and
+# nothing: within-cell cosine >= tau marks paraphrase-grade duplicates
+# (Abbas et al. 2023, arXiv:2303.09540). Composition of shipped parts —
+# the IVF cell idea + the keep-first policy — made DETERMINISTIC (seed
+# cells instead of Lloyd centroids) so DuckDB mirrors the assignment
+# exactly; see operators/similarity.py::semantic_dedup. Reuses the
+# highsim near-dup injection (same corpus fact: no organic pairs above
+# cosine 0.60, so tau=0.99 would be vacuous without it) — injected
+# copies sit at cosine ~0.9996 to their originals, land in the same
+# seed cell, and are marked kept=0; originals and all organic vectors
+# are kept. Seeds are drawn from the ORIGINAL id range only
+# (vec_id < offset) so the cell structure is identical with and
+# without the injection.
+_SEMDEDUP_STRIDE = 64
+_SEMDEDUP_TAU = 990_000
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        _augment_near_dups(load_table(spark, sf_dir, "embeddings")),
+        seed_stride=_SEMDEDUP_STRIDE,
+        seed_max_id=_NEARDUP_COPY_OFFSET,
+        tau_e6=_SEMDEDUP_TAU,
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+aug AS (
+    SELECT vec_id, e FROM base
+    UNION ALL
+    SELECT vec_id + {_NEARDUP_COPY_OFFSET} AS vec_id,
+           list_transform(e, (x, i) ->
+               x * (1.0 + 0.01 * CAST(((vec_id + i - 1) % 5) - 2 AS DOUBLE))) AS e
+    FROM base WHERE vec_id % 10 = 0
+),
+q AS (
+    SELECT vec_id,
+           list_transform(e, x -> CAST(round(x * {1 << 20}) AS BIGINT))::DOUBLE[] AS eq
+    FROM aug
+),
+qn AS (SELECT vec_id, eq, sqrt(list_dot_product(eq, eq)) AS n FROM q),
+seeds AS (
+    -- quantized coordinates: every product < 2^42 and 64-term sum
+    -- < 2^48, so list_dot_product is EXACT here and the assignment
+    -- matches Spark's int64 fold bit-for-bit
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, eq AS seq, n AS sn
+    FROM qn WHERE vec_id % {_SEMDEDUP_STRIDE} = 0 AND vec_id < {_NEARDUP_COPY_OFFSET}
+),
+scored AS (
+    SELECT v.vec_id, s.cell,
+           CAST(FLOOR(1e6 * list_dot_product(v.eq, s.seq) / (v.n * s.sn) + 0.5)
+                AS BIGINT) AS s
+    FROM qn v CROSS JOIN seeds s
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+        FROM scored) WHERE rn = 1
+),
+cellv AS (SELECT a.vec_id, a.cell, v.eq, v.n FROM assigned a JOIN qn v USING (vec_id)),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq) / (a.n * b.n) + 0.5)
+               AS BIGINT) >= {_SEMDEDUP_TAU}
+)
+SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM cellv c LEFT JOIN dups d ON c.vec_id = d.vec_id
+"""
+
+
 _CENTROID_SCALE = 1 << 20
 
 
@@ -3761,8 +3836,9 @@ def q_order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost at bench scale: one extra fact exchange (range + pid-window
     vs the naive single hash) and a tiny counts job — the price of
-    unbounded parallelism; SCALING_NTILE.json records the x1->x8
-    trajectory."""
+    unbounded parallelism; SCALING.json's order_value_ntile entry
+    records the x1->x8 trajectory (ratio 29.0 -> 7.6, wall x1.10
+    for x8 data)."""
     from pyspark.sql.window import Window
 
     nt = _NTILE_N
@@ -4512,7 +4588,12 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = F.broadcast(
         load_table(spark, sf_dir, "part").select(
             "p_partkey",
-            (F.col("p_type") == _Q14_PROMO_TYPE)
+            # TPC-H Q14 is LIKE 'PROMO%' (prefix, not equality): the
+            # fixture's single-word types make both read identically,
+            # but equality silently zeroes the share on composite
+            # types like 'PROMO BURNISHED COPPER'.
+            F.col("p_type")
+            .startswith(_Q14_PROMO_TYPE)
             .cast("long")
             .alias("is_promo"),
         )
@@ -4534,7 +4615,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROMO_REVENUE_SHARE = f"""
 WITH m AS (
     SELECT {_SD6_EXT.format('l_extendedprice', 'l_discount')} AS rev_e6,
-           CASE WHEN p_type = '{_Q14_PROMO_TYPE}' THEN 1 ELSE 0 END AS is_promo
+           CASE WHEN p_type LIKE '{_Q14_PROMO_TYPE}%' THEN 1 ELSE 0 END AS is_promo
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '{_Q14_START}'
@@ -4665,6 +4746,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_lsh_highsim": q_similarity_lsh_highsim,
+    "semantic_dedup": q_semantic_dedup,
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint_tokens": q_fingerprint_tokens,
@@ -4765,6 +4847,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "similarity_ivf": SQL_SIMILARITY_TOPK,
     "similarity_lsh": SQL_SIMILARITY_LSH,
     "similarity_lsh_highsim": SQL_SIMILARITY_LSH_HIGHSIM,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,

@@ -5,6 +5,7 @@
 # back-to-back so no stage contends with another; each stage logs its
 # start loadavg.
 set -e
+set -o pipefail
 cd /root/repo
 log() { echo "[chain $(date +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg)] $*"; }
 
@@ -33,7 +34,14 @@ log "stage 4: parity artifact at 124"
 tail -3 PARITY_r13.txt
 
 log "stage 5: pytest artifact"
-python -m pytest tests/ -q 2>&1 | tail -40 > PYTEST_r13.txt
+# check pytest's own exit code BEFORE overwriting the committed artifact
+# (pipefail alone would still have clobbered it mid-pipe)
+python -m pytest tests/ -q > /tmp/pytest_chain.txt 2>&1 || {
+  tail -15 /tmp/pytest_chain.txt
+  echo "pytest FAILED; leaving committed PYTEST artifact untouched" >&2
+  exit 1
+}
+tail -40 /tmp/pytest_chain.txt > PYTEST_r13.txt
 tail -2 PYTEST_r13.txt
 
 log "chain done"

@@ -242,16 +242,37 @@ def main() -> None:
     dirs = sys.argv[1:]
     if not dirs:
         raise SystemExit("usage: scaling_curve.py DIR [DIR...]")
-    spark = get_spark("hhek2sqlite_spark-scaling")
-    spark.sparkContext.setLogLevel("ERROR")
     # SPARK_GRAFT_SCALING_ONLY: comma-separated SUBSET names for a
     # targeted run (e.g. adding one scale for marquee queries without
     # re-measuring all 64); SPARK_GRAFT_SCALING_OUT redirects the
     # artifact so a targeted run can't clobber the committed full curve.
+    # Validated BEFORE the session spin-up so a typo fails in <1s.
     only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
-    subset = (
-        [n for n in SUBSET if n in set(only.split(","))] if only else SUBSET
-    )
+    if only:
+        wanted = [n for n in only.split(",") if n]
+        unknown = sorted(set(wanted) - set(SUBSET))
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALING_ONLY names not in the scaling SUBSET: "
+                f"{unknown} (typo, or a pair-quadratic query excluded by design)"
+            )
+        # A targeted run must never clobber the committed full 64-query
+        # curve: require an explicit OUT, else divert to a _subset file.
+        if not os.environ.get("SPARK_GRAFT_SCALING_OUT"):
+            os.environ["SPARK_GRAFT_SCALING_OUT"] = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "SCALING_subset.json",
+            )
+            print(
+                "SPARK_GRAFT_SCALING_ONLY set without SPARK_GRAFT_SCALING_OUT; "
+                "writing SCALING_subset.json to protect the committed curve",
+                file=sys.stderr,
+            )
+        subset = [n for n in SUBSET if n in set(wanted)]
+    else:
+        subset = SUBSET
+    spark = get_spark("hhek2sqlite_spark-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
     results: dict = {"protocol": {"reps": REPS, "stat": "median", "warm_runs": 1}}
     tables: dict = {}
     queries: dict = {name: {} for name in subset}
@@ -319,13 +340,16 @@ def main() -> None:
     for name, pts in queries.items():
         if first not in pts or last not in pts:
             continue
-        # oracle endpoints use the last scale the oracle SURVIVED;
-        # spark growth always spans the full series
-        valid = [
-            lbl
-            for lbl in labels
-            if lbl in pts and pts[lbl].get("oracle_sec") is not None
-        ]
+        # oracle endpoints use the last scale of the CONTIGUOUS prefix the
+        # oracle survived (truncate at the first OOM: each OOM rebuilds a
+        # fresh connection, so a later scale could spuriously succeed and
+        # make oracle_growth silently span the gap); spark growth always
+        # spans the full series
+        valid = []
+        for lbl in labels:
+            if lbl not in pts or pts[lbl].get("oracle_sec") is None:
+                break
+            valid.append(lbl)
         if not valid or valid[0] != first:
             continue
         lastv = valid[-1]

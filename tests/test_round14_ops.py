@@ -1,0 +1,296 @@
+"""Round-14 operator tests: SemDeDup-style semantic dedup (hand-computed
+values + plan contract), the Q14 PROMO-prefix semantics fix, and the
+scaling-harness guard rails from ADVICE r13."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# --- semantic_dedup: hand-computed values ------------------------------------
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """Seeds = ids 0,2 (stride 2); id 1 is a paraphrase of seed 0 and
+    id 3 of seed 1 (within-cell sim >= tau -> removable); id 5 sits
+    exactly between both seeds — the rounded sim_e6 is an exact tie
+    (same integer arithmetic to both seeds), so the tie rule assigns
+    the LOWEST cell — and is no one's duplicate."""
+    from hhek2sqlite_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.01]),
+            (2, [0.0, 1.0]),
+            (3, [0.01, 0.999]),
+            (5, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(emb, seed_stride=2, tau_e6=990_000).collect()
+    }
+    assert got == {
+        0: (0, 1),  # seed of cell 0, lowest id of its dup pair -> kept
+        1: (0, 0),  # cos(0,1) ~ 0.99995 >= 0.99 -> removable
+        2: (1, 1),
+        3: (1, 0),
+        5: (0, 1),  # exact sim_e6 tie (707107 to both) -> lowest cell; kept
+    }
+
+
+def test_semantic_dedup_keep_first_within_cell_not_only_vs_seed(spark):
+    """The dedup predicate is within-CELL, not vs-the-seed: two near-dup
+    non-seed vectors in the same cell dedup against each other even
+    when neither is close to the seed."""
+    from hhek2sqlite_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # the only seed (stride 10)
+            (3, [0.6, 0.55]),       # cell 0 (everything is)
+            (7, [0.6005, 0.5505]),  # near-dup of 3, far from seed
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(emb, seed_stride=10, tau_e6=990_000).collect()
+    }
+    assert got == {0: (0, 1), 3: (0, 1), 7: (0, 0)}
+
+
+def test_semantic_dedup_seed_max_id_excludes_late_ids(spark):
+    """seed_max_id fences the seed set (the registry query uses it to
+    keep injected copies out of the cell structure): id 10 is a stride
+    multiple but NOT a seed, so only one cell exists."""
+    from hhek2sqlite_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (5, [0.0, 1.0]), (10, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(
+            emb, seed_stride=5, seed_max_id=10, tau_e6=990_000
+        ).collect()
+    }
+    # seeds: 0 and 5 (10 fenced out); 10 is identical to 5 -> removable
+    assert got == {0: (0, 1), 5: (1, 1), 10: (1, 0)}
+
+
+def test_semantic_dedup_registry_query_non_vacuous(spark):
+    """At sf0.001 the injected near-dup copies (cosine ~0.9996) must be
+    found: every removed row is an injected copy (vec_id >= offset),
+    and most copies are removed (a copy can legitimately land in a
+    different cell than its original — a recall property, identical in
+    both engines by construction)."""
+    import pyspark.sql.functions as F
+
+    from hhek2sqlite_spark.plans.extensions import (
+        _NEARDUP_COPY_OFFSET,
+        q_semantic_dedup,
+    )
+
+    out = q_semantic_dedup(spark, "/root/testdata/sf0.001")
+    removed = out.filter(F.col("kept") == 0)
+    n_injected = out.filter(F.col("vec_id") >= _NEARDUP_COPY_OFFSET).count()
+    n_removed = removed.count()
+    assert n_injected == 50
+    assert n_removed >= 40  # most copies land with their originals
+    # no organic pair sits above tau (corpus max cosine ~0.60)
+    assert removed.filter(F.col("vec_id") < _NEARDUP_COPY_OFFSET).count() == 0
+
+
+def test_semantic_dedup_plan_contract(spark):
+    """The 100 TB contract: after the localCheckpoint'ed assignment, the
+    pair stage is a cell-keyed EQUI join — never a cartesian/nested-
+    loop pair expansion — and the output attach is a plain vec_id
+    join. (The only nested-loop join in the whole lineage is the
+    assignment's broadcast against the model-sized seed relation, and
+    it sits BEHIND the checkpoint.)"""
+    from hhek2sqlite_spark.plans.extensions import q_semantic_dedup
+
+    plan = _plan_text(q_semantic_dedup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the pair join rides the cell equi-key
+    assert re.search(r"Join.*\[cell", plan) or "cell#" in plan, plan
+
+
+# --- Q14 prefix semantics (ADVICE r13) ----------------------------------------
+
+
+def test_promo_revenue_share_prefix_semantics(spark):
+    """TPC-H Q14 is LIKE 'PROMO%': composite types ('PROMO BURNISHED
+    COPPER') are promo, 'STANDARD PROMO' is not. Hand-computed with
+    zero discount so rev_e6 = 1e6 * price."""
+    import hhek2sqlite_spark.plans.extensions as ext
+
+    part = spark.createDataFrame(
+        [
+            (1, "PROMO BURNISHED COPPER"),
+            (2, "PROMO"),
+            (3, "STANDARD PROMO"),
+            (4, "ECONOMY ANODIZED TIN"),
+        ],
+        "p_partkey long, p_type string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "1997-09-05", 10.0, 0.0),
+            (2, "1997-09-06", 20.0, 0.0),
+            (3, "1997-09-07", 40.0, 0.0),
+            (4, "1997-09-08", 30.0, 0.0),
+            (1, "1997-10-01", 999.0, 0.0),  # outside the ship-month
+        ],
+        "l_partkey long, l_shipdate string, l_extendedprice double, l_discount double",
+    ).selectExpr(
+        "l_partkey",
+        "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+    )
+    tabs = {"part": part, "lineitem": li}
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: tabs[n]
+        row = ext.q_promo_revenue_share(spark, "unused").collect()[0]
+    finally:
+        ext.load_table = orig
+    assert row["promo_rev_e6"] == 30_000_000  # parts 1 and 2 only
+    assert row["total_rev_e6"] == 100_000_000
+    assert row["promo_share_e6"] == 300_000
+
+
+def test_promo_revenue_share_oracle_uses_like_prefix():
+    from hhek2sqlite_spark.plans.extensions import SQL_PROMO_REVENUE_SHARE
+
+    assert "LIKE 'PROMO%'" in SQL_PROMO_REVENUE_SHARE
+
+
+# --- scaling-harness guard rails (ADVICE r13) ---------------------------------
+
+
+def test_scaling_only_rejects_unknown_names(monkeypatch):
+    """A typo'd SPARK_GRAFT_SCALING_ONLY name must raise, not silently
+    intersect to an empty run."""
+    import scripts.scaling_curve as sc
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_ONLY", "not_a_query")
+    monkeypatch.delenv("SPARK_GRAFT_SCALING_OUT", raising=False)
+    monkeypatch.setattr("sys.argv", ["scaling_curve.py", "testdata_scaled/x1"])
+    with pytest.raises(SystemExit, match="not_a_query"):
+        sc.main()
+
+
+def test_scaling_only_diverts_default_out(monkeypatch):
+    """ONLY without OUT must divert the artifact away from the committed
+    SCALING.json. Verified by inspecting the env the guard sets before
+    the session would spin up (we stop execution right there)."""
+    import scripts.scaling_curve as sc
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_ONLY", sc.SUBSET[0])
+    monkeypatch.delenv("SPARK_GRAFT_SCALING_OUT", raising=False)
+    monkeypatch.setattr("sys.argv", ["scaling_curve.py", "testdata_scaled/x1"])
+
+    class _Stop(Exception):
+        pass
+
+    def _boom(*_a, **_k):
+        raise _Stop
+
+    monkeypatch.setattr(sc, "get_spark", _boom)
+    with pytest.raises(_Stop):
+        sc.main()
+    import os
+
+    assert os.environ["SPARK_GRAFT_SCALING_OUT"].endswith("SCALING_subset.json")
+
+
+def test_scaling_slope_truncates_at_first_oracle_oom():
+    """slope bookkeeping must describe a CONTIGUOUS surviving prefix:
+    an oracle that OOMs at x2 but 'survives' x4 (fresh connection)
+    must not have its growth span the gap."""
+    import scripts.scaling_curve as sc
+
+    src = open(sc.__file__).read()
+    # the truncation loop: break at the first missing/OOM scale
+    assert "CONTIGUOUS prefix" in src
+    assert "break" in src.split("CONTIGUOUS prefix")[1][:400]
+
+
+# --- minhash signature kernel (VERDICT r13 #1) ---------------------------------
+
+
+def test_minhash_kernel_bit_identity(spark):
+    """The numpy kernel must produce BIT-IDENTICAL signatures to the
+    explode + 64-min-agg form on the real corpus — same doc set (docs
+    shorter than n have no signature in either form), same 64 int64
+    values. This is the whole parity argument for the r14 rewrite
+    (also verified at sf0.01: 0/500 mismatches)."""
+    from hhek2sqlite_spark.operators.dedup import minhash_signatures
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    agg = minhash_signatures(docs, kernel=False)
+    ker = minhash_signatures(docs, kernel=True).withColumnRenamed(
+        "signature", "sig_k"
+    )
+    assert agg.count() == ker.count()
+    joined = agg.join(ker, "doc_id")
+    assert joined.count() == agg.count()  # same doc set
+    assert joined.filter("signature <> sig_k").count() == 0
+
+
+def test_minhash_kernel_handles_short_and_null_docs(spark):
+    """Docs whose NORMALIZED text is shorter than n yield no signature
+    row (the agg form's explode produces zero rows for them); null
+    text likewise."""
+    from hhek2sqlite_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),                      # < 8 chars normalized
+            (2, None),
+            (3, "   A   LONG   enough doc   "),  # normalized >= 8
+            (4, "exactly8"),                   # == 8 -> one shingle
+        ],
+        "doc_id long, text string",
+    )
+    for kernel in (False, True):
+        got = sorted(
+            r["doc_id"]
+            for r in minhash_signatures(docs, kernel=kernel).collect()
+        )
+        assert got == [3, 4], kernel
+
+
+def test_minhash_kernel_plan_is_single_arrow_node(spark):
+    """The kernel signature stage must be ONE ArrowEvalPython over the
+    scan — no Generate (explode), no shingle-grain aggregate before
+    the banding."""
+    from hhek2sqlite_spark.operators.dedup import minhash_signatures
+    from hhek2sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan_text(minhash_signatures(docs, kernel=True))
+    # count node headers, not mentions (each node prints twice in the
+    # formatted text: tree line + detail section)
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, flags=re.M)) == 1, plan
+    assert "Generate" not in plan, plan
+    assert "HashAggregate" not in plan, plan
