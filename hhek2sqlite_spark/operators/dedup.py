@@ -797,7 +797,15 @@ def span_dedup(
     relation twice (firsts + join-back), so documents is scanned and
     the md5 transform computed twice: deliberate — recompute is
     embarrassingly parallel, while checkpointing the occurrence
-    relation would write a corpus-sized intermediate.
+    relation would write a corpus-sized intermediate. MEASURED r14
+    (VERDICT #3 decomposition, BASELINE.md): at local scale the
+    rejected checkpoint of the reduced (fp,doc) relation is actually
+    1.2-1.6x faster (x16: 1.79s vs 2.12s) — kept rejected because the
+    intermediate is ~#tokens rows (~40B/token, corpus-sized) and the
+    write dominates at cluster scale; and the x1->x16 wall growth is
+    UNIFORM across stages (explode x1.9, pre-agg x1.7, firsts x2.0,
+    full x2.1 per x4 data) — the steep early curve is per-stage floor
+    amortization ending, not a hot stage.
     """
     toks = tokens(text_col)
     spans_expr = (

@@ -627,13 +627,23 @@ def semantic_dedup(
     THE CORPUS, so per-cell population stays ~seed_stride and the
     within-cell pair work is N*seed_stride/2 — linear in N with a
     tunable constant, never all-pairs (the plan contract: every pair
-    join carries the cell equi-key). Assignment is a broadcast
-    nested-loop join against the K-row seed relation collapsed by a
-    map-side-combined min_by per vec_id — the exchange carries N rows,
-    never N*K (at K where even the seed relation stops broadcasting,
-    real systems route through a centroid index; the within-cell
-    contract downstream is unchanged). The assigned relation feeds
-    three consumers (both pair sides + the output), so it is
+    join carries the cell equi-key). ASSIGNMENT (re-planned r14 on its
+    own scaling curve, the Q5 precedent): the first cut scored every
+    (vector, seed) pair with an interpreted zip_with fold inside a
+    broadcast nested-loop join — N*K*dim interpreted element-ops,
+    and since K grows with N that stage is quadratic in the corpus;
+    the x1/x4/x16 sign-flip series caught it (Spark wall x6.8 for x4
+    data at the x16 step). The committed plan collects the K seed
+    rows to the driver (K x dim int64 — model state, the
+    train_ivf_centroids envelope; at K beyond driver memory real
+    systems route assignment through a centroid index) and scores
+    ALL seeds per vector in ONE Arrow-batched numpy int64 matmul —
+    row-local, zero shuffles, exact integers, argmax-first-index ==
+    the (sim DESC, cell ASC) tie rule. Re-measured on the same
+    series: x16 wall 22.45s -> 3.52s, full-series Spark growth x2.09
+    for x16 data vs oracle x44, ratio 24.1 -> 1.14
+    (SCALING_SEMDEDUP.json). The assigned relation feeds three
+    consumers (both pair sides + the output), so it is
     localCheckpoint'ed once at N-row grain — the rare_token_share
     precedent. Cell skew (a dense semantic region) lands in one
     shuffle partition per hot cell; AQE skew-join splits the probe
@@ -652,41 +662,34 @@ def semantic_dedup(
     seed_pred = F.col("vec_id") % seed_stride == 0
     if seed_max_id is not None:
         seed_pred = seed_pred & (F.col("vec_id") < seed_max_id)
-    # global row_number over the K-row seed relation: single-partition
-    # by design — K = N/seed_stride rows of model-sized state, the same
-    # envelope as the IVF centroid matrix
-    seeds = (
-        q.filter(seed_pred)
-        .select(
-            (
-                F.row_number().over(Window.orderBy("vec_id")) - 1
-            ).alias("cell"),
-            F.col("eq").alias("seq"),
-            F.col("n").alias("sn"),
+    # one model-sized job: the K seed vectors come to the driver in
+    # vec_id order (cell k = k-th seed) — the train_ivf_centroids
+    # envelope (K x dim int64, never data-scale)
+    seed_rows = q.filter(seed_pred).orderBy("vec_id").select("eq").collect()
+    if not seed_rows:
+        return q.sparkSession.createDataFrame(
+            [], "vec_id long, cell int, kept int"
         )
-    )
-    # sim to every seed; operand order mirrors the SQL oracle exactly:
-    # (1e6 * dot) / (n * sn) + 0.5, then floor
-    seed_sim = F.floor(
-        F.lit(1e6)
-        * _dot_long(F.col("eq"), F.col("seq")).cast("double")
-        / (F.col("n") * F.col("sn"))
-        + F.lit(0.5)
-    ).cast("long")
-    assigned = (
-        q.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "eq", "n", seed_sim.alias("s"), "cell")
-        .groupBy("vec_id")
-        .agg(
-            # argmax sim, ties to lowest cell == argmin (-sim, cell);
-            # eq/n are functionally dependent on vec_id, so first() is
-            # deterministic in value (cheaper than widening the key)
-            F.min_by(
-                "cell", F.struct((-F.col("s")).alias("ns"), F.col("cell"))
-            ).alias("cell"),
-            F.first("eq").alias("eq"),
-            F.first("n").alias("n"),
-        )
+    seq = np.array([r["eq"] for r in seed_rows], dtype=np.int64)  # (K, dim)
+    sn = np.sqrt(np.einsum("ij,ij->i", seq, seq).astype(np.float64))  # (K,)
+
+    @F.pandas_udf("int")
+    def _nearest_seed(eqs: pd.Series) -> pd.Series:
+        if not len(eqs):
+            return pd.Series([], dtype="int32")
+        A = np.stack(eqs.values).astype(np.int64)  # (B, dim)
+        # exact int64 dots (products < 2^42, dim-term sums < 2^48),
+        # identical to _dot_long and DuckDB's list_dot_product; the
+        # e6 rounding and (1e6*dot)/(n*sn) operand order mirror the
+        # SQL oracle so rounded ties break identically — np.argmax
+        # takes the FIRST max == (sim DESC, cell ASC)
+        dots = A @ seq.T  # (B, K)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+        sims = np.floor((1e6 * dots) / (na[:, None] * sn[None, :]) + 0.5)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    assigned = q.select(
+        "vec_id", F.col("eq"), F.col("n"), _nearest_seed("eq").alias("cell")
     ).localCheckpoint()
 
     a = assigned.select(

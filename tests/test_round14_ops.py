@@ -117,12 +117,11 @@ def test_semantic_dedup_registry_query_non_vacuous(spark):
 
 
 def test_semantic_dedup_plan_contract(spark):
-    """The 100 TB contract: after the localCheckpoint'ed assignment, the
-    pair stage is a cell-keyed EQUI join — never a cartesian/nested-
-    loop pair expansion — and the output attach is a plain vec_id
-    join. (The only nested-loop join in the whole lineage is the
-    assignment's broadcast against the model-sized seed relation, and
-    it sits BEHIND the checkpoint.)"""
+    """The 100 TB contract: after the localCheckpoint'ed assignment
+    (one Arrow matmul kernel over driver-collected seeds — r14 re-plan
+    on the SCALING_SEMDEDUP curve), the pair stage is a cell-keyed
+    EQUI join — never a cartesian/nested-loop pair expansion — and the
+    output attach is a plain vec_id join."""
     from hhek2sqlite_spark.plans.extensions import q_semantic_dedup
 
     plan = _plan_text(q_semantic_dedup(spark, "/root/testdata/sf0.001"))
@@ -294,3 +293,35 @@ def test_minhash_kernel_plan_is_single_arrow_node(spark):
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, flags=re.M)) == 1, plan
     assert "Generate" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+# --- NTILE re-plan under total key skew (VERDICT r13 #5) -----------------------
+
+
+def test_order_value_ntile_single_priority_correct(spark):
+    """Adversarial skew case: EVERY order carries one priority. The
+    range-partition + pid-window re-plan must still produce exact ANSI
+    NTILE buckets (first n%k buckets one row larger). 13 same-priority
+    rows, 4 quartiles -> sizes 4,3,3,3. Wall-clock flatness at x8 is
+    recorded in BASELINE.md (r14 measurement); this pins the
+    correctness half of the claim."""
+    import hhek2sqlite_spark.plans.extensions as ext
+    import pyspark.sql.functions as F
+
+    orders = spark.createDataFrame(
+        [(i, "1-URGENT", float(1000 - i)) for i in range(13)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda _s, _d, n: {"orders": orders}[n]
+        rows = ext.q_order_value_ntile(spark, "unused").collect()
+    finally:
+        ext.load_table = orig
+    got = {
+        (r["priority"], r["quartile"]): r["n_orders"] for r in rows
+    }
+    # 13 rows, 4 quartiles: remainder 1 -> sizes 4,3,3,3 (ANSI NTILE)
+    sizes = [got[("1-URGENT", b)] for b in sorted(b for (_, b) in got)]
+    assert sizes == [4, 3, 3, 3]
+    assert sum(sizes) == 13
