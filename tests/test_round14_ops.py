@@ -282,11 +282,17 @@ def test_minhash_kernel_handles_short_and_null_docs(spark):
 def test_minhash_kernel_plan_is_single_arrow_node(spark):
     """The kernel signature stage must be ONE ArrowEvalPython over the
     scan — no Generate (explode), no shingle-grain aggregate before
-    the banding."""
+    the banding. Built from a FRESH in-memory corpus: the sf0.001
+    parquet plan can be swapped for an InMemoryTableScan by another
+    test's session-lived minhash sig.cache() (the cache manager
+    matches plan fragments), and the cached plan's own Arrow node
+    then prints inside this plan's detail section."""
     from hhek2sqlite_spark.operators.dedup import minhash_signatures
-    from hhek2sqlite_spark.sources.parquet import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with enough text to shingle") for i in range(20)],
+        "doc_id long, text string",
+    )
     plan = _plan_text(minhash_signatures(docs, kernel=True))
     # count node headers, not mentions (each node prints twice in the
     # formatted text: tree line + detail section)
