@@ -623,6 +623,14 @@ def semantic_dedup(
 
     Returns (vec_id, cell, kept) — one row per input vector.
 
+    Envelope (same class as span_dedup's id-width note): inputs must
+    have nonzero L2 norm — a zero quantized vector makes the cosine
+    0/0 and IEEE-NaN ordering is the one place the two engines'
+    argmax/ORDER BY semantics are not defined to agree (the fixture
+    corpus and any real embedding table satisfy this; a caller with
+    possibly-zero rows should filter them first, the lsh_bucket_pairs
+    `_sim_q` sentinel precedent).
+
     Scale shape (100 TB): the seed count K = N/seed_stride GROWS WITH
     THE CORPUS, so per-cell population stays ~seed_stride and the
     within-cell pair work is N*seed_stride/2 — linear in N with a
