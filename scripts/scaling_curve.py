@@ -180,6 +180,12 @@ SUBSET = [
     # rare-set semantics are scale-stable — unlike inverted_index's
     # max_df cap, which shrinks its surviving set as K grows.
     "rare_token_share",
+    # round-15 addition (VERDICT r14 #3: the only >2x-adjusted
+    # real-oracle-work query with no scaling point). Linear-work under
+    # replicate-and-shift: the (doc, bigram) count grain and the
+    # per-doc WindowGroupLimit top-1 both grow with the doc count;
+    # copies are disjoint doc_ids, no cross-doc joins anywhere.
+    "bigram_repetition",
 ]
 
 # 25s, not 15: a transient (GC pause, brief co-tenant) can push ONE
@@ -197,6 +203,21 @@ REPS = 3
 # inside DuckDB and gets recorded as a blowup data point instead of
 # crashing the run.
 ORACLE_MEMORY_LIMIT = "48GB"
+
+
+def contiguous_oracle_prefix(labels: list[str], pts: dict) -> list[str]:
+    """The CONTIGUOUS prefix of ``labels`` the oracle survived: truncate
+    at the first scale that is missing or recorded oracle_sec=None
+    (OOM). Each OOM rebuilds a fresh connection, so a LATER scale can
+    spuriously succeed — oracle_growth must never silently span the
+    gap. Pure so the truncation logic is directly testable (ADVICE
+    r14: the old test grepped this file's comments instead)."""
+    valid: list[str] = []
+    for lbl in labels:
+        if lbl not in pts or pts[lbl].get("oracle_sec") is None:
+            break
+        valid.append(lbl)
+    return valid
 
 
 def _fresh_con(d: str):
@@ -341,15 +362,9 @@ def main() -> None:
         if first not in pts or last not in pts:
             continue
         # oracle endpoints use the last scale of the CONTIGUOUS prefix the
-        # oracle survived (truncate at the first OOM: each OOM rebuilds a
-        # fresh connection, so a later scale could spuriously succeed and
-        # make oracle_growth silently span the gap); spark growth always
-        # spans the full series
-        valid = []
-        for lbl in labels:
-            if lbl not in pts or pts[lbl].get("oracle_sec") is None:
-                break
-            valid.append(lbl)
+        # oracle survived (see contiguous_oracle_prefix); spark growth
+        # always spans the full series
+        valid = contiguous_oracle_prefix(labels, pts)
         if not valid or valid[0] != first:
             continue
         lastv = valid[-1]

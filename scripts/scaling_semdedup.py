@@ -63,6 +63,23 @@ N_PARTS = 8
 REPS = 3
 SLOW_CUTOFF_SEC = 15.0
 
+# Bump when the series CONSTRUCTION changes (_signs recipe, id layout,
+# partitioning): the _done marker embeds this + the SRC content hash, so
+# a stale marker can never silently pin old fixtures to new code
+# (ADVICE r14: committed markers made build_series skip regeneration
+# forever even if SRC or the construction changed).
+GEN_VERSION = 1
+
+
+def _marker_payload() -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(SRC, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return json.dumps({"src_md5": h.hexdigest(), "gen_version": GEN_VERSION})
+
 
 def _signs(dim: int, c: int) -> np.ndarray:
     # independent per-copy PCG64 streams (scaling_highsim.py records why
@@ -73,6 +90,7 @@ def _signs(dim: int, c: int) -> np.ndarray:
 
 
 def build_series(ks: list[int]) -> dict[str, str]:
+    payload = _marker_payload()
     tbl = pq.read_table(SRC)
     vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
     labels = tbl.column("label").to_numpy()
@@ -83,9 +101,13 @@ def build_series(ks: list[int]) -> dict[str, str]:
         parts_dir = os.path.join(DST_ROOT, label, "embeddings.parquet")
         os.makedirs(parts_dir, exist_ok=True)
         marker = os.path.join(parts_dir, "_done")
-        if os.path.exists(marker):
+        # skip only when the marker matches the CURRENT source content
+        # hash and construction version — anything else regenerates
+        if os.path.exists(marker) and open(marker).read() == payload:
             dirs[label] = os.path.join(DST_ROOT, label)
             continue
+        for old in os.listdir(parts_dir):
+            os.unlink(os.path.join(parts_dir, old))
         # CONTIGUOUS ids: copy c occupies [c*n, c*n + n)
         all_ids = np.concatenate(
             [np.arange(n, dtype=np.int64) + c * n for c in range(k)]
@@ -107,7 +129,8 @@ def build_series(ks: list[int]) -> dict[str, str]:
                 }
             )
             pq.write_table(out, os.path.join(parts_dir, f"part-{p:02d}.parquet"))
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(payload)
         dirs[label] = os.path.join(DST_ROOT, label)
     return dirs
 

@@ -224,13 +224,27 @@ def test_scaling_only_diverts_default_out(monkeypatch):
 def test_scaling_slope_truncates_at_first_oracle_oom():
     """slope bookkeeping must describe a CONTIGUOUS surviving prefix:
     an oracle that OOMs at x2 but 'survives' x4 (fresh connection)
-    must not have its growth span the gap."""
-    import scripts.scaling_curve as sc
+    must not have its growth span the gap. Exercises the factored
+    pure function on a synthetic mid-series OOM (ADVICE r14: the old
+    form grepped the source for a comment)."""
+    from scripts.scaling_curve import contiguous_oracle_prefix
 
-    src = open(sc.__file__).read()
-    # the truncation loop: break at the first missing/OOM scale
-    assert "CONTIGUOUS prefix" in src
-    assert "break" in src.split("CONTIGUOUS prefix")[1][:400]
+    labels = ["x1", "x2", "x4", "x8"]
+    pts = {
+        "x1": {"oracle_sec": 1.0},
+        "x2": {"oracle_sec": None, "oracle_oom": True},  # mid-series OOM
+        "x4": {"oracle_sec": 9.0},  # spurious fresh-connection survivor
+        "x8": {"oracle_sec": 20.0},
+    }
+    assert contiguous_oracle_prefix(labels, pts) == ["x1"]
+    # missing scale truncates the same way
+    assert contiguous_oracle_prefix(labels, {"x1": {"oracle_sec": 1.0}}) == ["x1"]
+    # clean series survives whole
+    clean = {lbl: {"oracle_sec": 1.0} for lbl in labels}
+    assert contiguous_oracle_prefix(labels, clean) == labels
+    # OOM at the FIRST scale -> empty prefix (caller skips the query)
+    first_oom = dict(clean, x1={"oracle_sec": None})
+    assert contiguous_oracle_prefix(labels, first_oom) == []
 
 
 # --- minhash signature kernel (VERDICT r13 #1) ---------------------------------
