@@ -587,42 +587,6 @@ def _dot_long(a: Column, b: Column) -> Column:
     )
 
 
-def _seed_ordinals(seeds_q: DataFrame) -> DataFrame:
-    """Attach ``cell`` = the 0-based rank of ``vec_id`` within ``seeds_q``
-    WITHOUT a single-partition global window and WITHOUT collecting the
-    K seed rows (the order_value_ntile offsets pattern): range-partition
-    by vec_id (partition p holds strictly smaller ids than p+1),
-    localCheckpoint to freeze the partition assignment across the two
-    consuming jobs, collect only the <= P per-partition COUNTS, and add
-    each partition's broadcast prefix offset to a pid-local row_number
-    (P-way parallel, ~K/P rows per sort). Driver state: P integers —
-    independent of K and of the corpus."""
-    spark = seeds_q.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = (
-        seeds_q.repartitionByRange(n_part, "vec_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    cnt_rows = ranged.groupBy("pid").count().collect()
-    off, acc = {}, 0
-    for r in sorted(cnt_rows, key=lambda r: r["pid"]):
-        off[r["pid"]] = acc
-        acc += r["count"]
-    offsets = F.broadcast(
-        spark.createDataFrame(
-            [(p, o) for p, o in off.items()], "pid int, _off long"
-        )
-    )
-    w = Window.partitionBy("pid").orderBy("vec_id")
-    return (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .join(offsets, "pid")
-        .withColumn("cell", (F.col("_rn") - 1 + F.col("_off")).cast("int"))
-        .drop("pid", "_rn", "_off")
-    )
-
-
 def semantic_dedup(
     embeddings: DataFrame,
     *,
@@ -650,8 +614,13 @@ def semantic_dedup(
 
     - cells: the vectors with ``vec_id % seed_stride == 0`` (and
       ``vec_id < seed_max_id`` if given, to exclude injected test
-      copies), ordered by vec_id, are the cell seeds; cell k = the
-      k-th seed (0-based).
+      copies) are the cell seeds; a cell is IDENTIFIED BY ITS SEED'S
+      vec_id (r15 change from 0-based ordinals: the seed id is just as
+      deterministic, names the representative vector, and — the scale
+      reason — needs ZERO computation, where the ordinal needed a
+      global rank pass over the K-row seed relation: one extra
+      checkpoint + counts job per invocation, ~1.3s of pure job floor
+      at bench scale).
     - assignment: every vector goes to the seed with the highest
       quantized-integer cosine (sim_e6 = floor(1e6*dot/(na*nb)+0.5)
       over _QUANT_SCALE-quantized coordinates — exact integers in
@@ -674,7 +643,8 @@ def semantic_dedup(
       lives in a different coarse cell gets its best WITHIN-ROUTE seed
       instead — same recall trade as the paper's k-means cells.
 
-    Returns (vec_id, cell, kept) — one row per input vector.
+    Returns (vec_id, cell BIGINT, kept) — one row per input vector;
+    ``cell`` is the assigned seed's vec_id.
 
     Envelope (same class as span_dedup's id-width note): (1) inputs
     must have nonzero L2 norm — a zero quantized vector makes the
@@ -690,9 +660,9 @@ def semantic_dedup(
     embeddings — every real embedding table — satisfy this; clamp or
     rescale first otherwise).
 
-    EAGER: construction runs Spark jobs (the seed-ordinal counts, the
-    coarse-seed collect, the eager localCheckpoint of the assigned
-    relation) rather than returning a fully lazy plan — the checkpoint
+    EAGER: construction runs Spark jobs (the coarse-seed top-k
+    collect, the eager localCheckpoint of the assigned relation)
+    rather than returning a fully lazy plan — the checkpoint
     is what lets three consumers share one N-row materialization.
     Repeated invocations in one session should release the checkpoint
     blocks once the result is consumed via
@@ -724,9 +694,9 @@ def semantic_dedup(
       k ~ sqrt(N/seed_stride), where total work is
       N^1.5*dim/sqrt(seed_stride) — the standard IVF exponent; a
       deployment sizes k ~ sqrt(K) as FAISS sizes nlist ~ sqrt(N).
-      Fine routing never touches the driver: fine seeds get their
-      ordinals from per-partition counts (``_seed_ordinals``, O(P)
-      driver ints) and meet their vectors in a SALTED COGROUP — each
+      Fine routing never touches the driver: fine seeds (already
+      carrying their cell id = their own vec_id, no rank pass) meet
+      their vectors in a SALTED COGROUP — each
       (coarse cell, salt) group is one Arrow task holding all ~K/k
       seeds of the cell but only ~N/(k*fine_salt) vectors, so a hot
       coarse cell fans out over fine_salt tasks instead of one
@@ -769,7 +739,7 @@ def semantic_dedup(
         assigned = _assign_two_level(q, seed_pred, coarse_k, fine_salt)
     if assigned is None:  # no seeds at all
         return q.sparkSession.createDataFrame(
-            [], "vec_id long, cell int, kept int"
+            [], "vec_id long, cell long, kept int"
         )
 
     a = assigned.select(
@@ -803,7 +773,7 @@ def semantic_dedup(
         .join(dups, "vec_id", "left")
         .select(
             "vec_id",
-            F.col("cell").cast("int").alias("cell"),
+            F.col("cell").cast("long").alias("cell"),
             F.when(F.col("_dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
         )
     )
@@ -822,28 +792,30 @@ def _assign_one_level(q: DataFrame, seed_pred: Column) -> DataFrame | None:
     Returns (vec_id, eq, n, cell) localCheckpoint'ed, or None if no
     seeds exist."""
     # one model-sized job: the K seed vectors come to the driver in
-    # vec_id order (cell k = k-th seed) — the train_ivf_centroids
+    # vec_id order (cell id = seed vec_id) — the train_ivf_centroids
     # envelope ONLY when K is fixed by the caller's seed fence
-    seed_rows = q.filter(seed_pred).orderBy("vec_id").select("eq").collect()
+    seed_rows = q.filter(seed_pred).orderBy("vec_id").select("vec_id", "eq").collect()
     if not seed_rows:
         return None
     seq = np.array([r["eq"] for r in seed_rows], dtype=np.int64)  # (K, dim)
     sn = np.sqrt(np.einsum("ij,ij->i", seq, seq).astype(np.float64))  # (K,)
+    seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def _nearest_seed(eqs: pd.Series) -> pd.Series:
         if not len(eqs):
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         A = np.stack(eqs.values).astype(np.int64)  # (B, dim)
         # exact int64 dots (products < 2^42, dim-term sums < 2^48),
         # identical to _dot_long and DuckDB's list_dot_product; the
         # e6 rounding and (1e6*dot)/(n*sn) operand order mirror the
         # SQL oracle so rounded ties break identically — np.argmax
-        # takes the FIRST max == (sim DESC, cell ASC)
+        # takes the FIRST max over seeds ordered by vec_id ==
+        # (sim DESC, cell ASC)
         dots = A @ seq.T  # (B, K)
         na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
         sims = np.floor((1e6 * dots) / (na[:, None] * sn[None, :]) + 0.5)
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        return pd.Series(seed_ids[np.argmax(sims, axis=1)])
 
     return q.select(
         "vec_id", F.col("eq"), F.col("n"), _nearest_seed("eq").alias("cell")
@@ -855,24 +827,23 @@ def _assign_two_level(
 ) -> DataFrame | None:
     """Two-level assignment (round 15, the r14 weak-flag fix): driver
     and closure state is the coarse_k x dim COARSE matrix only —
-    independent of the corpus. Fine seeds stay distributed (ordinals
-    from per-partition counts), and the fine argmax runs as a salted
-    cogroup: one Arrow task per (coarse cell, salt) holding that
-    cell's seeds and ~1/fine_salt of its vectors. See semantic_dedup's
-    docstring for semantics, flop asymptotics, and tie rules.
-    Returns (vec_id, eq, n, cell) localCheckpoint'ed, or None if no
-    seeds exist."""
+    independent of the corpus. Fine seeds stay distributed (their cell
+    id is their own vec_id — no rank pass), and the fine argmax runs
+    as a salted cogroup: one Arrow task per (coarse cell, salt)
+    holding that cell's seeds and ~1/fine_salt of its vectors. See
+    semantic_dedup's docstring for semantics, flop asymptotics, and
+    tie rules. Returns (vec_id, eq, n, cell) localCheckpoint'ed, or
+    None if no seeds exist."""
     if coarse_k < 1:
         raise ValueError(f"coarse_k must be >= 1, got {coarse_k}")
     if fine_salt < 1:
         raise ValueError(f"fine_salt must be >= 1, got {fine_salt}")
-    seeds = _seed_ordinals(q.filter(seed_pred))  # vec_id, eq, n, cell
-    # the ONLY collect: min(coarse_k, K) rows — N-independent by the
-    # explicit limit (cells are 0-based ordinals, so cell < coarse_k
-    # selects the first coarse_k seeds by vec_id)
+    # the ONLY collect: min(coarse_k, K) rows via a distributed top-k
+    # (TakeOrderedAndProject — no full sort) — N-independent by the limit
     coarse_rows = (
-        seeds.filter(F.col("cell") < coarse_k)
-        .orderBy("cell")
+        q.filter(seed_pred)
+        .orderBy("vec_id")
+        .limit(coarse_k)
         .select("vec_id", "eq")
         .collect()
     )
@@ -880,18 +851,19 @@ def _assign_two_level(
         return None
     cq = np.array([r["eq"] for r in coarse_rows], dtype=np.int64)  # (k, dim)
     cn = np.sqrt(np.einsum("ij,ij->i", cq, cq).astype(np.float64))
-    # own-cell override ids, ASCENDING (ordinals are ordered by vec_id)
+    # coarse cell ids = the coarse seeds' own vec_ids, ASCENDING (the
+    # top-k collect is ordered), so argmax-first == lowest cell id
     own_ids = np.array([r["vec_id"] for r in coarse_rows], dtype=np.int64)
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def _route_coarse(vec_id: pd.Series, eqs: pd.Series) -> pd.Series:
         if not len(eqs):
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         A = np.stack(eqs.values).astype(np.int64)  # (B, dim)
         dots = A @ cq.T  # exact int64 (products < 2^42)
         na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
         sims = np.floor((1e6 * dots) / (na[:, None] * cn[None, :]) + 0.5)
-        out = np.argmax(sims, axis=1).astype("int32")
+        out = own_ids[np.argmax(sims, axis=1)]
         # a coarse seed routes to its OWN cell (guarantees every coarse
         # cell contains at least one fine seed — itself); vectorized
         # membership via searchsorted over the sorted coarse ids
@@ -899,17 +871,18 @@ def _assign_two_level(
         pos = np.searchsorted(own_ids, vid)
         safe = np.minimum(pos, len(own_ids) - 1)
         mask = own_ids[safe] == vid
-        out[mask] = safe[mask].astype("int32")
+        out[mask] = vid[mask]
         return pd.Series(out)
 
     v = q.select("vec_id", "eq", "n").withColumn(
         "ccell", _route_coarse("vec_id", "eq")
     ).withColumn("salt", F.pmod(F.col("vec_id"), F.lit(fine_salt)).cast("int"))
     s = (
-        seeds.withColumn("ccell", _route_coarse("vec_id", "eq"))
+        q.filter(seed_pred)
+        .withColumn("ccell", _route_coarse("vec_id", "eq"))
         .select(
             "ccell",
-            "cell",
+            F.col("vec_id").alias("cell"),
             F.col("eq").alias("seq"),
         )
         # seeds replicated over every salt so each (ccell, salt) group
@@ -927,7 +900,7 @@ def _assign_two_level(
                     "vec_id": pd.Series(dtype="int64"),
                     "eq": pd.Series(dtype=object),
                     "n": pd.Series(dtype="float64"),
-                    "cell": pd.Series(dtype="int32"),
+                    "cell": pd.Series(dtype="int64"),
                 }
             )
         if right.empty:
@@ -935,13 +908,13 @@ def _assign_two_level(
                 "semantic_dedup: vectors routed to a coarse cell with no "
                 "fine seeds — the coarse-seed self-override invariant broke"
             )
-        r = right.sort_values("cell")  # argmax-first == lowest fine cell
+        r = right.sort_values("cell")  # argmax-first == lowest cell id
         S = np.stack(r["seq"].values).astype(np.int64)  # (S_c, dim)
         sn_ = np.sqrt(np.einsum("ij,ij->i", S, S).astype(np.float64))
-        cells = r["cell"].values.astype(np.int32)
+        cells = r["cell"].values.astype(np.int64)
         A = np.stack(left["eq"].values).astype(np.int64)  # (B, dim)
         na = left["n"].values.astype(np.float64)  # Spark sqrt == numpy sqrt (IEEE)
-        out = np.empty(len(left), dtype=np.int32)
+        out = np.empty(len(left), dtype=np.int64)
         for lo in range(0, len(left), _ASSIGN_BLOCK):
             hi = min(lo + _ASSIGN_BLOCK, len(left))
             dots = A[lo:hi] @ S.T
@@ -959,6 +932,6 @@ def _assign_two_level(
     return (
         v.groupBy("ccell", "salt")
         .cogroup(s.groupBy("ccell", "salt"))
-        .applyInPandas(_assign_fine, "vec_id long, eq array<long>, n double, cell int")
+        .applyInPandas(_assign_fine, "vec_id long, eq array<long>, n double, cell long")
         .localCheckpoint(eager=True)
     )

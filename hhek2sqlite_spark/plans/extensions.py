@@ -1359,18 +1359,19 @@ qn AS (SELECT vec_id, eq, sqrt(list_dot_product(eq, eq)) AS n FROM q),
 seeds AS (
     -- quantized coordinates: every product < 2^42 and 64-term sum
     -- < 2^48, so list_dot_product is EXACT here and the assignment
-    -- matches Spark's int64 fold bit-for-bit
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec_id, eq AS seq, n AS sn
+    -- matches Spark's int64 fold bit-for-bit. A cell is identified
+    -- by its seed's vec_id (r15 — no ordinal rank pass, either engine)
+    SELECT vec_id AS cell, eq AS seq, n AS sn
     FROM qn WHERE vec_id % {_SEMDEDUP_STRIDE} = 0 AND vec_id < {_NEARDUP_COPY_OFFSET}
 ),
--- two-level routing (round 15): the first COARSE_K seeds are the
--- coarse quantizer; every vector routes to its argmax-cosine coarse
--- seed (ties to the lowest coarse cell, a coarse seed to its OWN
--- cell), then takes the argmax over only the fine seeds routed to
--- the same coarse cell — mirrors _assign_two_level exactly
+-- two-level routing (round 15): the first COARSE_K seeds (by vec_id)
+-- are the coarse quantizer; every vector routes to its argmax-cosine
+-- coarse seed (ties to the lowest coarse cell id, a coarse seed to
+-- its OWN cell), then takes the argmax over only the fine seeds
+-- routed to the same coarse cell — mirrors _assign_two_level exactly
 coarse AS (
-    SELECT cell AS ccell, vec_id, seq AS cq, sn AS cn
-    FROM seeds WHERE cell < {_SEMDEDUP_COARSE_K}
+    SELECT cell AS ccell, seq AS cq, sn AS cn
+    FROM seeds ORDER BY cell LIMIT {_SEMDEDUP_COARSE_K}
 ),
 cscored AS (
     SELECT v.vec_id, c.ccell,
@@ -1386,11 +1387,11 @@ cargmax AS (
 ),
 cassign AS (
     SELECT a.vec_id, COALESCE(c.ccell, a.ccell) AS ccell
-    FROM cargmax a LEFT JOIN coarse c ON a.vec_id = c.vec_id
+    FROM cargmax a LEFT JOIN coarse c ON a.vec_id = c.ccell
 ),
 fine AS (
     SELECT s.cell, s.seq, s.sn, ca.ccell
-    FROM seeds s JOIN cassign ca ON s.vec_id = ca.vec_id
+    FROM seeds s JOIN cassign ca ON s.cell = ca.vec_id
 ),
 fscored AS (
     SELECT v.vec_id, f.cell,
@@ -1413,9 +1414,44 @@ dups AS (
     WHERE CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq) / (a.n * b.n) + 0.5)
                AS BIGINT) >= {_SEMDEDUP_TAU}
 )
-SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM cellv c LEFT JOIN dups d ON c.vec_id = d.vec_id
+"""
+
+
+def q_semdedup_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell population / removal profile of the semantic_dedup
+    operating point — the monitoring query a production semantic-dedup
+    pipeline runs next to the dedup itself: a cell with outsized
+    n_vectors is a dense semantic region (skew flag — one shuffle
+    partition absorbs its pair work), a cell with removal share ~1 is
+    a near-duplicate cluster (boilerplate/mirror signature). One extra
+    fixed-width groupBy on the dedup output; scale shape inherited
+    from semantic_dedup (round 15, two-level assignment)."""
+    out = similarity.semantic_dedup(
+        _augment_near_dups(load_table(spark, sf_dir, "embeddings")),
+        seed_stride=_SEMDEDUP_STRIDE,
+        seed_max_id=_NEARDUP_COPY_OFFSET,
+        tau_e6=_SEMDEDUP_TAU,
+        coarse_k=_SEMDEDUP_COARSE_K,
+    )
+    return out.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("kept") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.min(F.when(F.col("kept") == 1, F.col("vec_id"))).alias("first_kept_id"),
+    )
+
+
+SQL_SEMDEDUP_CELL_PROFILE = f"""
+WITH dedup AS ({SQL_SEMANTIC_DEDUP})
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       MIN(CASE WHEN kept = 1 THEN vec_id END) AS first_kept_id
+FROM dedup GROUP BY cell
 """
 
 
@@ -4787,6 +4823,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh": q_similarity_lsh,
     "similarity_lsh_highsim": q_similarity_lsh_highsim,
     "semantic_dedup": q_semantic_dedup,
+    "semdedup_cell_profile": q_semdedup_cell_profile,
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint_tokens": q_fingerprint_tokens,
@@ -4888,6 +4925,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "similarity_lsh": SQL_SIMILARITY_LSH,
     "similarity_lsh_highsim": SQL_SIMILARITY_LSH_HIGHSIM,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semdedup_cell_profile": SQL_SEMDEDUP_CELL_PROFILE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,

@@ -43,11 +43,12 @@ def test_semantic_dedup_hand_computed(spark):
         r["vec_id"]: (r["cell"], r["kept"])
         for r in semantic_dedup(emb, seed_stride=2, tau_e6=990_000).collect()
     }
+    # cells are identified by their seed's vec_id (r15): seeds 0 and 2
     assert got == {
         0: (0, 1),  # seed of cell 0, lowest id of its dup pair -> kept
         1: (0, 0),  # cos(0,1) ~ 0.99995 >= 0.99 -> removable
-        2: (1, 1),
-        3: (1, 0),
+        2: (2, 1),
+        3: (2, 0),
         5: (0, 1),  # exact sim_e6 tie (707107 to both) -> lowest cell; kept
     }
 
@@ -90,7 +91,8 @@ def test_semantic_dedup_seed_max_id_excludes_late_ids(spark):
         ).collect()
     }
     # seeds: 0 and 5 (10 fenced out); 10 is identical to 5 -> removable
-    assert got == {0: (0, 1), 5: (1, 1), 10: (1, 0)}
+    # (cell ids are the seeds' vec_ids since r15)
+    assert got == {0: (0, 1), 5: (5, 1), 10: (5, 0)}
 
 
 def test_semantic_dedup_registry_query_non_vacuous(spark):

@@ -87,25 +87,26 @@ def test_semantic_dedup_salt_invariant(spark):
 
 
 def test_semantic_dedup_two_level_hand_computed(spark):
-    """Seeds (stride 2) = ids 0,2,4,6; coarse_k=2 makes ids 0,2 the
-    coarse tier. Fine seed 4 ([0.98,0.20], 11.5 deg) routes to coarse
-    0, fine seed 6 ([0.40,0.92], 66.5 deg) to coarse 1. id 3
-    ([0.73,0.68], 42.9 deg) is the IVF approximation case: its
-    globally-best seed is 6 (31.4 vs 23.6 deg past the 39-deg fine
-    midpoint) but x>y routes it to coarse 0, where the best
-    WITHIN-ROUTE seed is 4 (cell 2). Exact copies (5 of seed 4, 7 of
-    seed 6) dedup within their cells at tau 0.999."""
+    """Seeds (stride 2) = ids 0,2,4,6 (cells carry the seed's vec_id);
+    coarse_k=2 makes ids 0,2 the coarse tier. Fine seed 4
+    ([0.98,0.20], 11.5 deg) routes to coarse cell 0, fine seed 6
+    ([0.40,0.92], 66.5 deg) to coarse cell 2. id 3 ([0.73,0.68],
+    42.9 deg) is the IVF approximation case: its globally-best seed
+    is 6 (31.4 vs 23.6 deg past the 39-deg fine midpoint) but x>y
+    routes it to coarse cell 0, where the best WITHIN-ROUTE seed is 4
+    (cell 4). Exact copies (5 of seed 4, 7 of seed 6) dedup within
+    their cells at tau 0.999."""
     from hhek2sqlite_spark.operators.similarity import semantic_dedup
 
     emb = spark.createDataFrame(
         [
-            (0, [1.0, 0.0]),    # coarse seed 0, fine cell 0
-            (1, [0.95, 0.31]),  # -> coarse 0, fine cell 2 (6.6 vs 18.1 deg)
-            (2, [0.0, 1.0]),    # coarse seed 1, fine cell 1
-            (3, [0.73, 0.68]),  # approximation case -> cell 2 (one-level: 3)
-            (4, [0.98, 0.20]),  # fine seed, cell 2, routes coarse 0
+            (0, [1.0, 0.0]),    # coarse seed, fine cell 0
+            (1, [0.95, 0.31]),  # -> coarse 0, fine cell 4 (6.6 vs 18.1 deg)
+            (2, [0.0, 1.0]),    # coarse seed, fine cell 2
+            (3, [0.73, 0.68]),  # approximation case -> cell 4 (one-level: 6)
+            (4, [0.98, 0.20]),  # fine seed, cell 4, routes coarse 0
             (5, [0.98, 0.20]),  # exact copy of 4 -> kept 0
-            (6, [0.40, 0.92]),  # fine seed, cell 3, routes coarse 1
+            (6, [0.40, 0.92]),  # fine seed, cell 6, routes coarse 2
             (7, [0.40, 0.92]),  # exact copy of 6 -> kept 0
         ],
         "vec_id long, embedding array<double>",
@@ -117,17 +118,17 @@ def test_semantic_dedup_two_level_hand_computed(spark):
     )
     assert two == {
         0: (0, 1),
-        1: (2, 1),
-        2: (1, 1),
-        3: (2, 1),
-        4: (2, 1),
-        5: (2, 0),
-        6: (3, 1),
-        7: (3, 0),
+        1: (4, 1),
+        2: (2, 1),
+        3: (4, 1),
+        4: (4, 1),
+        5: (4, 0),
+        6: (6, 1),
+        7: (6, 0),
     }
     # pin the approximation: one-level assigns id 3 its GLOBAL argmax
     one = _as_map(semantic_dedup(emb, seed_stride=2, tau_e6=999_000).collect())
-    assert one[3] == (3, 1)
+    assert one[3] == (6, 1)
 
 
 def test_semantic_dedup_rejects_bad_params(spark):
@@ -145,11 +146,10 @@ def test_semantic_dedup_rejects_bad_params(spark):
 
 def test_semantic_dedup_two_level_driver_collect_is_bounded(spark, monkeypatch):
     """The 100 TB contract that retired the r14 weak flag: with
-    coarse_k set, NO collect during construction may scale with the
-    corpus or the seed count — only the coarse matrix (<= coarse_k
-    rows) and the seed-ordinal partition counts (<= shuffle
-    partitions) ever reach the driver. 200 fine seeds here; the old
-    one-level path would collect all 200."""
+    coarse_k set, the ONLY collect during construction is the coarse
+    matrix — <= coarse_k rows via a distributed top-k, independent of
+    corpus and seed count. 200 fine seeds here; the old one-level path
+    would collect all 200."""
     from hhek2sqlite_spark.operators.similarity import semantic_dedup
 
     emb = _random_corpus(spark, n=400, dim=4, seed=7)
@@ -170,27 +170,8 @@ def test_semantic_dedup_two_level_driver_collect_is_bounded(spark, monkeypatch):
     )
     n_rows = out.count()  # materialize without tripping the spy
     assert n_rows == 400
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     assert sizes, "construction should have collected the coarse tier"
-    assert max(sizes) <= max(4, n_part), sizes
-
-
-def test_seed_ordinals_match_rank_by_vec_id(spark):
-    """The distributed ordinal (range partition + per-pid counts +
-    pid-local row_number) must equal rank-by-vec_id on shuffled,
-    non-contiguous, gap-ridden ids — the exact ordering the one-level
-    collect produced."""
-    from hhek2sqlite_spark.operators.similarity import _seed_ordinals
-
-    ids = [977, 3, 64, 2, 4096, 130, 999_983, 17]
-    df = spark.createDataFrame(
-        [(i, [float(i)]) for i in ids], "vec_id long, eq array<double>"
-    ).repartition(5)
-    got = {
-        r["vec_id"]: r["cell"] for r in _seed_ordinals(df).collect()
-    }
-    want = {v: i for i, v in enumerate(sorted(ids))}
-    assert got == want
+    assert max(sizes) <= 4, sizes
 
 
 # --- registry query: oracle parity without the driver gate ----------------------
@@ -221,6 +202,38 @@ def test_semantic_dedup_oracle_parity_direct(spark):
             for r in QUERIES["semantic_dedup"](spark, sf_dir).collect()
         )
         assert got == oracle, sf_dir
+
+
+def test_semdedup_cell_profile_parity_and_shape(spark):
+    """The cell-profile companion query (new r15): per-cell population,
+    removal count, first kept id. Direct DuckDB parity at sf0.001 plus
+    the structural invariants — populations sum to the corpus size,
+    removals sum to the dedup's removal count."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from hhek2sqlite_spark.plans import ORACLE_SQL, QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(ORACLE_SQL["semdedup_cell_profile"]).fetchall()
+    )
+    con.close()
+    prof = QUERIES["semdedup_cell_profile"](spark, sf_dir)
+    got = sorted(
+        (r["cell"], r["n_vectors"], r["n_removed"], r["first_kept_id"])
+        for r in prof.collect()
+    )
+    assert got == oracle
+    dedup = QUERIES["semantic_dedup"](spark, sf_dir)
+    assert sum(r[1] for r in got) == dedup.count()
+    assert sum(r[2] for r in got) == dedup.filter(F.col("kept") == 0).count()
 
 
 def test_semantic_dedup_two_level_plan_contract(spark):
