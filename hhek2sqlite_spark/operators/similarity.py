@@ -784,7 +784,9 @@ def semantic_dedup(
 _ASSIGN_BLOCK = 8192
 
 
-def _assign_one_level(q: DataFrame, seed_pred: Column) -> DataFrame | None:
+def _assign_one_level(
+    q: DataFrame, seed_pred: Column, extra: tuple[tuple[str, str], ...] = ()
+) -> DataFrame | None:
     """Legacy single-tier assignment: ALL K seeds driver-collected, one
     Arrow matmul per batch. O(K x dim) driver state and N*K*dim flops —
     use only when K is bounded (see semantic_dedup's asymptotics note);
@@ -818,12 +820,20 @@ def _assign_one_level(q: DataFrame, seed_pred: Column) -> DataFrame | None:
         return pd.Series(seed_ids[np.argmax(sims, axis=1)])
 
     return q.select(
-        "vec_id", F.col("eq"), F.col("n"), _nearest_seed("eq").alias("cell")
+        "vec_id",
+        F.col("eq"),
+        F.col("n"),
+        *[F.col(name) for name, _ in extra],
+        _nearest_seed("eq").alias("cell"),
     ).localCheckpoint(eager=True)
 
 
 def _assign_two_level(
-    q: DataFrame, seed_pred: Column, coarse_k: int, fine_salt: int
+    q: DataFrame,
+    seed_pred: Column,
+    coarse_k: int,
+    fine_salt: int,
+    extra: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame | None:
     """Two-level assignment (round 15, the r14 weak-flag fix): driver
     and closure state is the coarse_k x dim COARSE matrix only —
@@ -874,7 +884,8 @@ def _assign_two_level(
         out[mask] = vid[mask]
         return pd.Series(out)
 
-    v = q.select("vec_id", "eq", "n").withColumn(
+    extra_names = [name for name, _ in extra]
+    v = q.select("vec_id", "eq", "n", *extra_names).withColumn(
         "ccell", _route_coarse("vec_id", "eq")
     ).withColumn("salt", F.pmod(F.col("vec_id"), F.lit(fine_salt)).cast("int"))
     s = (
@@ -895,14 +906,15 @@ def _assign_two_level(
 
     def _assign_fine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series(dtype="int64"),
-                    "eq": pd.Series(dtype=object),
-                    "n": pd.Series(dtype="float64"),
-                    "cell": pd.Series(dtype="int64"),
-                }
-            )
+            cols = {
+                "vec_id": pd.Series(dtype="int64"),
+                "eq": pd.Series(dtype=object),
+                "n": pd.Series(dtype="float64"),
+            }
+            for name in extra_names:
+                cols[name] = pd.Series(dtype=left[name].dtype)
+            cols["cell"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
         if right.empty:
             raise ValueError(
                 "semantic_dedup: vectors routed to a coarse cell with no "
@@ -920,18 +932,146 @@ def _assign_two_level(
             dots = A[lo:hi] @ S.T
             sims = np.floor((1e6 * dots) / (na[lo:hi, None] * sn_[None, :]) + 0.5)
             out[lo:hi] = cells[np.argmax(sims, axis=1)]
-        return pd.DataFrame(
-            {
-                "vec_id": left["vec_id"].values,
-                "eq": left["eq"].values,
-                "n": na,
-                "cell": out,
-            }
-        )
+        res = {
+            "vec_id": left["vec_id"].values,
+            "eq": left["eq"].values,
+            "n": na,
+        }
+        for name in extra_names:
+            res[name] = left[name].values
+        res["cell"] = out
+        return pd.DataFrame(res)
 
+    schema = (
+        "vec_id long, eq array<long>, n double, "
+        + "".join(f"{name} {ddl}, " for name, ddl in extra)
+        + "cell long"
+    )
     return (
         v.groupBy("ccell", "salt")
         .cogroup(s.groupBy("ccell", "salt"))
-        .applyInPandas(_assign_fine, "vec_id long, eq array<long>, n double, cell long")
+        .applyInPandas(_assign_fine, schema)
         .localCheckpoint(eager=True)
+    )
+
+
+def semantic_dedup_incremental(
+    existing: DataFrame,
+    batch: DataFrame,
+    *,
+    seed_stride: int = 64,
+    seed_max_id: int | None = None,
+    tau_e6: int = 990_000,
+    coarse_k: int | None = None,
+    fine_salt: int = 8,
+) -> DataFrame:
+    """Ingest-time SemDeDup (round 15): admit or reject an incoming
+    BATCH against an EXISTING corpus — the production shape of
+    semantic dedup (a crawl snapshot arrives; everything already in
+    the training set stays, only the new data is filtered). The
+    ``incremental_dedup`` (exact-fingerprint) precedent, lifted to the
+    semantic tier.
+
+    Semantics (deterministic; ``semantic_dedup``'s quantized-int
+    cosine, cell = seed vec_id, and tie rules throughout):
+
+    - seeds are drawn from the EXISTING side only (``vec_id %
+      seed_stride == 0``, ``is_new = 0``, optional ``seed_max_id``
+      fence) — the incoming batch must not move the cell structure,
+      or re-ingesting the same batch twice could change assignments.
+    - every vector (existing and batch) is assigned to a cell
+      (one-level or two-level per ``coarse_k``, identical to
+      ``semantic_dedup``).
+    - a batch vector is rejected (admitted = 0) iff some SAME-CELL
+      vector with HIGHER PRECEDENCE has sim_e6 >= tau_e6, where
+      precedence is: any existing vector, else a batch vector with a
+      lower vec_id (keep-first within the batch, matching
+      ``incremental_dedup``'s within-batch rule).
+    - existing vectors are never re-judged (all kept by definition —
+      they are the corpus); the output has one row per BATCH vector:
+      (vec_id, cell BIGINT, admitted int).
+
+    Envelope: vec_ids must be globally unique ACROSS both inputs (the
+    precedence rule cannot break existing-vs-batch ties); plus
+    ``semantic_dedup``'s nonzero-norm and |x| < 2.0 bounds.
+
+    Scale shape: identical to ``semantic_dedup`` (same assignment
+    plan, same cell-keyed pair join) except the pair probe side is
+    batch-only — at a steady-state pipeline where |batch| << |corpus|
+    the pair stage is corpus-rows x ~stride/cell work on the build
+    side but only batch-rows on the probe/output side. EAGER like
+    semantic_dedup; release via release_local_checkpoints.
+    """
+    ex = existing.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ed"),
+        F.lit(0).alias("is_new"),
+    )
+    nw = batch.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ed"),
+        F.lit(1).alias("is_new"),
+    )
+    q = ex.unionByName(nw).select(
+        "vec_id",
+        "is_new",
+        F.transform("ed", lambda x: F.round(x * _QUANT_SCALE).cast("long")).alias(
+            "eq"
+        ),
+    ).withColumn("n", F.sqrt(_dot_long(F.col("eq"), F.col("eq")).cast("double")))
+
+    seed_pred = (F.col("vec_id") % seed_stride == 0) & (F.col("is_new") == 0)
+    if seed_max_id is not None:
+        seed_pred = seed_pred & (F.col("vec_id") < seed_max_id)
+
+    extra = (("is_new", "int"),)
+    if coarse_k is None:
+        assigned = _assign_one_level(q, seed_pred, extra)
+    else:
+        assigned = _assign_two_level(q, seed_pred, coarse_k, fine_salt, extra)
+    if assigned is None:  # no existing seeds: no cell structure to judge in
+        return q.sparkSession.createDataFrame(
+            [], "vec_id long, cell long, admitted int"
+        )
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("eq").alias("ea"),
+        F.col("n").alias("na"),
+        F.col("is_new").alias("a_new"),
+    )
+    b = assigned.filter(F.col("is_new") == 1).select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("eq").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    pair_sim = F.floor(
+        F.lit(1e6)
+        * _dot_long(F.col("ea"), F.col("eb")).cast("double")
+        / (F.col("na") * F.col("nb"))
+        + F.lit(0.5)
+    ).cast("long")
+    precedence = (F.col("a_new") == 0) | (F.col("id_a") < F.col("id_b"))
+    dups = (
+        a.join(b, "cell")
+        .filter(precedence)
+        .filter(pair_sim >= tau_e6)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.filter(F.col("is_new") == 1)
+        .select("vec_id", "cell")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("_dup").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("admitted"),
+        )
     )

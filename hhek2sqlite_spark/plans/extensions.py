@@ -1455,6 +1455,121 @@ FROM dedup GROUP BY cell
 """
 
 
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SemDeDup (operators/similarity.py::
+    semantic_dedup_incremental): the original embeddings table is the
+    EXISTING corpus, the injected near-dup copies (the
+    _augment_near_dups recipe — the same ground truth the recall
+    artifact uses) are the incoming BATCH; ~98% of the batch should be
+    rejected against the corpus, and the organic remainder admitted.
+    Seeds come from the existing side only, so re-ingesting a batch
+    can never move the cell structure."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    batch = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _NEARDUP_COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.01)
+                * ((F.col("vec_id") + i) % 5 - 2).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return similarity.semantic_dedup_incremental(
+        base,
+        batch,
+        seed_stride=_SEMDEDUP_STRIDE,
+        tau_e6=_SEMDEDUP_TAU,
+        coarse_k=_SEMDEDUP_COARSE_K,
+    )
+
+
+# keep structurally in sync with SQL_SEMANTIC_DEDUP (same quantize /
+# seed / coarse-route / fine-route CTE chain); the deltas are: is_new
+# tags, seeds drawn from is_new=0 only, the precedence rule in dups
+# (existing always outranks batch), and batch-only output rows
+SQL_SEMDEDUP_INCREMENTAL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+u AS (
+    SELECT vec_id, e, 0 AS is_new FROM base
+    UNION ALL
+    SELECT vec_id + {_NEARDUP_COPY_OFFSET} AS vec_id,
+           list_transform(e, (x, i) ->
+               x * (1.0 + 0.01 * CAST(((vec_id + i - 1) % 5) - 2 AS DOUBLE))) AS e,
+           1 AS is_new
+    FROM base WHERE vec_id % 10 = 0
+),
+q AS (
+    SELECT vec_id, is_new,
+           list_transform(e, x -> CAST(round(x * {1 << 20}) AS BIGINT))::DOUBLE[] AS eq
+    FROM u
+),
+qn AS (SELECT vec_id, is_new, eq, sqrt(list_dot_product(eq, eq)) AS n FROM q),
+seeds AS (
+    SELECT vec_id AS cell, eq AS seq, n AS sn
+    FROM qn WHERE vec_id % {_SEMDEDUP_STRIDE} = 0 AND is_new = 0
+),
+coarse AS (
+    SELECT cell AS ccell, seq AS cq, sn AS cn
+    FROM seeds ORDER BY cell LIMIT {_SEMDEDUP_COARSE_K}
+),
+cscored AS (
+    SELECT v.vec_id, c.ccell,
+           CAST(FLOOR(1e6 * list_dot_product(v.eq, c.cq) / (v.n * c.cn) + 0.5)
+                AS BIGINT) AS s
+    FROM qn v CROSS JOIN coarse c
+),
+cargmax AS (
+    SELECT vec_id, ccell FROM (
+        SELECT vec_id, ccell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccell ASC) AS rn
+        FROM cscored) WHERE rn = 1
+),
+cassign AS (
+    SELECT a.vec_id, COALESCE(c.ccell, a.ccell) AS ccell
+    FROM cargmax a LEFT JOIN coarse c ON a.vec_id = c.ccell
+),
+fine AS (
+    SELECT s.cell, s.seq, s.sn, ca.ccell
+    FROM seeds s JOIN cassign ca ON s.cell = ca.vec_id
+),
+fscored AS (
+    SELECT v.vec_id, f.cell,
+           CAST(FLOOR(1e6 * list_dot_product(v.eq, f.seq) / (v.n * f.sn) + 0.5)
+                AS BIGINT) AS s
+    FROM (SELECT q2.vec_id, q2.eq, q2.n, ca.ccell
+          FROM qn q2 JOIN cassign ca ON q2.vec_id = ca.vec_id) v
+    JOIN fine f ON v.ccell = f.ccell
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+        FROM fscored) WHERE rn = 1
+),
+cellv AS (
+    SELECT a.vec_id, a.cell, v.eq, v.n, v.is_new
+    FROM assigned a JOIN qn v USING (vec_id)
+),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM cellv a JOIN cellv b
+      ON a.cell = b.cell AND b.is_new = 1
+     AND (a.is_new = 0 OR a.vec_id < b.vec_id)
+    WHERE CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq) / (a.n * b.n) + 0.5)
+               AS BIGINT) >= {_SEMDEDUP_TAU}
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS admitted
+FROM cellv c LEFT JOIN dups d ON c.vec_id = d.vec_id
+WHERE c.is_new = 1
+"""
+
+
 _CENTROID_SCALE = 1 << 20
 
 
@@ -4824,6 +4939,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_highsim": q_similarity_lsh_highsim,
     "semantic_dedup": q_semantic_dedup,
     "semdedup_cell_profile": q_semdedup_cell_profile,
+    "semdedup_incremental": q_semdedup_incremental,
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint_tokens": q_fingerprint_tokens,
@@ -4926,6 +5042,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "similarity_lsh_highsim": SQL_SIMILARITY_LSH_HIGHSIM,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semdedup_cell_profile": SQL_SEMDEDUP_CELL_PROFILE,
+    "semdedup_incremental": SQL_SEMDEDUP_INCREMENTAL,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,

@@ -1,6 +1,6 @@
 #!/bin/bash
 # One quiet sequential measurement chain on the final round-15 code
-# (126-query registry, two-level semantic_dedup + cell profile): SCALING_SEMDEDUP
+# (127-query registry, two-level semantic_dedup + cell profile): SCALING_SEMDEDUP
 # FIRST (VERDICT r14 #6 — the r14 artifact started at loadavg 12.9
 # because it ran mid-chain; the chain start is the quietest moment and
 # the fixture build that precedes its measurements is light) -> scaled
@@ -23,7 +23,7 @@ done
 log "stage 2: SCALING.json regen (x1 x2 x4 x8; 65 queries incl. bigram_repetition)"
 python scripts/scaling_curve.py testdata_scaled/x1 testdata_scaled/x2 testdata_scaled/x4 testdata_scaled/x8
 
-log "stage 3: PERF_FLOOR.json at the 126-query registry"
+log "stage 3: PERF_FLOOR.json at the 127-query registry"
 python scripts/perf_floor.py
 
 log "stage 4: settle 150s, then quiet PAIRED bench (canonical detail, explicit opt-in)"
@@ -31,9 +31,9 @@ sleep 150
 SPARK_GRAFT_DETAIL_OUT=BENCH_DETAIL.json python bench.py --paired > /tmp/bench_r15.json
 cat /tmp/bench_r15.json
 
-log "stage 5: parity artifact at 126"
+log "stage 5: parity artifact at 127"
 {
-  echo "PARITY_r15 — full sf0.01 oracle-parity sweep (round 15, final: 126-query registry,"
+  echo "PARITY_r15 — full sf0.01 oracle-parity sweep (round 15, final: 127-query registry,"
   echo "two-level semantic_dedup). Command: the verify-skill driver-contract loop (vanilla"
   echo "local[8] session, run_parity over every queries()/oracle_sql() pair at /root/testdata/sf0.01)."
   python scripts/run_parity.py /root/testdata/sf0.01 2>/dev/null | grep -v "WARN"

@@ -236,6 +236,110 @@ def test_semdedup_cell_profile_parity_and_shape(spark):
     assert sum(r[2] for r in got) == dedup.filter(F.col("kept") == 0).count()
 
 
+def test_semdedup_incremental_hand_computed(spark):
+    """Existing corpus {0:[1,0], 2:[0,1]} (both seeds, stride 2);
+    batch: 11 = exact copy of existing 0 -> rejected against the
+    corpus; 13 = near-copy of existing 0 (cos ~0.99995) -> rejected;
+    15 = [0.7,0.7] (cos 0.7071 to both seeds, tie -> cell 0) ->
+    admitted; 17 = exact copy of 15 -> rejected by the ADMITTED
+    batch vector with the lower id (keep-first within batch). Existing
+    rows never appear in the output."""
+    from hhek2sqlite_spark.operators.similarity import semantic_dedup_incremental
+
+    existing = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, [1.0, 0.0]),
+            (13, [0.999, 0.01]),
+            (15, [0.7, 0.7]),
+            (17, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["admitted"])
+        for r in semantic_dedup_incremental(
+            existing, batch, seed_stride=2, tau_e6=990_000
+        ).collect()
+    }
+    assert got == {11: (0, 0), 13: (0, 0), 15: (0, 1), 17: (0, 0)}
+
+
+def test_semdedup_incremental_existing_never_judged(spark):
+    """Two IDENTICAL existing vectors are both corpus — neither is
+    re-judged nor emitted; a batch copy of them is rejected once."""
+    from hhek2sqlite_spark.operators.similarity import semantic_dedup_incremental
+
+    existing = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (4, [1.0, 0.0])],  # exact dups INSIDE the corpus
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(21, [1.0, 0.0]), (23, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = semantic_dedup_incremental(
+        existing, batch, seed_stride=4, tau_e6=990_000
+    ).collect()
+    got = {r["vec_id"]: r["admitted"] for r in rows}
+    assert got == {21: 0, 23: 1}  # batch-only output
+
+
+def test_semdedup_incremental_two_level_matches_one_level(spark):
+    """coarse_k >= seed count degenerates exactly to one-level, same
+    as semantic_dedup's equivalence guarantee."""
+    from hhek2sqlite_spark.operators.similarity import semantic_dedup_incremental
+
+    existing = _random_corpus(spark, n=40, dim=6, seed=3)
+    batch = _random_corpus(spark, n=20, dim=6, seed=9).selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    )
+    one = {
+        r["vec_id"]: (r["cell"], r["admitted"])
+        for r in semantic_dedup_incremental(
+            existing, batch, seed_stride=4, tau_e6=700_000
+        ).collect()
+    }
+    two = {
+        r["vec_id"]: (r["cell"], r["admitted"])
+        for r in semantic_dedup_incremental(
+            existing, batch, seed_stride=4, tau_e6=700_000, coarse_k=100
+        ).collect()
+    }
+    assert two == one and len(one) == 20
+
+
+def test_semdedup_incremental_oracle_parity_direct(spark):
+    """Registered query vs its DuckDB oracle at sf0.001 and sf0.1
+    (sf0.1 = real two-level routing); batch = the injected near-dup
+    copies, so ~98% must be rejected against the original corpus."""
+    import duckdb
+
+    from hhek2sqlite_spark.plans import ORACLE_SQL, QUERIES
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        oracle = sorted(
+            tuple(r)
+            for r in con.execute(ORACLE_SQL["semdedup_incremental"]).fetchall()
+        )
+        con.close()
+        got = sorted(
+            (r["vec_id"], r["cell"], r["admitted"])
+            for r in QUERIES["semdedup_incremental"](spark, sf_dir).collect()
+        )
+        assert got == oracle, sf_dir
+        n_rejected = sum(1 for _, _, a in got if a == 0)
+        assert n_rejected / len(got) >= 0.9, sf_dir
+
+
 def test_semantic_dedup_two_level_plan_contract(spark):
     """Post-checkpoint plan (what the three consumers actually run):
     the pair stage stays a cell-keyed EQUI join, never a cartesian or
