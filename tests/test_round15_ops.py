@@ -340,6 +340,20 @@ def test_semdedup_incremental_oracle_parity_direct(spark):
         assert n_rejected / len(got) >= 0.9, sf_dir
 
 
+def test_semdedup_incremental_plan_contract(spark):
+    """Same 100 TB contract as semantic_dedup: the pair stage rides
+    the cell equi-key (no cartesian / nested-loop pair expansion), and
+    the probe side is batch-only (the is_new filter sits under the
+    join, so at steady state |batch| << |corpus| bounds the output
+    stream)."""
+    from hhek2sqlite_spark.plans.extensions import q_semdedup_incremental
+
+    plan = _plan_text(q_semdedup_incremental(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "cell#" in plan, plan
+
+
 def test_semantic_dedup_two_level_plan_contract(spark):
     """Post-checkpoint plan (what the three consumers actually run):
     the pair stage stays a cell-keyed EQUI join, never a cartesian or
