@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hhek2sqlite_spark.operators.util import release_local_checkpoints  # noqa: E402
+from hhek2sqlite_spark.operators.util import owned_result  # noqa: E402
 from hhek2sqlite_spark.plans import QUERIES  # noqa: E402
 from hhek2sqlite_spark.session import get_spark  # noqa: E402
 
@@ -165,10 +165,9 @@ def _paired_headline(spark) -> dict:
         total = 0.0
         for name in HEADLINE_23:
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            release_local_checkpoints(df)
+            with owned_result(QUERIES[name](spark, SF_DIR)) as df:
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
             per_query[name].append(dt)
             total += dt
         spark_totals.append(round(total, 4))
@@ -229,9 +228,8 @@ def main() -> None:
         # a partial bench beats a dead one (round 3 shipped no number
         # because a single AnalysisException aborted the whole script)
         try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()  # warm (scan cache, codegen)
-            release_local_checkpoints(df)
+            with owned_result(fn(spark, SF_DIR)) as df:
+                df.write.format("noop").mode("overwrite").save()  # warm
             # query CONSTRUCTION stays inside the timed window. NOTE a
             # round-10 semantics change for checkpointing operators
             # (tfidf_topk, boilerplate_shingles): in the persist() era
@@ -242,15 +240,14 @@ def main() -> None:
             # timed run re-materializes it inside the window. Do not
             # compare r9-vs-r10 per-query timings for those operators —
             # PERF_FLOOR was re-baselined in round 10 (see BASELINE.md)
+            # owned_result frees the localCheckpoint block sets at exit
+            # (after the timing capture): ContextCleaner reclamation is
+            # nondeterministic, and a 93-query x multi-rep sweep would
+            # otherwise pool orphaned checkpoint blocks in executor memory
             t0 = time.perf_counter()
-            timed = fn(spark, SF_DIR)
-            timed.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            # free any localCheckpoint block sets NOW (outside the timed
-            # window): ContextCleaner reclamation is nondeterministic,
-            # and a 93-query x multi-rep sweep would otherwise pool
-            # orphaned checkpoint blocks in executor memory
-            release_local_checkpoints(timed)
+            with owned_result(fn(spark, SF_DIR)) as timed:
+                timed.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     # self-defense against co-tenant noise: re-sample outliers vs the
@@ -263,10 +260,9 @@ def main() -> None:
         if ref and wall > OUTLIER_FACTOR * ref:
             try:
                 t0 = time.perf_counter()
-                rerun = QUERIES[name](spark, SF_DIR)
-                rerun.write.format("noop").mode("overwrite").save()
-                second = round(time.perf_counter() - t0, 4)
-                release_local_checkpoints(rerun)
+                with owned_result(QUERIES[name](spark, SF_DIR)) as rerun:
+                    rerun.write.format("noop").mode("overwrite").save()
+                    second = round(time.perf_counter() - t0, 4)
             except Exception:  # noqa: BLE001
                 continue
             resampled[name] = [wall, second]
@@ -289,10 +285,9 @@ def main() -> None:
             for name in HEADLINE_23:
                 try:
                     t0 = time.perf_counter()
-                    rerun = QUERIES[name](spark, SF_DIR)
-                    rerun.write.format("noop").mode("overwrite").save()
-                    second = round(time.perf_counter() - t0, 4)
-                    release_local_checkpoints(rerun)
+                    with owned_result(QUERIES[name](spark, SF_DIR)) as rerun:
+                        rerun.write.format("noop").mode("overwrite").save()
+                        second = round(time.perf_counter() - t0, 4)
                 except Exception:  # noqa: BLE001
                     continue
                 timings[name] = min(timings[name], second)

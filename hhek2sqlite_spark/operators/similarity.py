@@ -635,10 +635,17 @@ def semantic_dedup(
       fine cell is then the argmax over ONLY the fine seeds routed to
       the same coarse cell (ties to the lowest fine cell). With
       ``coarse_k`` >= the total seed count, every fine seed is its own
-      coarse cell and the assignment degenerates EXACTLY to the
-      one-level form (each coarse cell contains one fine seed); with
-      ``coarse_k=1`` it is also exactly the one-level form (one coarse
-      cell containing all fine seeds). In between it is the standard
+      coarse cell and the assignment degenerates to the one-level form
+      (each coarse cell contains one fine seed) — exactly, UNLESS two
+      coarse seeds are rounded exact duplicates (mutual sim_e6 =
+      1,000,000): the coarse self-override then routes each to its OWN
+      cell, so they land alone and escape each other's dedup, where
+      one-level assigns the higher-id seed to the lower's cell and
+      removes it (ADVICE r15 corner, pinned by
+      test_two_level_duplicate_coarse_seeds — the SQL oracle carries
+      the same override, so engine parity holds either way); with
+      ``coarse_k=1`` the degeneracy IS exact (one coarse cell
+      containing all fine seeds). In between it is the standard
       IVF approximation: a vector whose globally-nearest fine seed
       lives in a different coarse cell gets its best WITHIN-ROUTE seed
       instead — same recall trade as the paper's k-means cells.
@@ -799,6 +806,20 @@ def _assign_one_level(
     seed_rows = q.filter(seed_pred).orderBy("vec_id").select("vec_id", "eq").collect()
     if not seed_rows:
         return None
+    return _one_level_assign(q, seed_rows, extra)
+
+
+def _one_level_assign(
+    vectors: DataFrame,
+    seed_rows: list,
+    extra: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Kernel half of the one-level tier: assign ``vectors`` to the
+    nearest of the already-collected ``seed_rows`` (vec_id-ordered
+    (vec_id, eq) rows). Split out in round 16 so the store path
+    (semantic_dedup_incremental_from_store, one-level tier) can route a
+    BATCH against seeds read from the materialized store without
+    re-deriving them from the corpus."""
     seq = np.array([r["eq"] for r in seed_rows], dtype=np.int64)  # (K, dim)
     sn = np.sqrt(np.einsum("ij,ij->i", seq, seq).astype(np.float64))  # (K,)
     seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
@@ -819,7 +840,7 @@ def _assign_one_level(
         sims = np.floor((1e6 * dots) / (na[:, None] * sn[None, :]) + 0.5)
         return pd.Series(seed_ids[np.argmax(sims, axis=1)])
 
-    return q.select(
+    return vectors.select(
         "vec_id",
         F.col("eq"),
         F.col("n"),
@@ -848,14 +869,35 @@ def _assign_two_level(
         raise ValueError(f"coarse_k must be >= 1, got {coarse_k}")
     if fine_salt < 1:
         raise ValueError(f"fine_salt must be >= 1, got {fine_salt}")
-    # the ONLY collect: min(coarse_k, K) rows via a distributed top-k
-    # (TakeOrderedAndProject — no full sort) — N-independent by the limit
-    coarse_rows = (
+    coarse = _collect_coarse(q.filter(seed_pred), coarse_k)
+    if coarse is None:
+        return None
+    route = _coarse_route_udf(*coarse)
+    extra_names = [name for name, _ in extra]
+    v = q.select("vec_id", "eq", "n", *extra_names).withColumn(
+        "ccell", route("vec_id", "eq")
+    )
+    s = (
         q.filter(seed_pred)
-        .orderBy("vec_id")
-        .limit(coarse_k)
-        .select("vec_id", "eq")
-        .collect()
+        .withColumn("ccell", route("vec_id", "eq"))
+        .select(
+            "ccell",
+            F.col("vec_id").alias("cell"),
+            F.col("eq").alias("seq"),
+        )
+    )
+    return _fine_assign(v, s, fine_salt, extra)
+
+
+def _collect_coarse(seeds: DataFrame, coarse_k: int):
+    """The ONLY collect of the two-level tier: min(coarse_k, K) seed
+    rows via a distributed top-k (TakeOrderedAndProject — no full
+    sort) — N-independent by the limit. Returns (cq, cn, own_ids)
+    numpy state for _coarse_route_udf, or None if no seeds exist.
+    Split out in round 16 so the store path can build the coarse
+    router from the materialized store's seed rows."""
+    coarse_rows = (
+        seeds.orderBy("vec_id").limit(coarse_k).select("vec_id", "eq").collect()
     )
     if not coarse_rows:
         return None
@@ -864,6 +906,15 @@ def _assign_two_level(
     # coarse cell ids = the coarse seeds' own vec_ids, ASCENDING (the
     # top-k collect is ordered), so argmax-first == lowest cell id
     own_ids = np.array([r["vec_id"] for r in coarse_rows], dtype=np.int64)
+    return cq, cn, own_ids
+
+
+def _coarse_route_udf(cq: np.ndarray, cn: np.ndarray, own_ids: np.ndarray):
+    """Arrow-batched coarse router over the fixed (k x dim) coarse
+    matrix — the O(coarse_k) closure state that replaced the r14
+    K x dim driver matrix. argmax-first over vec_id-ascending cells ==
+    the (sim DESC, cell ASC) tie rule; a coarse seed routes to its OWN
+    cell (searchsorted membership), so no coarse cell is seedless."""
 
     @F.pandas_udf("long")
     def _route_coarse(vec_id: pd.Series, eqs: pd.Series) -> pd.Series:
@@ -884,24 +935,29 @@ def _assign_two_level(
         out[mask] = vid[mask]
         return pd.Series(out)
 
+    return _route_coarse
+
+
+def _fine_assign(
+    v: DataFrame,
+    s: DataFrame,
+    fine_salt: int,
+    extra: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Salted-cogroup fine tier: one Arrow task per (coarse cell,
+    salt) holding that cell's full seed set but only ~1/fine_salt of
+    its vectors. ``v`` carries (vec_id, eq, n, *extra, ccell); ``s``
+    carries (ccell, cell, seq). Shared (round 16) by the in-corpus
+    path (seeds routed in-plan) and the store path (seeds arrive
+    pre-routed from the materialized store's ccell column). Returns
+    (vec_id, eq, n, *extra, cell) localCheckpoint'ed."""
     extra_names = [name for name, _ in extra]
-    v = q.select("vec_id", "eq", "n", *extra_names).withColumn(
-        "ccell", _route_coarse("vec_id", "eq")
-    ).withColumn("salt", F.pmod(F.col("vec_id"), F.lit(fine_salt)).cast("int"))
-    s = (
-        q.filter(seed_pred)
-        .withColumn("ccell", _route_coarse("vec_id", "eq"))
-        .select(
-            "ccell",
-            F.col("vec_id").alias("cell"),
-            F.col("eq").alias("seq"),
-        )
-        # seeds replicated over every salt so each (ccell, salt) group
-        # sees the FULL seed set of its coarse cell
-        .withColumn(
-            "salt",
-            F.explode(F.array(*[F.lit(i).cast("int") for i in range(fine_salt)])),
-        )
+    v = v.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(fine_salt)).cast("int"))
+    # seeds replicated over every salt so each (ccell, salt) group
+    # sees the FULL seed set of its coarse cell
+    s = s.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(fine_salt)])),
     )
 
     def _assign_fine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -990,6 +1046,12 @@ def semantic_dedup_incremental(
     - existing vectors are never re-judged (all kept by definition —
       they are the corpus); the output has one row per BATCH vector:
       (vec_id, cell BIGINT, admitted int).
+    - BOOTSTRAP (no existing seeds — empty corpus, or nothing matching
+      the seed predicate): the entire batch is admitted with cell NULL
+      (still one row per batch vector; first ingest seeds the corpus).
+      Within-batch near-dups are not judged in this one case — there
+      is no cell structure to judge in. SQL_SEMDEDUP_INCREMENTAL
+      mirrors the same branch.
 
     Envelope: vec_ids must be globally unique ACROSS both inputs (the
     precedence rule cannot break existing-vs-batch ties); plus
@@ -1029,9 +1091,18 @@ def semantic_dedup_incremental(
         assigned = _assign_one_level(q, seed_pred, extra)
     else:
         assigned = _assign_two_level(q, seed_pred, coarse_k, fine_salt, extra)
-    if assigned is None:  # no existing seeds: no cell structure to judge in
-        return q.sparkSession.createDataFrame(
-            [], "vec_id long, cell long, admitted int"
+    if assigned is None:
+        # BOOTSTRAP (ADVICE r15): no existing seeds — empty corpus, or no
+        # existing vec_id % seed_stride == 0 — means no cell structure to
+        # judge in. The contract is still one row per BATCH vector, so the
+        # whole batch is ADMITTED (cell NULL): first ingest seeds the
+        # corpus rather than silently vanishing. Within-batch near-dups
+        # are NOT judged here (there are no cells to judge in) — the next
+        # batch sees this one as corpus and dedups normally.
+        return nw.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cell"),
+            F.lit(1).cast("int").alias("admitted"),
         )
 
     a = assigned.select(
@@ -1065,6 +1136,239 @@ def semantic_dedup_incremental(
     return (
         assigned.filter(F.col("is_new") == 1)
         .select("vec_id", "cell")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("_dup").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("admitted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted corpus-side state for ingest-time semantic dedup (round 16)
+# ---------------------------------------------------------------------------
+
+# the materialized relation build_semdedup_store produces and
+# semantic_dedup_incremental_from_store consumes
+SEMDEDUP_STORE_DDL = (
+    "vec_id long, cell long, eq array<long>, n double, is_seed int, ccell long"
+)
+
+
+def build_semdedup_store(
+    existing: DataFrame,
+    *,
+    seed_stride: int = 64,
+    seed_max_id: int | None = None,
+    coarse_k: int | None = None,
+    fine_salt: int = 8,
+) -> DataFrame:
+    """Materialize the corpus-side state of ingest-time SemDeDup — the
+    semantic tier's ``fingerprint_store`` (round 16, VERDICT r15 #1):
+    instead of re-assigning the WHOLE corpus on every batch
+    (``semantic_dedup_incremental``'s recompute shape, O(|corpus|)
+    flops per batch), a pipeline builds this relation ONCE per corpus
+    version, writes it cell-partitioned (e.g. ``materialize_access_path``
+    bucketed by ``cell``), and each batch runs
+    ``semantic_dedup_incremental_from_store`` against it — paying only
+    O(|batch|) assignment flops plus one store-side streamed join.
+
+    Columns (``SEMDEDUP_STORE_DDL``):
+
+    - ``vec_id, cell`` — the corpus assignment, IDENTICAL to what
+      ``semantic_dedup_incremental`` computes for the existing side
+      (same seed rule, same one-/two-level routing, same tie rules).
+    - ``eq, n`` — the quantized vector and its norm, persisted so a
+      batch NEVER re-reads or re-quantizes corpus embeddings.
+    - ``is_seed`` — the seed predicate (``vec_id % seed_stride == 0``,
+      optional ``seed_max_id`` fence), pinned at build time so the
+      store owns its seed set.
+    - ``ccell`` — for seed rows under two-level routing, the seed's
+      coarse cell (NULL otherwise / under one-level): persisting it
+      means a batch routes ONLY its own vectors — the K corpus seeds
+      arrive pre-routed.
+
+    The batch path must be invoked with the SAME ``coarse_k`` /
+    ``fine_salt`` the store was built with (the cell structure is a
+    function of them); the store carries no metadata channel, so this
+    is the caller's contract — a production wrapper would pin both in
+    the store's path name.
+
+    Empty corpus (or no vec_id matching the seed rule): returns an
+    EMPTY store, and the batch path bootstraps (admit-all, cell NULL)
+    exactly like ``semantic_dedup_incremental``.
+
+    EAGER like semantic_dedup (the assignment localCheckpoints);
+    release via ``release_local_checkpoints`` once written/consumed.
+    """
+    e = existing.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    q = e.select(
+        "vec_id",
+        F.transform("ed", lambda x: F.round(x * _QUANT_SCALE).cast("long")).alias(
+            "eq"
+        ),
+    ).withColumn("n", F.sqrt(_dot_long(F.col("eq"), F.col("eq")).cast("double")))
+
+    seed_pred = F.col("vec_id") % seed_stride == 0
+    if seed_max_id is not None:
+        seed_pred = seed_pred & (F.col("vec_id") < seed_max_id)
+
+    if coarse_k is None:
+        assigned = _assign_one_level(q, seed_pred)
+    else:
+        assigned = _assign_two_level(q, seed_pred, coarse_k, fine_salt)
+    if assigned is None:
+        return q.sparkSession.createDataFrame([], SEMDEDUP_STORE_DDL)
+
+    out = assigned.withColumn(
+        "is_seed", F.when(seed_pred, 1).otherwise(0).cast("int")
+    )
+    if coarse_k is None:
+        return out.select(
+            "vec_id", "cell", "eq", "n", "is_seed",
+            F.lit(None).cast("long").alias("ccell"),
+        )
+    # persist the K seeds' coarse routing (a K-row pass — build-time
+    # only) so the batch path never routes corpus seeds again
+    coarse = _collect_coarse(q.filter(seed_pred), coarse_k)
+    route = _coarse_route_udf(*coarse)
+    seed_ccell = q.filter(seed_pred).select(
+        "vec_id", route("vec_id", "eq").alias("ccell")
+    )
+    return out.join(seed_ccell, "vec_id", "left").select(
+        "vec_id", "cell", "eq", "n", "is_seed", "ccell"
+    )
+
+
+def _bootstrap_admit(bq: DataFrame) -> DataFrame:
+    """Admit-all bootstrap (no corpus seeds — see
+    semantic_dedup_incremental's BOOTSTRAP note): one row per batch
+    vector, cell NULL, admitted 1."""
+    return bq.select(
+        "vec_id",
+        F.lit(None).cast("long").alias("cell"),
+        F.lit(1).cast("int").alias("admitted"),
+    )
+
+
+def semantic_dedup_incremental_from_store(
+    store: DataFrame,
+    batch: DataFrame,
+    *,
+    tau_e6: int = 990_000,
+    coarse_k: int | None = None,
+    fine_salt: int = 8,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Ingest-time SemDeDup against a MATERIALIZED corpus store — the
+    steady-state production shape (round 16, VERDICT r15 #1; the
+    ``incremental_dedup``-vs-``fingerprint_store`` precedent lifted to
+    the semantic tier). Output and semantics are IDENTICAL to
+    ``semantic_dedup_incremental(existing, batch, ...)`` when ``store
+    = build_semdedup_store(existing, ...)`` with matching parameters
+    (parity-pinned by test_round16_ops); the difference is the cost
+    model:
+
+    - recompute path: every batch re-quantizes and re-assigns the
+      WHOLE corpus — O(|corpus|) flops + an |corpus|-row checkpoint
+      per batch.
+    - store path: assignment touches ONLY batch vectors (coarse
+      routing against the O(coarse_k) matrix collected from store
+      seeds; fine routing in the salted cogroup against the store's
+      PRE-ROUTED seed rows), then one join where the corpus-sized
+      store is the STREAMED probe side — scanned once, never shuffled
+      and never re-computed. With ``broadcast_batch`` (default) the
+      assigned batch is broadcast, so the pair stage is a
+      BroadcastHashJoin on ``cell``: zero exchange of store rows. Set
+      it False when a batch is too large to broadcast — the join
+      falls back to a cell-keyed shuffle of both sides.
+
+    ``coarse_k`` / ``fine_salt`` MUST match the store build (see
+    build_semdedup_store — the cell structure is a function of them).
+    Empty store -> bootstrap admit-all, mirroring the recompute path.
+
+    Scale shape at 100 TB: per-batch driver state is O(coarse_k); the
+    only corpus-sized work is the streamed store scan in the pair
+    join (columnar, pre-quantized, prunable by cell partitioning when
+    the store is written partitioned/bucketed on cell). EAGER on the
+    batch side only (the batch assignment localCheckpoints);
+    release via ``release_local_checkpoints``.
+    """
+    nw = batch.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+    )
+    bq = nw.select(
+        "vec_id",
+        F.transform("ed", lambda x: F.round(x * _QUANT_SCALE).cast("long")).alias(
+            "eq"
+        ),
+    ).withColumn("n", F.sqrt(_dot_long(F.col("eq"), F.col("eq")).cast("double")))
+
+    seeds = store.filter(F.col("is_seed") == 1)
+    if coarse_k is None:
+        # one-level tier: ALL store seeds driver-collected — the legacy
+        # bounded-K envelope (use only with a fenced seed set)
+        seed_rows = seeds.orderBy("vec_id").select("vec_id", "eq").collect()
+        if not seed_rows:
+            return _bootstrap_admit(bq)
+        assigned_batch = _one_level_assign(bq, seed_rows)
+    else:
+        coarse = _collect_coarse(seeds, coarse_k)
+        if coarse is None:
+            return _bootstrap_admit(bq)
+        route = _coarse_route_udf(*coarse)
+        v = bq.withColumn("ccell", route("vec_id", "eq"))
+        s = seeds.select(
+            "ccell", F.col("vec_id").alias("cell"), F.col("eq").alias("seq")
+        )
+        assigned_batch = _fine_assign(v, s, fine_salt)
+
+    b = assigned_batch.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("eq").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    a = store.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("eq").alias("ea"),
+        F.col("n").alias("na"),
+        F.lit(0).alias("a_new"),
+    ).unionByName(
+        assigned_batch.select(
+            F.col("vec_id").alias("id_a"),
+            "cell",
+            F.col("eq").alias("ea"),
+            F.col("n").alias("na"),
+            F.lit(1).alias("a_new"),
+        )
+    )
+    pair_sim = F.floor(
+        F.lit(1e6)
+        * _dot_long(F.col("ea"), F.col("eb")).cast("double")
+        / (F.col("na") * F.col("nb"))
+        + F.lit(0.5)
+    ).cast("long")
+    precedence = (F.col("a_new") == 0) | (F.col("id_a") < F.col("id_b"))
+    dups = (
+        a.join(b, "cell")
+        .filter(precedence)
+        .filter(pair_sim >= tau_e6)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned_batch.select("vec_id", "cell")
         .join(dups, "vec_id", "left")
         .select(
             "vec_id",

@@ -1455,15 +1455,13 @@ FROM dedup GROUP BY cell
 """
 
 
-def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time SemDeDup (operators/similarity.py::
-    semantic_dedup_incremental): the original embeddings table is the
-    EXISTING corpus, the injected near-dup copies (the
-    _augment_near_dups recipe — the same ground truth the recall
-    artifact uses) are the incoming BATCH; ~98% of the batch should be
-    rejected against the corpus, and the organic remainder admitted.
-    Seeds come from the existing side only, so re-ingesting a batch
-    can never move the cell structure."""
+def _semdedup_ingest_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(existing corpus, incoming batch) for the ingest-time semdedup
+    queries: the original embeddings table is the EXISTING corpus, the
+    injected near-dup copies (the _augment_near_dups recipe — the same
+    ground truth the recall artifact uses) are the incoming BATCH."""
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1479,12 +1477,46 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("embedding"),
     )
+    return base, batch
+
+
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SemDeDup (operators/similarity.py::
+    semantic_dedup_incremental): ~98% of the batch should be rejected
+    against the corpus, and the organic remainder admitted. Seeds come
+    from the existing side only, so re-ingesting a batch can never
+    move the cell structure. This is the RECOMPUTE shape (the whole
+    corpus is re-assigned per invocation); semdedup_incremental_store
+    is the same semantics against a materialized store."""
+    base, batch = _semdedup_ingest_inputs(spark, sf_dir)
     return similarity.semantic_dedup_incremental(
         base,
         batch,
         seed_stride=_SEMDEDUP_STRIDE,
         tau_e6=_SEMDEDUP_TAU,
         coarse_k=_SEMDEDUP_COARSE_K,
+    )
+
+
+def q_semdedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SemDeDup the PRODUCTION way (round 16, VERDICT r15
+    #1): the corpus-side assignment is materialized ONCE via
+    build_semdedup_store and each batch is judged against the store —
+    O(|batch|) assignment flops plus one streamed store-side join per
+    batch, instead of re-assigning the whole corpus per invocation
+    (semdedup_incremental's recompute shape). Output is IDENTICAL by
+    construction, so it shares SQL_SEMDEDUP_INCREMENTAL as its oracle —
+    the parity gate is an independent proof that store-path ==
+    recompute-path == the hand-written SQL. In a real pipeline the
+    store would round-trip through cell-partitioned parquet between
+    batches (test_round16_ops pins that roundtrip + the
+    zero-corpus-scan plan contract)."""
+    base, batch = _semdedup_ingest_inputs(spark, sf_dir)
+    store = similarity.build_semdedup_store(
+        base, seed_stride=_SEMDEDUP_STRIDE, coarse_k=_SEMDEDUP_COARSE_K
+    )
+    return similarity.semantic_dedup_incremental_from_store(
+        store, batch, tau_e6=_SEMDEDUP_TAU, coarse_k=_SEMDEDUP_COARSE_K
     )
 
 
@@ -1567,6 +1599,14 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS admitted
 FROM cellv c LEFT JOIN dups d ON c.vec_id = d.vec_id
 WHERE c.is_new = 1
+UNION ALL
+-- bootstrap branch (ADVICE r15), mirroring the operator: with NO existing
+-- seeds there is no cell structure, and the whole batch is admitted with
+-- cell NULL (unreachable at this fixture — seeds always exist — but the
+-- semantics are part of the contract)
+SELECT u.vec_id, CAST(NULL AS BIGINT) AS cell, CAST(1 AS INTEGER) AS admitted
+FROM u
+WHERE u.is_new = 1 AND NOT EXISTS (SELECT 1 FROM seeds)
 """
 
 
@@ -4940,6 +4980,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "semdedup_cell_profile": q_semdedup_cell_profile,
     "semdedup_incremental": q_semdedup_incremental,
+    "semdedup_incremental_store": q_semdedup_incremental_store,
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint_tokens": q_fingerprint_tokens,
@@ -5043,6 +5084,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semdedup_cell_profile": SQL_SEMDEDUP_CELL_PROFILE,
     "semdedup_incremental": SQL_SEMDEDUP_INCREMENTAL,
+    # store-path == recompute-path by construction (test_round16_ops
+    # parity pins it), so the same SQL is a genuine oracle for both
+    "semdedup_incremental_store": SQL_SEMDEDUP_INCREMENTAL,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,

@@ -15,9 +15,13 @@ plans/extensions.py), so at tau 0.99:
                 the injection tier is a correctness bug, not tuning)
 
 Sweeps seed_stride x coarse_k, including coarse_k=None (the one-level
-reference — its recall is the ceiling for every two-level point at
-the same stride, since two-level only re-routes vectors ACROSS
-cells). Writes SEMDEDUP_RECALL.json at the repo root.
+reference). One-level is NOT a recall ceiling for the two-level
+points (ADVICE r15): re-routing a vector across cells can SPLIT a
+near-dup pair one-level kept together, but can equally MERGE a pair
+one-level split — and the measured sweep shows both directions
+(stride 64: coarse_k=8 reads 0.99 vs one-level 0.975). The sweep
+itself is the evidence; no ordering between the tiers is claimed.
+Writes SEMDEDUP_RECALL.json at the repo root.
 
 Usage: python scripts/semdedup_recall.py [sf_dir]   (default sf0.1)
 """
@@ -33,6 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hhek2sqlite_spark.operators.similarity import semantic_dedup  # noqa: E402
+from hhek2sqlite_spark.operators.util import (  # noqa: E402
+    release_local_checkpoints,
+)
 from hhek2sqlite_spark.plans.extensions import (  # noqa: E402
     _NEARDUP_COPY_OFFSET,
     _SEMDEDUP_TAU,
@@ -86,6 +93,10 @@ def main() -> None:
                 "false_marks": int(agg["fp"]),
             }
             points.append(pt)
+            # semantic_dedup is EAGER (localCheckpoint) — release each
+            # point's blocks or 12 operating points accumulate executor
+            # storage across the sweep (ADVICE r15)
+            release_local_checkpoints(out)
             print(json.dumps(pt), file=sys.stderr)
     out_doc = {
         "sf_dir": sf_dir,
