@@ -3829,24 +3829,34 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     partner that must ride the join condition (as a WHERE it would
     turn the outer join inner).
 
-    Spark-first plan: the exclusion filter pushes into the orders scan
-    (inner side of a LEFT join — safe), one join shuffle pair keyed on
-    custkey, per-customer count map-side combinable, final distribution
-    agg over |customers| rows. At 100 TB: the only wide exchange is the
-    join; the second aggregate keys on a ~100-value domain."""
+    Spark-first plan (round 16 re-plan, decompose_q13.py): count
+    orders per custkey FIRST — the partial aggregate is map-side
+    combinable, so the wide exchange carries ~|custkeys| x partitions
+    partial-count rows instead of FULL ORDER ROWS — then LEFT join
+    customer to the counts (coalesce 0 = the zero bucket) and run the
+    final distribution agg over the ~100-value count domain. The
+    r15-r16 committed form (join-then-count) exchanged every order
+    row through the join before counting; the interleaved A/B
+    measurement (Q13_DECOMP.json) read the pre-agg form 0.78 vs 0.65s
+    at x1 (one extra stage at the job floor) but ALREADY ahead at x8
+    (0.84 vs 0.87s) — and at 100 TB the delta is the whole fact
+    exchange, so the floor-side 0.13s buys the scale-correct plan.
+    The exclusion filter is a plain pushed scan filter here (the
+    pre-agg side is inner — no outer-join trap), which is also
+    simpler than riding the join condition."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderpriority"
     )
-    per = (
-        cust.join(
-            orders,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    counts = (
+        orders.filter(F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    per = cust.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("c_count")
     )
     return per.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("long").alias("custdist")

@@ -8,21 +8,28 @@ believing a slope flag on a floor-bound query.
 
 Variants (identical output, the oracle SQL unchanged):
 
-- A (committed): customer LEFT JOIN orders (filter in the join
-  condition) -> groupBy custkey -> groupBy c_count. The join
-  EXCHANGES FULL ORDER ROWS on o_custkey, then counts.
-- B (pre-agg): count orders per custkey FIRST (map-side combinable —
-  the exchange carries partial counts, ~|custkeys| x partitions rows
-  instead of |orders| rows), then customer LEFT JOIN counts +
-  coalesce(0) -> groupBy c_count. The standard Q13 rewrite; at 100 TB
-  the join input shrinks from the fact to the key domain.
+- join-then-count (committed r12-r15, RETIRED r16): customer LEFT
+  JOIN orders (filter in the join condition) -> groupBy custkey ->
+  groupBy c_count. The join EXCHANGES FULL ORDER ROWS on o_custkey,
+  then counts.
+- pre-agg (committed since r16): count orders per custkey FIRST
+  (map-side combinable — the exchange carries partial counts,
+  ~|custkeys| x partitions rows instead of |orders| rows), then
+  customer LEFT JOIN counts + coalesce(0) -> groupBy c_count. The
+  standard Q13 rewrite; at 100 TB the join input shrinks from the
+  fact to the key domain.
+
+First measurement (2026-08-16, interleaved, start load 4.2/8.7):
+x1 join-then-count 0.648 vs pre-agg 0.783 (the pre-agg pays one extra
+stage at the 17MB job floor); x8 0.874 vs 0.836 — the sign flips with
+scale, exactly the fact-exchange argument, so the pre-agg form was
+committed (plan contract in test_round16_ops).
 
 Protocol: engine-A/B interleaved (A rep, B rep, alternating), median
 of REPS, noop sink, x1 and x8 scaled dirs, quiet box.
 
 Usage: python scripts/decompose_q13.py [x1_dir x8_dir]
-Prints one JSON document; fold the verdict into BASELINE.md (and
-re-plan the committed query only if B wins at BOTH scales).
+Prints one JSON document; fold the verdict into BASELINE.md.
 """
 
 from __future__ import annotations
@@ -47,19 +54,22 @@ from hhek2sqlite_spark.sources.parquet import load_table  # noqa: E402
 REPS = 3
 
 
-def variant_b(spark, sf_dir: str):
+def variant_join_then_count(spark, sf_dir: str):
+    """The retired r12-r15 form, kept as the A/B reference."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderpriority"
     )
-    counts = (
-        orders.filter(F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY)
-        .groupBy("o_custkey")
+    per = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
         .agg(F.count("o_orderkey").cast("long").alias("c_count"))
     )
-    per = cust.join(
-        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
-    ).select(F.coalesce(F.col("c_count"), F.lit(0)).cast("long").alias("c_count"))
     return per.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
     )
@@ -81,19 +91,21 @@ def main() -> None:
         label = os.path.basename(d.rstrip("/"))
         # equality first: both variants must agree before timing matters
         a_rows = sorted(
+            tuple(r) for r in variant_join_then_count(spark, d).collect()
+        )
+        b_rows = sorted(
             tuple(r) for r in q_order_count_distribution(spark, d).collect()
         )
-        b_rows = sorted(tuple(r) for r in variant_b(spark, d).collect())
         assert a_rows == b_rows, f"variant outputs differ at {label}"
         a_ts, b_ts = [], []
-        _run(q_order_count_distribution, spark, d)  # warm A
-        _run(variant_b, spark, d)  # warm B
+        _run(variant_join_then_count, spark, d)  # warm A
+        _run(q_order_count_distribution, spark, d)  # warm B
         for _ in range(REPS):  # interleaved
-            a_ts.append(_run(q_order_count_distribution, spark, d))
-            b_ts.append(_run(variant_b, spark, d))
+            a_ts.append(_run(variant_join_then_count, spark, d))
+            b_ts.append(_run(q_order_count_distribution, spark, d))
         out[label] = {
-            "committed_join_then_count_sec": round(statistics.median(a_ts), 4),
-            "pre_agg_then_join_sec": round(statistics.median(b_ts), 4),
+            "retired_join_then_count_sec": round(statistics.median(a_ts), 4),
+            "committed_pre_agg_sec": round(statistics.median(b_ts), 4),
             "a_samples": [round(t, 4) for t in a_ts],
             "b_samples": [round(t, 4) for t in b_ts],
         }

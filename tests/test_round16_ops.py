@@ -342,3 +342,21 @@ def test_owned_result_releases_on_exception(spark):
         with owned_result(semantic_dedup(emb, seed_stride=4, tau_e6=700_000)):
             raise RuntimeError("boom")
     assert not _persisted_ids(spark) - base
+
+
+# --- Q13 re-plan (VERDICT r15 #8 follow-through) -------------------------------
+
+
+def test_q13_pre_agg_plan_contract(spark):
+    """The r16 re-plan (decompose_q13.py): the per-custkey count
+    aggregates BELOW the join — the plan must show an aggregate keyed
+    on o_custkey (partial counts cross the exchange, not order rows)
+    and the priority exclusion pushed into the orders scan."""
+    from hhek2sqlite_spark.plans.extensions import q_order_count_distribution
+
+    plan = _plan_text(q_order_count_distribution(spark, "/root/testdata/sf0.001"))
+    import re
+
+    assert re.search(r"Keys \[\d+\]: \[o_custkey#", plan), plan
+    assert "Not(EqualTo(o_orderpriority" in plan, plan
+    assert "CartesianProduct" not in plan, plan
