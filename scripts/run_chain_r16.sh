@@ -10,8 +10,8 @@ set -o pipefail
 cd /root/repo
 log() { echo "[chain $(date +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg)] $*"; }
 
-log "stage 0: SCALING_SEMDEDUP_STORE.json (round-16 headline: store vs recompute, fixed batch, x1 x4 x16)"
-python scripts/scaling_semdedup_store.py 1 4 16
+log "stage 0: SCALING_SEMDEDUP_STORE.json (round-16 headline: store vs recompute, fixed batch, x1 x4 x16 x64)"
+python scripts/scaling_semdedup_store.py 1 4 16 64
 
 log "stage 1: SCALING_SEMDEDUP.json regen (x1 x4 x16 x32 — two-level internals refactored this round; prove no regression)"
 python scripts/scaling_semdedup.py 1 4 16 32
