@@ -1265,6 +1265,7 @@ def semantic_dedup_incremental_from_store(
     coarse_k: int | None = None,
     fine_salt: int = 8,
     broadcast_batch: bool = True,
+    prune_store_cells: bool = False,
 ) -> DataFrame:
     """Ingest-time SemDeDup against a MATERIALIZED corpus store — the
     steady-state production shape (round 16, VERDICT r15 #1; the
@@ -1292,6 +1293,20 @@ def semantic_dedup_incremental_from_store(
     ``coarse_k`` / ``fine_salt`` MUST match the store build (see
     build_semdedup_store — the cell structure is a function of them).
     Empty store -> bootstrap admit-all, mirroring the recompute path.
+
+    ``prune_store_cells`` (opt-in): collect the assigned batch's
+    DISTINCT cell ids (O(|batch|) driver rows — the same smallness
+    premise ``broadcast_batch`` already makes) and push them as a
+    static IN-filter on the store's pair side. On a store written
+    ``partitionBy("cell")`` (or bucketed via materialize_access_path)
+    this becomes a PARTITION FILTER at scan planning: only the cell
+    directories the batch actually touches are read — the 100-TB
+    shape where a small batch reads MBs of a TB-scale store. Spark's
+    dynamic partition pruning does not fire here on its own (the
+    build side carries no selective filter, so the DPP heuristic
+    skips), hence the explicit path; exact by construction (a batch
+    row can only be rejected by a same-cell row). Default off: an
+    unpartitioned store gains nothing over the streamed scan.
 
     Scale shape at 100 TB: per-batch driver state is O(coarse_k); the
     only corpus-sized work is the streamed store scan in the pair
@@ -1337,7 +1352,17 @@ def semantic_dedup_incremental_from_store(
     )
     if broadcast_batch:
         b = F.broadcast(b)
-    a = store.select(
+    pair_store = store
+    if prune_store_cells:
+        # O(|batch|) driver rows (distinct cells <= batch size — the
+        # broadcast_batch smallness premise made explicit), pushed as a
+        # STATIC partition filter so a cell-partitioned store scans
+        # only the touched directories
+        cells = [
+            r["cell"] for r in assigned_batch.select("cell").distinct().collect()
+        ]
+        pair_store = store.filter(F.col("cell").isin(cells))
+    a = pair_store.select(
         F.col("vec_id").alias("id_a"),
         "cell",
         F.col("eq").alias("ea"),

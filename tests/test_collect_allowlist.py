@@ -75,10 +75,13 @@ ALLOWLIST: dict[tuple[str, str, str], tuple[int, str]] = {
         "semantic_dedup_incremental_from_store",
         "collect",
     ): (
-        1,
-        "O(K) store seed rows — one-level tier of the store path only "
-        "(same fenced-K envelope as _assign_one_level); the two-level "
-        "branch collects nothing here (goes through _collect_coarse)",
+        2,
+        "site 1: O(K) store seed rows — one-level tier of the store "
+        "path only (same fenced-K envelope as _assign_one_level); the "
+        "two-level branch collects nothing there (goes through "
+        "_collect_coarse). site 2: O(|batch|) distinct cell ids behind "
+        "the opt-in prune_store_cells flag — the broadcast_batch "
+        "smallness premise made explicit as a static partition filter",
     ),
     ("plans/extensions.py", "q_order_value_ntile", "collect"): (
         1,

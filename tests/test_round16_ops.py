@@ -360,3 +360,47 @@ def test_q13_pre_agg_plan_contract(spark):
     assert re.search(r"Keys \[\d+\]: \[o_custkey#", plan), plan
     assert "Not(EqualTo(o_orderpriority" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_from_store_cell_partition_pruning(spark, tmp_path):
+    """prune_store_cells on a partitionBy('cell') store: the batch's
+    distinct cells become a STATIC partition filter — the scan plans
+    only the touched cell directories (the 100-TB shape: a small batch
+    reads MBs of a TB-scale store). Output identical to the unpruned
+    path."""
+    from hhek2sqlite_spark.operators.similarity import (
+        build_semdedup_store,
+        semantic_dedup_incremental_from_store,
+    )
+    from hhek2sqlite_spark.operators.util import release_local_checkpoints
+
+    existing = _random_corpus(spark, n=400, dim=6, seed=5)
+    store_df = build_semdedup_store(existing, seed_stride=8, coarse_k=4)
+    path = str(tmp_path / "store_part")
+    store_df.write.partitionBy("cell").parquet(path)
+    release_local_checkpoints(store_df)
+    store = spark.read.parquet(path)
+
+    # batch = copies of 10 corpus rows -> touches at most 10 cells of ~50
+    rows = existing.orderBy("vec_id").limit(10).collect()
+    batch = spark.createDataFrame(
+        [(1000 + i, r["embedding"]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    pruned = semantic_dedup_incremental_from_store(
+        store, batch, tau_e6=990_000, coarse_k=4, prune_store_cells=True
+    )
+    plan = _plan_text(pruned)
+    # the IN-list reaches the scan's PartitionFilters (cell is the
+    # partition column), so untouched cell directories are never read
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln and " IN " in ln for ln in pf_lines), plan
+    got = _as_adm(pruned.collect())
+    release_local_checkpoints(pruned)
+    unpruned = semantic_dedup_incremental_from_store(
+        store, batch, tau_e6=990_000, coarse_k=4
+    )
+    assert got == _as_adm(unpruned.collect())
+    # every copied row must be rejected against its original
+    assert all(a == 0 for _, a in got.values())
+    release_local_checkpoints(unpruned)
