@@ -1329,9 +1329,25 @@ def semantic_dedup_incremental_from_store(
     if coarse_k is None:
         # one-level tier: ALL store seeds driver-collected — the legacy
         # bounded-K envelope (use only with a fenced seed set)
-        seed_rows = seeds.orderBy("vec_id").select("vec_id", "eq").collect()
+        seed_rows = (
+            seeds.orderBy("vec_id").select("vec_id", "eq", "ccell").collect()
+        )
         if not seed_rows:
             return _bootstrap_admit(bq)
+        # a TWO-LEVEL store (ccell present) queried one-level would
+        # silently assign batch vectors by global argmax while the
+        # store's cells are route-local — missed rejections with no
+        # error. The seeds are already on the driver, so the check is
+        # free. (The reverse mismatch — one-level store queried
+        # two-level — fails loudly in _fine_assign's seedless-cell
+        # guard; coarse_k smaller/larger than the build's is the one
+        # mismatch no cheap check can see: caller contract.)
+        if any(r["ccell"] is not None for r in seed_rows):
+            raise ValueError(
+                "semantic_dedup_incremental_from_store: store was built "
+                "two-level (seed ccell present) — pass the same coarse_k "
+                "it was built with, not None"
+            )
         assigned_batch = _one_level_assign(bq, seed_rows)
     else:
         coarse = _collect_coarse(seeds, coarse_k)

@@ -404,3 +404,22 @@ def test_from_store_cell_partition_pruning(spark, tmp_path):
     # every copied row must be rejected against its original
     assert all(a == 0 for _, a in got.values())
     release_local_checkpoints(unpruned)
+
+
+def test_from_store_two_level_store_queried_one_level_raises(spark):
+    """A two-level store queried with coarse_k=None would silently
+    assign the batch by global argmax while the store's cells are
+    route-local — the guard makes the mismatch loud (free check: the
+    one-level branch already collects the seeds)."""
+    from hhek2sqlite_spark.operators.similarity import (
+        build_semdedup_store,
+        semantic_dedup_incremental_from_store,
+    )
+
+    existing = _random_corpus(spark, n=40, dim=6, seed=3)
+    store = build_semdedup_store(existing, seed_stride=4, coarse_k=4)
+    batch = _random_corpus(spark, n=5, dim=6, seed=7, id_offset=500)
+    with pytest.raises(ValueError, match="two-level"):
+        semantic_dedup_incremental_from_store(
+            store, batch, tau_e6=700_000, coarse_k=None
+        ).collect()
