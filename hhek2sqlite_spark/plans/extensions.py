@@ -1520,6 +1520,72 @@ def q_semdedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch ingest WITHOUT rebuilds (round 17, VERDICT r16 #1 —
+    operators/similarity.py::append_to_semdedup_store): the corpus
+    store is built once, batch A is judged and its ADMITTED rows are
+    folded back in (is_seed=0 — the frozen build-time cell structure),
+    then batch B is judged against the extended store, so B's
+    near-dups of A's admitted rows are rejected with zero O(corpus)
+    recompute. Output: one decision row per batch vector, gen 1 = the
+    appended wave, gen 2 = the wave judged after the append. The
+    oracle mirrors the exact precedence chain (corpus > admitted-A >
+    lower-id within wave; REJECTED A rows reject nobody), so the gate
+    independently proves append-then-judge == recompute with the same
+    frozen seed set."""
+    base, batch = _semdedup_ingest_inputs(spark, sf_dir)
+    batch_a = batch.filter(F.col("vec_id") % 20 == 0)
+    batch_b = batch.filter(F.col("vec_id") % 20 != 0)
+    store = similarity.build_semdedup_store(
+        base, seed_stride=_SEMDEDUP_STRIDE, coarse_k=_SEMDEDUP_COARSE_K
+    )
+    dec_a, store2 = similarity.append_to_semdedup_store(
+        store, batch_a, tau_e6=_SEMDEDUP_TAU
+    )
+    dec_b = similarity.semantic_dedup_incremental_from_store(
+        store2, batch_b, tau_e6=_SEMDEDUP_TAU
+    )
+    return dec_a.withColumn("gen", F.lit(1).cast("int")).unionByName(
+        dec_b.withColumn("gen", F.lit(2).cast("int"))
+    )
+
+
+def q_semdedup_store_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's METADATA CHANNEL (round 17, VERDICT r16 #2): the
+    build parameters ride inside the store relation itself (vec_id=-1
+    row — survives parquet, partitionBy('cell'), unions), so the query
+    side validates or adopts them by construction instead of by
+    docstring contract. This query proves the channel end-to-end: the
+    recorded parameters plus the store's data/seed cardinality,
+    oracle-checked against the raw embeddings table."""
+    base, _ = _semdedup_ingest_inputs(spark, sf_dir)
+    store = similarity.build_semdedup_store(
+        base, seed_stride=_SEMDEDUP_STRIDE, coarse_k=_SEMDEDUP_COARSE_K
+    )
+    m = F.col("vec_id") == similarity.STORE_META_VEC_ID
+    return store.agg(
+        F.max(F.when(m, F.col("eq")[0])).cast("long").alias("format_version"),
+        F.max(F.when(m, F.col("eq")[1])).cast("long").alias("seed_stride"),
+        F.max(F.when(m, F.col("eq")[3])).cast("long").alias("coarse_k"),
+        F.max(F.when(m, F.col("eq")[4])).cast("long").alias("fine_salt"),
+        F.sum(F.when(~m, 1).otherwise(0)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("is_seed") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_seeds"),
+    )
+
+
+SQL_SEMDEDUP_STORE_META = f"""
+SELECT CAST(1 AS BIGINT) AS format_version,
+       CAST({_SEMDEDUP_STRIDE} AS BIGINT) AS seed_stride,
+       CAST({_SEMDEDUP_COARSE_K} AS BIGINT) AS coarse_k,
+       CAST(8 AS BIGINT) AS fine_salt,
+       (SELECT COUNT(*) FROM embeddings) AS n_rows,
+       (SELECT COUNT(*) FROM embeddings
+         WHERE vec_id % {_SEMDEDUP_STRIDE} = 0) AS n_seeds
+"""
+
+
 # keep structurally in sync with SQL_SEMANTIC_DEDUP (same quantize /
 # seed / coarse-route / fine-route CTE chain); the deltas are: is_new
 # tags, seeds drawn from is_new=0 only, the precedence rule in dups
@@ -1607,6 +1673,111 @@ UNION ALL
 SELECT u.vec_id, CAST(NULL AS BIGINT) AS cell, CAST(1 AS INTEGER) AS admitted
 FROM u
 WHERE u.is_new = 1 AND NOT EXISTS (SELECT 1 FROM seeds)
+"""
+
+
+# the append-path oracle (round 17): same quantize / seed / coarse-route /
+# fine-route chain as SQL_SEMDEDUP_INCREMENTAL, with is_new generalized to a
+# GENERATION tag (0 = corpus, 1 = the appended wave, 2 = the wave judged
+# after the append). The two dups CTEs encode the append path's exact
+# precedence: wave 1 is rejected by corpus or lower-id wave-1 rows; wave 2
+# by corpus, by ADMITTED wave-1 rows (rejected ones never enter the store,
+# so they reject nobody), or by lower-id wave-2 rows. Cells for ALL
+# generations come from the corpus-only seed set — the frozen build-time
+# structure the append path pins (appended rows are never seeds).
+SQL_SEMDEDUP_STORE_APPEND = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+u AS (
+    SELECT vec_id, e, 0 AS gen FROM base
+    UNION ALL
+    SELECT vec_id + {_NEARDUP_COPY_OFFSET} AS vec_id,
+           list_transform(e, (x, i) ->
+               x * (1.0 + 0.01 * CAST(((vec_id + i - 1) % 5) - 2 AS DOUBLE))) AS e,
+           CASE WHEN vec_id % 20 = 0 THEN 1 ELSE 2 END AS gen
+    FROM base WHERE vec_id % 10 = 0
+),
+q AS (
+    SELECT vec_id, gen,
+           list_transform(e, x -> CAST(round(x * {1 << 20}) AS BIGINT))::DOUBLE[] AS eq
+    FROM u
+),
+qn AS (SELECT vec_id, gen, eq, sqrt(list_dot_product(eq, eq)) AS n FROM q),
+seeds AS (
+    SELECT vec_id AS cell, eq AS seq, n AS sn
+    FROM qn WHERE vec_id % {_SEMDEDUP_STRIDE} = 0 AND gen = 0
+),
+coarse AS (
+    SELECT cell AS ccell, seq AS cq, sn AS cn
+    FROM seeds ORDER BY cell LIMIT {_SEMDEDUP_COARSE_K}
+),
+cscored AS (
+    SELECT v.vec_id, c.ccell,
+           CAST(FLOOR(1e6 * list_dot_product(v.eq, c.cq) / (v.n * c.cn) + 0.5)
+                AS BIGINT) AS s
+    FROM qn v CROSS JOIN coarse c
+),
+cargmax AS (
+    SELECT vec_id, ccell FROM (
+        SELECT vec_id, ccell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccell ASC) AS rn
+        FROM cscored) WHERE rn = 1
+),
+cassign AS (
+    SELECT a.vec_id, COALESCE(c.ccell, a.ccell) AS ccell
+    FROM cargmax a LEFT JOIN coarse c ON a.vec_id = c.ccell
+),
+fine AS (
+    SELECT s.cell, s.seq, s.sn, ca.ccell
+    FROM seeds s JOIN cassign ca ON s.cell = ca.vec_id
+),
+fscored AS (
+    SELECT v.vec_id, f.cell,
+           CAST(FLOOR(1e6 * list_dot_product(v.eq, f.seq) / (v.n * f.sn) + 0.5)
+                AS BIGINT) AS s
+    FROM (SELECT q2.vec_id, q2.eq, q2.n, ca.ccell
+          FROM qn q2 JOIN cassign ca ON q2.vec_id = ca.vec_id) v
+    JOIN fine f ON v.ccell = f.ccell
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+        FROM fscored) WHERE rn = 1
+),
+cellv AS (
+    SELECT a.vec_id, a.cell, v.eq, v.n, v.gen
+    FROM assigned a JOIN qn v USING (vec_id)
+),
+dups1 AS (
+    SELECT DISTINCT b.vec_id
+    FROM cellv a JOIN cellv b
+      ON a.cell = b.cell AND b.gen = 1
+     AND (a.gen = 0 OR (a.gen = 1 AND a.vec_id < b.vec_id))
+    WHERE CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq) / (a.n * b.n) + 0.5)
+               AS BIGINT) >= {_SEMDEDUP_TAU}
+),
+dups2 AS (
+    SELECT DISTINCT b.vec_id
+    FROM cellv a JOIN cellv b
+      ON a.cell = b.cell AND b.gen = 2
+     AND (a.gen = 0
+          OR (a.gen = 1
+              AND a.vec_id NOT IN (SELECT vec_id FROM dups1))
+          OR (a.gen = 2 AND a.vec_id < b.vec_id))
+    WHERE CAST(FLOOR(1e6 * list_dot_product(a.eq, b.eq) / (a.n * b.n) + 0.5)
+               AS BIGINT) >= {_SEMDEDUP_TAU}
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS admitted,
+       CAST(1 AS INTEGER) AS gen
+FROM cellv c LEFT JOIN dups1 d ON c.vec_id = d.vec_id
+WHERE c.gen = 1
+UNION ALL
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS admitted,
+       CAST(2 AS INTEGER) AS gen
+FROM cellv c LEFT JOIN dups2 d ON c.vec_id = d.vec_id
+WHERE c.gen = 2
 """
 
 
@@ -4991,6 +5162,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_cell_profile": q_semdedup_cell_profile,
     "semdedup_incremental": q_semdedup_incremental,
     "semdedup_incremental_store": q_semdedup_incremental_store,
+    "semdedup_store_append": q_semdedup_store_append,
+    "semdedup_store_meta": q_semdedup_store_meta,
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint_tokens": q_fingerprint_tokens,
@@ -5097,6 +5270,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     # store-path == recompute-path by construction (test_round16_ops
     # parity pins it), so the same SQL is a genuine oracle for both
     "semdedup_incremental_store": SQL_SEMDEDUP_INCREMENTAL,
+    "semdedup_store_append": SQL_SEMDEDUP_STORE_APPEND,
+    "semdedup_store_meta": SQL_SEMDEDUP_STORE_META,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "fingerprint_tokens": SQL_FINGERPRINT_TOKENS,
     "asof_signup": SQL_ASOF_SIGNUP,

@@ -1,0 +1,207 @@
+"""Streaming ingest-time semantic dedup (round 17, VERDICT r16 #7).
+
+The batch-tier store loop (build_semdedup_store -> judge -> append)
+composed into Structured Streaming: each micro-batch of embeddings is
+judged against the persisted store PLUS every previously-ingested
+micro-batch's admitted rows, and its own admitted rows are persisted
+before the next batch arrives — crawl snapshots dedup against each
+other continuously, with zero O(corpus) recomputation per batch.
+
+Store layout under one root (all paths deterministic in batch_id):
+
+    root/base/                      cell-partitioned store parquet,
+                                    metadata row included
+                                    (materialize_semdedup_store)
+    root/delta/ingest_batch=N/      admitted rows of micro-batch N in
+                                    store schema (store_rows_for_admitted
+                                    — never a metadata row)
+    root/decisions/ingest_batch=N/  the (vec_id, cell, admitted)
+                                    decisions of micro-batch N — the
+                                    stream's queryable output
+
+EXACTLY-ONCE is by construction rather than by ledger (contrast
+streaming/sink.py, where the SQLite target needs an (app_id, table,
+batch_id) commit record because appends there are not replayable):
+every write is an OVERWRITE of a batch-id-deterministic directory, and
+the judge of batch N reads ONLY deltas with id < N. A replayed batch
+therefore re-derives byte-equivalent content (the judge is
+deterministic) into the same directories, and a partially-written
+delta from a crash is simply overwritten by the replay before anything
+ever reads it. The same property makes the handler IDEMPOTENT under
+Spark's at-least-once foreachBatch contract.
+
+Scale shape: per batch, assignment touches only batch vectors
+(O(coarse_k) driver state via the store metadata), the base store is
+the streamed/broadcast-probed side of one cell equi-join (prunable —
+the base scan is cell-partitioned, so AUTO pruning pushes the batch's
+cells as PartitionFilters on it), and deltas are batch-sized. The
+delta count grows with stream lifetime; a maintenance pass compacts
+root by rebuilding base from base+deltas (build amortized over the
+batches since the last compaction) — the documented rebuild policy of
+append_to_semdedup_store.
+
+Reference anchor: the ingest loop of hhek2sqlite.go:235-273 (append
+into the live store as rows arrive), lifted to the semantic tier and
+micro-batch cadence.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    SEMDEDUP_STORE_DDL,
+    materialize_semdedup_store,
+    semantic_dedup_incremental_from_store,
+    store_rows_for_admitted,
+)
+from ..operators.util import release_local_checkpoints
+
+_DELTA_DIR_RE = re.compile(r"^ingest_batch=(\d+)$")
+
+
+def init_semdedup_stream_store(store: DataFrame, root: str) -> DataFrame:
+    """Materialize ``store`` as the stream's base relation
+    (``root/base``, cell-partitioned, metadata row included). Refuses
+    a seedless store loudly: the stream's append policy never promotes
+    batch rows to seeds, so a seedless base would admit every batch
+    unjudged forever (same contract as append_to_semdedup_store)."""
+    if store.filter("is_seed = 1").limit(1).count() == 0:
+        raise ValueError(
+            "init_semdedup_stream_store: the store has no seeds — "
+            "build_semdedup_store over a non-empty corpus first "
+            "(streamed batches are never seeds, so a seedless base "
+            "would admit everything forever)"
+        )
+    return materialize_semdedup_store(store, os.path.join(root, "base"))
+
+
+def _batch_ids_under(path: str) -> list[int]:
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return []
+    ids = []
+    for name in names:
+        m = _DELTA_DIR_RE.match(name)
+        if m:
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def _delta_ids(root: str) -> list[int]:
+    return _batch_ids_under(os.path.join(root, "delta"))
+
+
+def open_semdedup_stream_store(
+    spark: SparkSession, root: str, *, upto_batch_id: int | None = None
+) -> DataFrame:
+    """The judging relation at a point in the stream: base plus every
+    persisted delta with id < ``upto_batch_id`` (all deltas when
+    None). Excluding the current batch's own id is what makes REPLAY
+    exact: a crashed batch N's partial delta directory is never read
+    when N is re-judged. The base stays a cell-partitioned scan inside
+    the union, so AUTO cell pruning still applies to it."""
+    base = spark.read.schema(SEMDEDUP_STORE_DDL).parquet(
+        os.path.join(root, "base")
+    ).select("vec_id", "cell", "eq", "n", "is_seed", "ccell")
+    store = base
+    for i in _delta_ids(root):
+        if upto_batch_id is not None and i >= upto_batch_id:
+            continue
+        delta = spark.read.schema(SEMDEDUP_STORE_DDL).parquet(
+            os.path.join(root, "delta", f"ingest_batch={i}")
+        )
+        store = store.unionByName(delta)
+    return store
+
+
+def judge_semdedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    root: str,
+    tau_e6: int = 990_000,
+    broadcast_batch: bool = True,
+) -> None:
+    """The foreachBatch handler body (callable directly for replay /
+    backfill): judge ``batch_df`` against base + deltas < batch_id,
+    overwrite ``decisions/ingest_batch=<id>`` and
+    ``delta/ingest_batch=<id>``. Idempotent by deterministic-path
+    overwrite (module docstring). Parameters (coarse_k/fine_salt) are
+    ADOPTED from the base store's metadata row — a stream cannot drift
+    from its store's cell structure."""
+    spark = batch_df.sparkSession
+    store = open_semdedup_stream_store(spark, root, upto_batch_id=batch_id)
+    decisions = semantic_dedup_incremental_from_store(
+        store, batch_df, tau_e6=tau_e6, broadcast_batch=broadcast_batch
+    )
+    # batch-sized eager checkpoint: the two writes below must not
+    # re-run the judge (same reuse contract as append_to_semdedup_store)
+    decisions = decisions.localCheckpoint(eager=True)
+    try:
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(root, "decisions", f"ingest_batch={batch_id}")
+        )
+        store_rows_for_admitted(batch_df, decisions).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "delta", f"ingest_batch={batch_id}"))
+    finally:
+        release_local_checkpoints(decisions)
+
+
+def stream_semdedup_ingest(
+    stream_df: DataFrame,
+    *,
+    root: str,
+    checkpoint_dir: str,
+    tau_e6: int = 990_000,
+    broadcast_batch: bool = True,
+    available_now: bool = True,
+):
+    """readStream of (vec_id, embedding) -> per-micro-batch judge +
+    persist under ``root`` (init_semdedup_stream_store first).
+    ``available_now=True`` drains everything currently in the source
+    then stops (the batch-mode run of a streaming pipeline); pass
+    False for a continuous run. Pair the source with
+    ``maxFilesPerTrigger=1`` to get one micro-batch per arriving file
+    — the crawl-snapshot cadence."""
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        judge_semdedup_batch(
+            batch_df,
+            batch_id,
+            root=root,
+            tau_e6=tau_e6,
+            broadcast_batch=broadcast_batch,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_semdedup_stream_decisions(
+    spark: SparkSession, root: str
+) -> DataFrame:
+    """All decisions the stream has persisted so far, with their
+    micro-batch id: (ingest_batch, vec_id, cell, admitted)."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for i in _batch_ids_under(os.path.join(root, "decisions")):
+        d = spark.read.schema("vec_id long, cell long, admitted int").parquet(
+            os.path.join(root, "decisions", f"ingest_batch={i}")
+        ).withColumn("ingest_batch", F.lit(i).cast("long"))
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        return spark.createDataFrame(
+            [], "ingest_batch long, vec_id long, cell long, admitted int"
+        )
+    return out.select("ingest_batch", "vec_id", "cell", "admitted")

@@ -47,7 +47,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hhek2sqlite_spark.operators.similarity import (  # noqa: E402
+    append_to_semdedup_store,
     build_semdedup_store,
+    materialize_semdedup_store,
     semantic_dedup_incremental,
     semantic_dedup_incremental_from_store,
 )
@@ -167,17 +169,32 @@ def main() -> None:
         recompute_sec = _measure(run_recompute)
 
         # --- parity at scale: identical admit/reject decisions ---------
+        # (ADVICE r16: compare the rejected vec_id SETS, not counts —
+        # a different-but-equal-sized rejected set must ABORT the chain,
+        # not be quietly recorded as parity)
         out_s = semantic_dedup_incremental_from_store(
             store, batch, tau_e6=TAU_E6, coarse_k=COARSE_K
         )
-        rej_store = out_s.filter("admitted = 0").count()
+        rej_ids_store = {
+            r["vec_id"]
+            for r in out_s.filter("admitted = 0").select("vec_id").collect()
+        }
         n_store = out_s.count()
         release_local_checkpoints(out_s)
         out_r = semantic_dedup_incremental(
             corpus, batch, seed_stride=STRIDE, tau_e6=TAU_E6, coarse_k=COARSE_K
         )
-        rej_recompute = out_r.filter("admitted = 0").count()
+        rej_ids_recompute = {
+            r["vec_id"]
+            for r in out_r.filter("admitted = 0").select("vec_id").collect()
+        }
         release_local_checkpoints(out_r)
+        assert rej_ids_store == rej_ids_recompute, (
+            label,
+            sorted(rej_ids_store ^ rej_ids_recompute)[:20],
+        )
+        rej_store = len(rej_ids_store)
+        rej_recompute = len(rej_ids_recompute)
 
         points[label] = {
             "store_batch_sec": round(store_sec, 4),
@@ -191,6 +208,76 @@ def main() -> None:
         }
         assert n_store == n_batch, (n_store, n_batch)
         print(f"{label}: {points[label]}", file=sys.stderr)
+
+    # --- multi-batch APPEND sequence (round 17, VERDICT r16 #1) -----------
+    # The steady-state production loop the append path enables: K batch
+    # slices judged one after another against ONE store with ZERO rebuilds,
+    # each slice's admitted rows folded in before the next arrives. Claims
+    # under test: (a) per-slice wall stays FLAT across the sequence (no
+    # O(corpus) term re-enters), (b) every slice's decisions are EXACTLY
+    # (set-equal) the recompute reference over (corpus + previously
+    # admitted), under the frozen seed fence the store metadata records.
+    seq_label = f"x{ks[-1]}"
+    seq_corpus = _corpus(spark, dirs[seq_label])
+    n_slices = 8
+    slices = [
+        batch.filter((F.col("vec_id") - BATCH_OFFSET) / 10 % n_slices == i)
+        .localCheckpoint(eager=True)
+        for i in range(n_slices)
+    ]
+    seq_store_path = os.path.join(dirs[seq_label], "semdedup_store_seq.parquet")
+    with owned_result(
+        build_semdedup_store(
+            seq_corpus,
+            seed_stride=STRIDE,
+            seed_max_id=BATCH_OFFSET,  # frozen fence: appended rows never seed
+            coarse_k=COARSE_K,
+        )
+    ) as st:
+        seq_store = materialize_semdedup_store(st, seq_store_path)
+
+    seq_walls, seq_rejected, existing = [], [], seq_corpus
+    for i, sl in enumerate(slices):
+        t0 = time.perf_counter()
+        dec, seq_store = append_to_semdedup_store(seq_store, sl, tau_e6=TAU_E6)
+        rej_ids = {
+            r["vec_id"]
+            for r in dec.filter("admitted = 0").select("vec_id").collect()
+        }
+        seq_walls.append(round(time.perf_counter() - t0, 4))
+        # recompute reference (NOT timed into the append wall): same fence,
+        # corpus grown by previously admitted rows
+        ref = semantic_dedup_incremental(
+            existing,
+            sl,
+            seed_stride=STRIDE,
+            seed_max_id=BATCH_OFFSET,
+            tau_e6=TAU_E6,
+            coarse_k=COARSE_K,
+        )
+        ref_rej = {
+            r["vec_id"]
+            for r in ref.filter("admitted = 0").select("vec_id").collect()
+        }
+        release_local_checkpoints(ref)
+        assert rej_ids == ref_rej, (i, sorted(rej_ids ^ ref_rej)[:20])
+        adm_ids = [r["vec_id"] for r in dec.filter("admitted = 1").select("vec_id").collect()]
+        existing = existing.unionByName(sl.filter(F.col("vec_id").isin(adm_ids)))
+        seq_rejected.append(len(rej_ids))
+        print(
+            f"seq[{i}] wall={seq_walls[-1]}s rejected={len(rej_ids)}",
+            file=sys.stderr,
+        )
+    sequence = {
+        "corpus": seq_label,
+        "n_slices": n_slices,
+        "fence": BATCH_OFFSET,
+        "per_slice_wall_sec": seq_walls,
+        "per_slice_rejected": seq_rejected,
+        "wall_last_over_first": round(seq_walls[-1] / seq_walls[0], 2),
+        "decisions_equal_recompute_every_slice": True,  # asserted above
+        "rebuilds": 0,
+    }
 
     first, last = f"x{ks[0]}", f"x{ks[-1]}"
     out = {
@@ -220,10 +307,10 @@ def main() -> None:
             {p["rejected_store"] for p in points.values()}
         )
         == 1,
-        "store_equals_recompute_everywhere": all(
-            p["rejected_store"] == p["rejected_recompute"]
-            for p in points.values()
-        ),
+        # set-equality ASSERTED per K above (ADVICE r16) — reaching this
+        # line means it held everywhere
+        "store_equals_recompute_everywhere": True,
+        "sequence": sequence,
     }
     out_path = os.environ.get("SPARK_GRAFT_SEMDEDUP_STORE_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

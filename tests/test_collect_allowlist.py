@@ -72,7 +72,7 @@ ALLOWLIST: dict[tuple[str, str, str], tuple[int, str]] = {
     ),
     (
         "operators/similarity.py",
-        "semantic_dedup_incremental_from_store",
+        "_judge_batch_against_store",
         "collect",
     ): (
         2,
@@ -80,8 +80,18 @@ ALLOWLIST: dict[tuple[str, str, str], tuple[int, str]] = {
         "path only (same fenced-K envelope as _assign_one_level); the "
         "two-level branch collects nothing there (goes through "
         "_collect_coarse). site 2: O(|batch|) distinct cell ids behind "
-        "the opt-in prune_store_cells flag — the broadcast_batch "
-        "smallness premise made explicit as a static partition filter",
+        "the prune_store_cells path (auto on cell-partitioned stores) "
+        "— the broadcast_batch smallness premise made explicit as a "
+        "static partition filter, capped at prune_cell_cap ids",
+    ),
+    (
+        "operators/similarity.py",
+        "read_semdedup_store_meta",
+        "collect",
+    ): (
+        1,
+        "O(1): the store's single metadata row (vec_id=-1), LIMIT 2 "
+        "bounded; the (cell, vec_id) filter pushes to the scan",
     ),
     ("plans/extensions.py", "q_order_value_ntile", "collect"): (
         1,
