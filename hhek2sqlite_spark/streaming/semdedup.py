@@ -153,6 +153,44 @@ def judge_semdedup_batch(
         release_local_checkpoints(decisions)
 
 
+def compact_semdedup_stream_store(spark: SparkSession, root: str) -> int:
+    """Fold every persisted delta into ``root/base`` and remove the
+    delta directories — the maintenance pass that bounds the stream's
+    delta count (module docstring's rebuild policy). Returns the
+    number of deltas folded.
+
+    Decisions directories are untouched (they are the stream's output
+    history, not judge state). The base keeps its metadata row (deltas
+    never carry one), and folded rows keep ``is_seed = 0`` — the cell
+    structure stays the original build's, so judging after compaction
+    is IDENTICAL to judging before (pinned by test).
+
+    CONTRACT: run only while the stream is STOPPED after a clean drain
+    (e.g. an availableNow run that terminated). Folding the delta of a
+    batch whose commit never reached the stream checkpoint would make
+    that batch's replay judge against its own rows — every row would
+    reject itself as an exact duplicate. A clean drain guarantees every
+    existing delta belongs to a committed batch, which is exactly the
+    state availableNow exits in."""
+    import shutil
+
+    ids = _delta_ids(root)
+    if not ids:
+        return 0
+    merged = open_semdedup_stream_store(spark, root)
+    # write to a sibling then swap: the base must never be half-written
+    # (materialize's overwrite would otherwise read-and-rewrite the very
+    # directories it is replacing)
+    tmp = os.path.join(root, "base_compact_tmp")
+    materialize_semdedup_store(merged, tmp)
+    base = os.path.join(root, "base")
+    shutil.rmtree(base)
+    os.rename(tmp, base)
+    for i in ids:
+        shutil.rmtree(os.path.join(root, "delta", f"ingest_batch={i}"))
+    return len(ids)
+
+
 def stream_semdedup_ingest(
     stream_df: DataFrame,
     *,

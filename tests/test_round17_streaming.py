@@ -125,6 +125,57 @@ def test_replay_is_idempotent_and_excludes_own_partial_delta(spark, tmp_path):
     )
 
 
+def test_compaction_preserves_decisions_and_clears_deltas(spark, tmp_path):
+    """compact_semdedup_stream_store folds deltas into base: the delta
+    list empties, the metadata row stays unique, and a subsequent batch
+    is judged IDENTICALLY to the uncompacted state."""
+    from hhek2sqlite_spark.streaming.semdedup import (
+        _delta_ids,
+        compact_semdedup_stream_store,
+    )
+
+    root = _init_root(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        _random_rows(10, 6, seed=31, id_offset=1000), BATCH_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _random_rows(10, 6, seed=32, id_offset=1500), BATCH_SCHEMA
+    )
+    judge_semdedup_batch(b1, 0, root=root, tau_e6=990_000)
+    judge_semdedup_batch(b2, 1, root=root, tau_e6=990_000)
+    probe = spark.createDataFrame(
+        [(3000 + i, emb) for i, (_, emb) in enumerate(_random_rows(10, 6, 31, 1000))]
+        + [(4000 + i, emb) for i, (_, emb) in enumerate(_random_rows(5, 6, 99, 0))],
+        BATCH_SCHEMA,
+    ).localCheckpoint(eager=True)
+
+    from hhek2sqlite_spark.operators.similarity import (
+        semantic_dedup_incremental_from_store,
+    )
+
+    before = {
+        r["vec_id"]: (r["cell"], r["admitted"])
+        for r in semantic_dedup_incremental_from_store(
+            open_semdedup_stream_store(spark, root), probe, tau_e6=990_000
+        ).collect()
+    }
+    n_before = open_semdedup_stream_store(spark, root).count()
+    assert compact_semdedup_stream_store(spark, root) == 2
+    assert _delta_ids(root) == []
+    compacted = open_semdedup_stream_store(spark, root)
+    assert compacted.count() == n_before
+    assert compacted.filter("vec_id = -1").count() == 1  # one metadata row
+    after = {
+        r["vec_id"]: (r["cell"], r["admitted"])
+        for r in semantic_dedup_incremental_from_store(
+            compacted, probe, tau_e6=990_000
+        ).collect()
+    }
+    assert after == before
+    # the copies of batch-1 rows are still rejected post-compaction
+    assert all(a == 0 for v, (_, a) in after.items() if v >= 3000 and v < 4000)
+
+
 def test_stream_store_refuses_seedless_base(spark, tmp_path):
     import pytest
 
