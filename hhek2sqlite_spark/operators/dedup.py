@@ -578,31 +578,54 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     one aggregate action per round instead of a self-join diff. The
     converged labels are localCheckpoint-ed (materialized, lineage cut)
     so every per-round cache can be unpersisted before returning —
-    repeated calls leak no storage."""
+    repeated calls leak no storage.
+
+    r17 re-plan (guide §2.4 — remove shuffles outright): the old round
+    was THREE keyed exchanges (sym⋈labels on the neighbor key, groupBy
+    for the neighbor min, left-join back onto labels for
+    least(own, nbr)). Appending one SELF-EDGE (id, id) per node to the
+    symmetric edge list makes min-over-CLOSED-neighborhood a single
+    join + groupBy — the own label arrives through the self-edge, so
+    the join-back (and its exchange) disappears. The augmented edge
+    relation is hash-partitioned on the neighbor key ONCE and cached;
+    each round then moves only the label relation (shuffle_hash — the
+    cached edges never re-shuffle) plus the map-combined groupBy: 2
+    exchanges/round, of which only the groupBy carries edge-grain rows.
+    Round 1 needs no join at all: labels are the identity, so
+    min-over-closed-neighborhood of ids == groupBy(min) straight over
+    the augmented edges. Per-round labels are IDENTICAL to the old
+    formulation (min over the same closed neighborhood), so round
+    count, the convergence fixpoint, and the star fallback trigger are
+    unchanged."""
     edges = pairs.select("id_a", "id_b").cache()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    ids = sym.select(F.col("id_a").alias("id")).distinct()
+    symp = (
+        sym.union(ids.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")))
+        .repartition("id_b")
+        .cache()
+    )
+    # round 1 folded: label_0(v) = v, so min over the closed
+    # neighborhood's labels == min over the neighbor ids themselves
     labels = (
-        sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).cache()
+        symp.groupBy("id_a")
+        .agg(F.min("id_b").alias("label"))
+        .withColumnRenamed("id_a", "id")
+        .cache()
+    )
     try:
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        for _ in range(max_iter):
-            nbr_min = (
-                sym.join(labels.withColumnRenamed("id", "id_b"), "id_b")
-                .groupBy("id_a")
-                .agg(F.min("label").alias("nbr_label"))
-                .withColumnRenamed("id_a", "id")
-            )
+        for _ in range(max_iter - 1):
             new_labels = (
-                labels.join(nbr_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                    ).alias("label"),
+                symp.join(
+                    labels.hint("shuffle_hash").withColumnRenamed("id", "id_b"),
+                    "id_b",
                 )
+                .groupBy("id_a")
+                .agg(F.min("label").alias("label"))
+                .withColumnRenamed("id_a", "id")
             ).cache()
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
@@ -617,6 +640,7 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         return star_connected_components(edges)
     finally:
         edges.unpersist()
+        symp.unpersist()
         labels.unpersist()
 
 

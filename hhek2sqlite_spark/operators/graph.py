@@ -13,9 +13,14 @@ Design rules (100 TB):
   (``div`` floor division, positive operands) — exact in any engine, so
   a fixed-iteration run is oracle-pairable with unrolled SQL; float
   PageRank is not (summation order changes the last ulp).
-- The edge list joins its out-degree ONCE before the loop; each
+- The edge list is hash-laid-out on the source key ONCE before the loop
+  and annotates its out-degree with a window over that same layout (no
+  separate degree aggregation or join — r17, guide §2.4); each
   iteration is then one join (ranks x edges on src) + one groupBy(dst)
-  — two keyed shuffles per round, nothing global, no driver-side state.
+  — the cached edges never move again, only the (tiny) rank relation
+  shuffles. Round 1 is folded into the edge relation: rank_0 is the
+  constant RANK_SCALE, so the first round's contributions are a pure
+  function of the edges and need no join at all.
 - Fixed iteration count, not convergence polling: no collect() in the
   loop, and the plan is statically known. For long runs localCheckpoint
   every ~5 rounds would cut lineage (same cadence as
@@ -26,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 RANK_SCALE = 1_000_000  # ranks in micro-units of 1.0
 
@@ -51,24 +57,52 @@ def pagerank(
     — all floor divisions on positive integers, bit-identical in any
     engine. Returns (node BIGINT, rank_micros BIGINT) after the last
     round; only nodes with in-edges appear (symmetric graphs: all).
+
+    Plan shape (r17 re-plan, guide §2.4/§2.3): the degree-annotated
+    edge relation is built with ONE exchange — repartition on the
+    source key, then ``count(*) over (partition by src)`` reuses that
+    exact layout (the old form paid a groupBy exchange for the degree
+    plus a join and a second repartition to attach it). It is cached in
+    that layout because every round reads it. Parallel edges are
+    counted per-row, same as the old groupBy(src).count().
     """
     base = ((damping_den - damping_num) * RANK_SCALE) // damping_den
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
-    # cache the degree-annotated edge relation PRE-PARTITIONED on the
-    # source key: it is read once per round, and without the cache each
-    # round's join would re-derive the whole upstream edge construction
-    # (scan + self-join + distinct). The hash layout makes every round's
-    # join reuse this partitioning — only the (tiny) rank relation moves.
     ed = (
-        edges.join(deg, src)
-        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg")
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .repartition("e_src")
+        .withColumn(
+            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("e_src"))
+        )
         .persist()
     )
-    ranks = deg.select(
-        F.col(src).alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank_micros")
+    if iterations <= 0:
+        # degenerate contract: rank_0 over the node set (distinct srcs)
+        out = (
+            ed.select(F.col("e_src").alias("node"))
+            .distinct()
+            .withColumn("rank_micros", F.lit(RANK_SCALE).cast("long"))
+            .localCheckpoint()
+        )
+        ed.unpersist()
+        return out
+
+    def _round(contrib: DataFrame) -> DataFrame:
+        return contrib.groupBy("node").agg(
+            F.expr(
+                f"CAST({base} + ({damping_num} * sum(c)) div {damping_den} AS BIGINT)"
+            ).alias("rank_micros")
+        )
+
+    # round 1 folded: rank_0 == RANK_SCALE for every node, so the first
+    # round's contributions are a pure function of the cached edges —
+    # no rank join (guide §2.4: one exchange removed outright)
+    ranks = _round(
+        ed.select(
+            F.col("e_dst").alias("node"),
+            F.expr(f"{RANK_SCALE}L div out_deg").alias("c"),
+        )
     )
-    for _ in range(iterations):
+    for _ in range(iterations - 1):
         # shuffle-hash, not broadcast: measured ~20% faster here (no
         # per-round driver collect/broadcast barrier), and it is the
         # only shape that still works when the rank table outgrows the
@@ -80,11 +114,7 @@ def pagerank(
             F.col("e_dst").alias("node"),
             F.expr("rank_micros div out_deg").alias("c"),
         )
-        ranks = contrib.groupBy("node").agg(
-            F.expr(
-                f"CAST({base} + ({damping_num} * sum(c)) div {damping_den} AS BIGINT)"
-            ).alias("rank_micros")
-        )
+        ranks = _round(contrib)
     # materialize + cut lineage so the edge cache can be released before
     # returning (same leak-avoidance contract as dedup.neardup_clusters)
     out = ranks.localCheckpoint()
@@ -96,18 +126,43 @@ def cooccurrence_edges(
     items: DataFrame, *, group_col: str, item_col: str
 ) -> DataFrame:
     """Symmetric co-occurrence edge list: (a, b) iff a and b share at
-    least one group. Distinct (group, item) first, so the self-join
-    fan-out is bounded by the distinct items per group, then distinct
-    pairs. One shuffle on the group key; at scale, cap the per-group
-    item count upstream (a hot group with g items emits g^2 pairs)."""
-    base = items.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
-    a = base.alias("a")
-    b = base.alias("b")
+    least one group.
+
+    r17 re-plan (guide §2.4): the per-group distinct item set is built
+    with ONE map-combined groupBy (``collect_set`` dedups in the same
+    exchange the old ``distinct()`` paid), and the g*(g-1) ordered
+    pairs are expanded INSIDE the task by a codegen'd nested array
+    transform — the old self-join re-shuffled the (group, item)
+    relation twice more to meet itself on the group key. One final
+    groupBy dedups pairs across groups. Two exchanges total (group
+    key, then pair key) instead of four; the only relation that ever
+    carries pair-grain rows is the last exchange, identical to before.
+
+    NULL semantics match the old join form: NULL groups produce no
+    edges (the equi-join dropped NULL keys; here they are filtered
+    explicitly) and NULL items produce no edges (collect_set drops
+    NULLs; the old ``a.item != b.item`` predicate rejected them).
+
+    Scale cap unchanged: per-group item count must be bounded upstream
+    (a hot group with g items emits g^2 pairs — and now also holds its
+    g-item set in one aggregation buffer, the standard collect_set
+    envelope)."""
+    per_group = (
+        items.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.collect_set(F.col(item_col)).alias("its"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("its"),
+            lambda x: F.transform(
+                F.filter(F.col("its"), lambda y: y != x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     return (
-        a.join(b, "g")
-        .filter(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        per_group.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
     )

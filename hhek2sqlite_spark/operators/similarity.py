@@ -792,7 +792,11 @@ _ASSIGN_BLOCK = 8192
 
 
 def _assign_one_level(
-    q: DataFrame, seed_pred: Column, extra: tuple[tuple[str, str], ...] = ()
+    q: DataFrame,
+    seed_pred: Column,
+    extra: tuple[tuple[str, str], ...] = (),
+    *,
+    checkpoint: bool = True,
 ) -> DataFrame | None:
     """Legacy single-tier assignment: ALL K seeds driver-collected, one
     Arrow matmul per batch. O(K x dim) driver state and N*K*dim flops —
@@ -806,13 +810,15 @@ def _assign_one_level(
     seed_rows = q.filter(seed_pred).orderBy("vec_id").select("vec_id", "eq").collect()
     if not seed_rows:
         return None
-    return _one_level_assign(q, seed_rows, extra)
+    return _one_level_assign(q, seed_rows, extra, checkpoint=checkpoint)
 
 
 def _one_level_assign(
     vectors: DataFrame,
     seed_rows: list,
     extra: tuple[tuple[str, str], ...] = (),
+    *,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Kernel half of the one-level tier: assign ``vectors`` to the
     nearest of the already-collected ``seed_rows`` (vec_id-ordered
@@ -840,13 +846,17 @@ def _one_level_assign(
         sims = np.floor((1e6 * dots) / (na[:, None] * sn[None, :]) + 0.5)
         return pd.Series(seed_ids[np.argmax(sims, axis=1)])
 
-    return vectors.select(
+    out = vectors.select(
         "vec_id",
         F.col("eq"),
         F.col("n"),
         *[F.col(name) for name, _ in extra],
         _nearest_seed("eq").alias("cell"),
-    ).localCheckpoint(eager=True)
+    )
+    # checkpoint=False (r17): the store build materializes at STORE
+    # grain instead — a second assignment-grain checkpoint there was a
+    # redundant full materialization of the same N rows
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def _assign_two_level(
@@ -857,6 +867,7 @@ def _assign_two_level(
     extra: tuple[tuple[str, str], ...] = (),
     *,
     return_seed_route: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame | None | tuple[DataFrame | None, DataFrame | None]:
     """Two-level assignment (round 15, the r14 weak-flag fix): driver
     and closure state is the coarse_k x dim COARSE matrix only —
@@ -894,7 +905,7 @@ def _assign_two_level(
             F.col("eq").alias("seq"),
         )
     )
-    assigned = _fine_assign(v, s, fine_salt, extra)
+    assigned = _fine_assign(v, s, fine_salt, extra, checkpoint=checkpoint)
     if return_seed_route:
         seed_route = s.select(F.col("cell").alias("vec_id"), "ccell")
         return assigned, seed_route
@@ -955,6 +966,8 @@ def _fine_assign(
     s: DataFrame,
     fine_salt: int,
     extra: tuple[tuple[str, str], ...] = (),
+    *,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Salted-cogroup fine tier: one Arrow task per (coarse cell,
     salt) holding that cell's full seed set but only ~1/fine_salt of
@@ -1015,12 +1028,14 @@ def _fine_assign(
         + "".join(f"{name} {ddl}, " for name, ddl in extra)
         + "cell long"
     )
-    return (
+    out = (
         v.groupBy("ccell", "salt")
         .cogroup(s.groupBy("ccell", "salt"))
         .applyInPandas(_assign_fine, schema)
-        .localCheckpoint(eager=True)
     )
+    # checkpoint=False (r17): see _one_level_assign — the store build
+    # materializes once at store grain instead of twice
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def semantic_dedup_incremental(
@@ -1357,8 +1372,19 @@ def build_semdedup_store(
     bootstraps (admit-all, cell NULL) exactly like
     ``semantic_dedup_incremental``.
 
-    EAGER like semantic_dedup (the assignment localCheckpoints);
-    release via ``release_local_checkpoints`` once written/consumed.
+    EAGER: the finished store relation (data + metadata row) is
+    localCheckpoint'ed ONCE at store grain (r17 — the assignment-grain
+    checkpoint inside the shared kernels is SKIPPED here via their
+    ``checkpoint=False``, so the corpus is materialized once, not
+    twice). The store-grain leaf is the scale point: every consumer of
+    a store relation (the metadata read, the seed collect, the pair
+    probe of EACH judged batch) previously re-evaluated the lazy
+    assignment→seed-route-join→union pipeline per reference — ~5 plan
+    evaluations per judge call, each re-scanning the corpus for the
+    seed route. Now they all read one materialized leaf, which also
+    mirrors what the parquet round-trip (materialize_semdedup_store)
+    gives a production deployment for free. Release via
+    ``release_local_checkpoints`` once written/consumed.
     """
     e = existing.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ed")
@@ -1379,12 +1405,13 @@ def build_semdedup_store(
     )
     seed_ccell = None
     if coarse_k is None:
-        assigned = _assign_one_level(q, seed_pred)
+        assigned = _assign_one_level(q, seed_pred, checkpoint=False)
     else:
         # the seeds' own coarse routing comes back as a K-row byproduct
         # of the assignment (ADVICE r16: no second _collect_coarse job)
         assigned, seed_ccell = _assign_two_level(
-            q, seed_pred, coarse_k, fine_salt, return_seed_route=True
+            q, seed_pred, coarse_k, fine_salt,
+            return_seed_route=True, checkpoint=False,
         )
     if assigned is None:
         return meta
@@ -1401,7 +1428,7 @@ def build_semdedup_store(
         data = out.join(seed_ccell, "vec_id", "left").select(
             "vec_id", "cell", "eq", "n", "is_seed", "ccell"
         )
-    return data.unionByName(meta)
+    return data.unionByName(meta).localCheckpoint(eager=True)
 
 
 def _bootstrap_admit(bq: DataFrame) -> DataFrame:

@@ -3498,7 +3498,20 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df <= max_df prune (broadcast-joined back BEFORE the self-join)
     bounds every token's pair fan-out at max_df² — the same
     stopword-kill argument as inverted_index. The pair rollup keys on
-    the (doc_a, doc_b) pair; norms key on the doc."""
+    the (doc_a, doc_b) pair; norms key on the doc.
+
+    r17: the pruned ``rare`` relation is localCheckpoint'ed (eager)
+    before fanning out to its THREE consumers (norms, both self-join
+    sides). Lazily composed, Catalyst re-derived the whole
+    scan→tf→df→prune pipeline once per reference — the committed plan
+    held 32 parquet scans and 108 Exchanges (plans/r17/
+    sparse_cosine_pairs_before.txt) and planning itself was a visible
+    cost. The checkpoint is the tfidf_topk precedent: the materialized
+    relation is the RARE-token subspace (per-token rows bounded by
+    max_df, stopword mass already dropped), so the intermediate is far
+    smaller than the corpus — unlike span_dedup's rejected
+    corpus-sized checkpoint. Release via owned_result (guide §3.3:
+    truncate a plan whose width, not depth, is the problem)."""
     from hhek2sqlite_spark.operators.text import tokens
 
     base = spread(load_table(spark, sf_dir, "documents"))
@@ -3527,7 +3540,7 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     rare = tf.join(
         F.broadcast(df_rel.filter(F.col("df") <= _COS_MAX_DF)), "tok"
-    )
+    ).localCheckpoint(eager=True)
     norms = rare.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm2")
     )
