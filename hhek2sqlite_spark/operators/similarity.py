@@ -476,6 +476,17 @@ def lsh_bucket_pairs(
                 hi |= keys[:, b] << ((b - keys_per_half) * band_bits)
         return pd.DataFrame({"keys": list(keys), "lo": lo, "hi": hi})
 
+    # asNondeterministic (r17, guide §4.4): the function is pure, but
+    # marking it non-deterministic stops the optimizer DUPLICATING it —
+    # the join-key nullability inference pushed an
+    # isnotnull(lo)/isnotnull(hi) filter BELOW the spread exchange,
+    # which re-evaluated the whole payload kernel on the unspread scan
+    # (two ArrowEvalPython nodes per join side in the committed r16
+    # plan, i.e. the 64-plane matmul ran twice per vector per side).
+    # The kernel never emits NULL lo/hi, so the filter was a no-op that
+    # doubled the dominant map stage.
+    _band_payload = _band_payload.asNondeterministic()
+
     hashed = (
         e.withColumn("eq", eq)
         .withColumn("_p", _band_payload(F.col("eq")))
@@ -552,6 +563,13 @@ def lsh_bucket_pairs(
         # sentinel strictly below any min_sim_e6.
         x = np.where(denom > 0, 1e6 * dq / np.where(denom > 0, denom, 1.0), -2e6)
         return pd.Series(np.floor(x + 0.5).astype("int64"))
+
+    # same §4.4 duplication as _band_payload above: the sim_e6 >=
+    # min_sim_e6 filter is pushed below the projection, so the
+    # committed r16 plan evaluated the verify matmul TWICE over every
+    # candidate pair (two ArrowEvalPython nodes). Pure function, no
+    # NULLs — the pushed copy gained nothing.
+    _sim_q = _sim_q.asNondeterministic()
 
     # the verify joins attach vectors to ~N^2/2^r candidate pairs; the
     # vector side is dimension-sized (N rows) while candidates are the
