@@ -47,14 +47,21 @@ def edit_distance_pairs(
     early-outs instead of filling the full DP matrix. Returns
     (id_a, id_b, edit_dist) with edit_dist <= max_dist.
 
-    ``spread`` decouples the CPU-heavy shingle/levenshtein stages from
-    the scan's split count (measured 4.7s -> 2.1s at sf0.1 on the
+    ``spread`` decouples the CPU-heavy shingle stage from the scan's
+    split count (measured 4.7s -> 2.1s at sf0.1 on the
     single-row-group fixture); pass False at cluster scale where the
-    input already has >= cores splits.
+    input already has >= cores splits. The text-attach sides read the
+    UNSPREAD scan (r17, guide §2.3): their rows meet the candidate
+    pairs in broadcast joins, so the two extra RoundRobin exchanges
+    bought nothing — the levenshtein verify runs at PAIR grain
+    (df-capped, hundreds of rows), not at corpus grain, and the pair
+    relation inherits its parallelism from the join's stream side
+    either way.
     """
-    documents = _spread(documents, spread)
     cand = bucket_pairs(
-        rare_shingle_buckets(documents, n=n, max_df=max_df, id_col=id_col)
+        rare_shingle_buckets(
+            _spread(documents, spread), n=n, max_df=max_df, id_col=id_col
+        )
     ).distinct()
     norm = documents.select(F.col(id_col), normalized("text").alias("t"))
     ta = norm.select(

@@ -487,15 +487,25 @@ def lsh_bucket_pairs(
     # doubled the dominant map stage.
     _band_payload = _band_payload.asNondeterministic()
 
-    hashed = (
-        e.withColumn("eq", eq)
-        .withColumn("_p", _band_payload(F.col("eq")))
-        .select(
-            "vec_id",
-            F.posexplode(F.col("_p.keys")).alias("band", "key"),
-            F.col("_p.lo").alias("_lo"),
-            F.col("_p.hi").alias("_hi"),
-        )
+    # cache the N-row payload relation BEFORE the band explode (r17,
+    # guide §4.2/§2.4 — the minhash_signatures precedent): both self-join
+    # sides and nothing else re-derive it, so without the cache the
+    # 64-plane matmul ran once per side. Pre-explode placement keeps the
+    # cached footprint at N rows (vec_id, eq, keys, lo, hi — fixed
+    # width); the cheap codegen explode replays per consumer. Interleaved
+    # A/B at sf0.1 (6 rounds, drop-1 medians): plain 2.79s /
+    # post-explode 2.71s / pre-explode 2.39s for similarity_lsh, 1.29 /
+    # 1.20 / 1.08 for the highsim point. Like the other operator-level
+    # caches, lifetime is construction-scoped (ContextCleaner reclaims
+    # once the result is dropped).
+    payload = (
+        e.withColumn("eq", eq).withColumn("_p", _band_payload(F.col("eq"))).cache()
+    )
+    hashed = payload.select(
+        "vec_id",
+        F.posexplode(F.col("_p.keys")).alias("band", "key"),
+        F.col("_p.lo").alias("_lo"),
+        F.col("_p.hi").alias("_hi"),
     )
     # Measured counter-result (round 6, sf0.1, uncontended A/B):
     # broadcasting one side of this self-join (32k rows, above a
@@ -532,7 +542,10 @@ def lsh_bucket_pairs(
     # round, so no half-to-even divergence). sim_e6 is therefore the
     # exact cosine of the quantized vectors — within 2e-6 of the float
     # cosine, and the SQL oracle computes the identical quantity.
-    eqn = e.withColumn("eq", eq).select(
+    # derive the verify-side vectors from the CACHED payload relation
+    # (identical eq values — same expression) instead of re-scanning and
+    # re-quantizing per broadcast side
+    eqn = payload.select(
         "vec_id",
         "eq",
         F.aggregate(

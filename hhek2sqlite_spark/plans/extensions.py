@@ -2774,7 +2774,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 10)
         .select((F.col("doc_id") + 20000).alias("doc_id"), *cols[1:])
     )
-    batch = base.unionByName(history_dups).unionByName(batch_dups)
+    # localCheckpoint (r17, the sparse_cosine_pairs precedent): the
+    # augmented batch is referenced by BOTH sides of exact_dedup's
+    # semi-join and by the store anti-join, and Catalyst pushes those
+    # joins THROUGH the 3-way union — the committed r16 plan held 15
+    # parquet scans / 21 Exchanges, with the keepers aggregate and the
+    # store distinct each rebuilt once per union branch
+    # (plans/r17/incremental_dedup_before.txt). The batch is
+    # batch-sized by definition (the operator's whole premise), so the
+    # materialization is tiny; release via owned_result.
+    batch = (
+        base.unionByName(history_dups)
+        .unionByName(batch_dups)
+        .localCheckpoint(eager=True)
+    )
     store = dedup.fingerprint_store(docs.filter(F.col("doc_id") >= _INC_BATCH_MAX))
     return dedup.incremental_dedup(batch, store).select(
         "doc_id", "lang", "source", "n_chars"
