@@ -828,20 +828,24 @@ def _assign_one_level(
     extra: tuple[tuple[str, str], ...] = (),
     *,
     checkpoint: bool = True,
-) -> DataFrame | None:
+    return_seed_rows: bool = False,
+) -> DataFrame | None | tuple[DataFrame | None, list]:
     """Legacy single-tier assignment: ALL K seeds driver-collected, one
     Arrow matmul per batch. O(K x dim) driver state and N*K*dim flops —
     use only when K is bounded (see semantic_dedup's asymptotics note);
     kept as the exact-equivalence reference for the two-level tier.
     Returns (vec_id, eq, n, cell) localCheckpoint'ed, or None if no
-    seeds exist."""
+    seeds exist. ``return_seed_rows`` (round 17) additionally returns
+    the collected seed rows so ``build_semdedup_store`` can hand them
+    to the store's judge calls without a second driver collect."""
     # one model-sized job: the K seed vectors come to the driver in
     # vec_id order (cell id = seed vec_id) — the train_ivf_centroids
     # envelope ONLY when K is fixed by the caller's seed fence
     seed_rows = q.filter(seed_pred).orderBy("vec_id").select("vec_id", "eq").collect()
     if not seed_rows:
-        return None
-    return _one_level_assign(q, seed_rows, extra, checkpoint=checkpoint)
+        return (None, []) if return_seed_rows else None
+    out = _one_level_assign(q, seed_rows, extra, checkpoint=checkpoint)
+    return (out, seed_rows) if return_seed_rows else out
 
 
 def _one_level_assign(
@@ -898,8 +902,9 @@ def _assign_two_level(
     extra: tuple[tuple[str, str], ...] = (),
     *,
     return_seed_route: bool = False,
+    return_coarse_state: bool = False,
     checkpoint: bool = True,
-) -> DataFrame | None | tuple[DataFrame | None, DataFrame | None]:
+) -> DataFrame | None | tuple:
     """Two-level assignment (round 15, the r14 weak-flag fix): driver
     and closure state is the coarse_k x dim COARSE matrix only —
     independent of the corpus. Fine seeds stay distributed (their cell
@@ -914,14 +919,21 @@ def _assign_two_level(
     the seeds' own coarse routing as a (vec_id, ccell) relation — the
     K-row byproduct ``build_semdedup_store`` persists as the store's
     ``ccell`` column. Sharing it here removes the build path's second
-    ``_collect_coarse`` driver job and duplicate K-row route pass."""
+    ``_collect_coarse`` driver job and duplicate K-row route pass.
+    ``return_coarse_state`` (round 17, optimization): additionally
+    return the collected (cq, cn, own_ids) coarse tuple itself, so the
+    store build can hand the ready router state to every subsequent
+    judge call (zero per-batch ``_collect_coarse`` jobs)."""
     if coarse_k < 1:
         raise ValueError(f"coarse_k must be >= 1, got {coarse_k}")
     if fine_salt < 1:
         raise ValueError(f"fine_salt must be >= 1, got {fine_salt}")
     coarse = _collect_coarse(q.filter(seed_pred), coarse_k)
     if coarse is None:
-        return (None, None) if return_seed_route else None
+        empty = [None]
+        empty += [None] if return_seed_route else []
+        empty += [None] if return_coarse_state else []
+        return tuple(empty) if len(empty) > 1 else None
     route = _coarse_route_udf(*coarse)
     extra_names = [name for name, _ in extra]
     v = q.select("vec_id", "eq", "n", *extra_names).withColumn(
@@ -937,10 +949,12 @@ def _assign_two_level(
         )
     )
     assigned = _fine_assign(v, s, fine_salt, extra, checkpoint=checkpoint)
+    ret = [assigned]
     if return_seed_route:
-        seed_route = s.select(F.col("cell").alias("vec_id"), "ccell")
-        return assigned, seed_route
-    return assigned
+        ret.append(s.select(F.col("cell").alias("vec_id"), "ccell"))
+    if return_coarse_state:
+        ret.append(coarse)
+    return tuple(ret) if len(ret) > 1 else assigned
 
 
 def _collect_coarse(seeds: DataFrame, coarse_k: int):
@@ -1253,6 +1267,33 @@ class _AdoptFromStoreMeta:
 # supply the parameters the legacy caller contract required.
 ADOPT_FROM_STORE = _AdoptFromStoreMeta()
 
+# --- construction-scoped store hint (round 17, optimization round 1) ---------
+#
+# build_semdedup_store already holds, at build time, everything a judge
+# call later re-derives from the store relation with DRIVER JOBS: the
+# metadata parameters (it wrote them) and the seed router state (the
+# coarse matrix / one-level seed rows it collected for the corpus
+# assignment). Carrying them on the returned DataFrame OBJECT (a plain
+# Python attribute — construction-scoped, exactly like the operator
+# localCheckpoint lifetimes; it does NOT survive a parquet round-trip,
+# where the judge falls back to the in-band metadata row + collects)
+# removes 2 serial driver jobs per judge call (metadata read + coarse
+# collect), and append_to_semdedup_store forwards it unchanged (the
+# appended rows are never seeds — frozen build-time structure), so a
+# multi-batch ingest SEQUENCE pays ZERO per-batch driver collects.
+# Values are identical by construction: the store's seed rows are the
+# build's q.filter(seed_pred) rows with eq/n persisted verbatim, and
+# both sides order by vec_id with the same LIMIT — parity-pinned by
+# test_round17_perf_contracts (hint path == stripped-hint path).
+_SEMDEDUP_HINT_ATTR = "_hhek_semdedup_build_hint"
+
+
+def _store_hint(store: DataFrame) -> dict | None:
+    hint = getattr(store, _SEMDEDUP_HINT_ATTR, None)
+    if isinstance(hint, dict) and "meta" in hint:
+        return hint
+    return None
+
 
 def _store_meta_df(
     spark,
@@ -1434,17 +1475,40 @@ def build_semdedup_store(
     meta = _store_meta_df(
         q.sparkSession, seed_stride, seed_max_id, coarse_k, fine_salt
     )
+    # the hint rides on the returned DataFrame object (see
+    # _SEMDEDUP_HINT_ATTR): judge calls against THIS store skip the
+    # metadata-read and coarse-collect driver jobs; a parquet
+    # round-trip drops it and the in-band metadata row takes over
+    hint: dict = {
+        "meta": {
+            "format_version": SEMDEDUP_STORE_FORMAT_VERSION,
+            "seed_stride": seed_stride,
+            "seed_max_id": seed_max_id,
+            "coarse_k": coarse_k,
+            "fine_salt": fine_salt,
+            "quant_scale": _QUANT_SCALE,
+        },
+        "coarse": None,
+        "seed_rows": None,
+    }
     seed_ccell = None
     if coarse_k is None:
-        assigned = _assign_one_level(q, seed_pred, checkpoint=False)
+        assigned, seed_rows = _assign_one_level(
+            q, seed_pred, checkpoint=False, return_seed_rows=True
+        )
+        hint["seed_rows"] = seed_rows
     else:
         # the seeds' own coarse routing comes back as a K-row byproduct
-        # of the assignment (ADVICE r16: no second _collect_coarse job)
-        assigned, seed_ccell = _assign_two_level(
+        # of the assignment (ADVICE r16: no second _collect_coarse job);
+        # the coarse tuple itself becomes the judge calls' router state
+        assigned, seed_ccell, coarse_state = _assign_two_level(
             q, seed_pred, coarse_k, fine_salt,
-            return_seed_route=True, checkpoint=False,
+            return_seed_route=True, return_coarse_state=True,
+            checkpoint=False,
         )
+        hint["coarse"] = coarse_state
     if assigned is None:
+        setattr(meta, _SEMDEDUP_HINT_ATTR, hint)
         return meta
 
     out = assigned.withColumn(
@@ -1459,7 +1523,9 @@ def build_semdedup_store(
         data = out.join(seed_ccell, "vec_id", "left").select(
             "vec_id", "cell", "eq", "n", "is_seed", "ccell"
         )
-    return data.unionByName(meta).localCheckpoint(eager=True)
+    store = data.unionByName(meta).localCheckpoint(eager=True)
+    setattr(store, _SEMDEDUP_HINT_ATTR, hint)
+    return store
 
 
 def _bootstrap_admit(bq: DataFrame) -> DataFrame:
@@ -1508,12 +1574,17 @@ def _judge_batch_against_store(
     broadcast_batch: bool,
     prune_store_cells: bool | None,
     prune_cell_cap: int,
+    hint: dict | None = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """Shared core of the store-path judge (round 17 refactor): returns
     ``(bq, assigned_batch, decisions)`` where ``assigned_batch`` is None
     on the bootstrap branch (no store seeds). ``coarse_k``/``fine_salt``
-    arrive already resolved against the store metadata. Both public
-    wrappers (``semantic_dedup_incremental_from_store``,
+    arrive already resolved against the store metadata. ``hint`` is the
+    build-time router state riding on stores built in-process (see
+    ``_SEMDEDUP_HINT_ATTR``) — when present, the seed-router collects
+    below are skipped (the hint holds the identical rows/state the
+    collect would return). Both public wrappers
+    (``semantic_dedup_incremental_from_store``,
     ``append_to_semdedup_store``) consume it; see the former for the
     full semantics/scale contract."""
     nw = batch.select(
@@ -1532,11 +1603,18 @@ def _judge_batch_against_store(
     data_store = store.filter(F.col("vec_id") != STORE_META_VEC_ID)
     seeds = data_store.filter(F.col("is_seed") == 1)
     if coarse_k is None:
-        # one-level tier: ALL store seeds driver-collected — the legacy
-        # bounded-K envelope (use only with a fenced seed set)
-        seed_rows = (
-            seeds.orderBy("vec_id").select("vec_id", "eq", "ccell").collect()
-        )
+        if hint is not None:
+            # build-time seed rows, handed over in-process: identical to
+            # the collect below by construction (the store's seed eq
+            # rows ARE the build's, persisted verbatim; one-level build
+            # never writes ccell, so the two-level backstop cannot fire)
+            seed_rows = hint["seed_rows"] or []
+        else:
+            # one-level tier: ALL store seeds driver-collected — the
+            # legacy bounded-K envelope (use only with a fenced seed set)
+            seed_rows = (
+                seeds.orderBy("vec_id").select("vec_id", "eq", "ccell").collect()
+            )
         if not seed_rows:
             return bq, None, _bootstrap_admit(bq)
         # a TWO-LEVEL store (ccell present) queried one-level would
@@ -1545,8 +1623,10 @@ def _judge_batch_against_store(
         # error. The seeds are already on the driver, so the check is
         # free. (With a metadata row this is unreachable —
         # _resolve_store_params raises first; kept as the backstop for
-        # pre-metadata stores, where it was the only guard.)
-        if any(r["ccell"] is not None for r in seed_rows):
+        # pre-metadata stores, where it was the only guard. Hint rows
+        # carry no ccell field — built one-level, ccell is NULL by
+        # construction.)
+        if hint is None and any(r["ccell"] is not None for r in seed_rows):
             raise ValueError(
                 "semantic_dedup_incremental_from_store: store was built "
                 "two-level (seed ccell present) — pass the same coarse_k "
@@ -1554,7 +1634,9 @@ def _judge_batch_against_store(
             )
         assigned_batch = _one_level_assign(bq, seed_rows)
     else:
-        coarse = _collect_coarse(seeds, coarse_k)
+        coarse = hint["coarse"] if hint is not None else _collect_coarse(
+            seeds, coarse_k
+        )
         if coarse is None:
             return bq, None, _bootstrap_admit(bq)
         route = _coarse_route_udf(*coarse)
@@ -1711,7 +1793,11 @@ def semantic_dedup_incremental_from_store(
     batch side only (the batch assignment localCheckpoints);
     release via ``release_local_checkpoints``.
     """
-    meta = read_semdedup_store_meta(store)
+    # stores built in-process carry their build parameters and router
+    # state on the object (zero driver jobs to re-derive them); parquet
+    # round-trips fall back to the in-band metadata row
+    hint = _store_hint(store)
+    meta = hint["meta"] if hint is not None else read_semdedup_store_meta(store)
     coarse_k, fine_salt = _resolve_store_params(meta, coarse_k, fine_salt)
     _, _, decisions = _judge_batch_against_store(
         store,
@@ -1722,6 +1808,7 @@ def semantic_dedup_incremental_from_store(
         broadcast_batch=broadcast_batch,
         prune_store_cells=prune_store_cells,
         prune_cell_cap=prune_cell_cap,
+        hint=hint,
     )
     return decisions
 
@@ -1783,7 +1870,8 @@ def append_to_semdedup_store(
     would admit everything forever while looking like it dedups —
     build the store from the first corpus slice instead.
     """
-    meta = read_semdedup_store_meta(store)
+    hint = _store_hint(store)
+    meta = hint["meta"] if hint is not None else read_semdedup_store_meta(store)
     coarse_k, fine_salt = _resolve_store_params(meta, coarse_k, fine_salt)
     _, assigned_batch, decisions = _judge_batch_against_store(
         store,
@@ -1794,6 +1882,7 @@ def append_to_semdedup_store(
         broadcast_batch=broadcast_batch,
         prune_store_cells=prune_store_cells,
         prune_cell_cap=prune_cell_cap,
+        hint=hint,
     )
     if assigned_batch is None:
         raise ValueError(
@@ -1819,7 +1908,14 @@ def append_to_semdedup_store(
             F.lit(None).cast("long").alias("ccell"),
         )
     )
-    return decisions, store.unionByName(admitted)
+    new_store = store.unionByName(admitted)
+    if hint is not None:
+        # the appended rows are NEVER seeds (frozen build-time cell
+        # structure), so the build's metadata and router state hold
+        # verbatim for the extended store: forward the hint and the
+        # NEXT batch's judge pays zero driver collects too
+        setattr(new_store, _SEMDEDUP_HINT_ATTR, hint)
+    return decisions, new_store
 
 
 def store_rows_for_admitted(batch: DataFrame, decisions: DataFrame) -> DataFrame:

@@ -145,6 +145,106 @@ def test_parallel_edges_count_toward_degree(spark):
     assert out == expect
 
 
+# --- construction-scoped store hint (r17 optimization: zero per-batch ------
+# driver collects on in-process stores) ---------------------------------------
+
+
+def _store_batch(spark):
+    base = _fresh_embeddings(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    batch = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (F.lit(1.0) + F.lit(0.01) * ((F.col("vec_id") + i) % 5 - 2).cast("double")),
+        ).alias("embedding"),
+    )
+    return base, batch
+
+
+def _strip_hint(store):
+    """Same relation, new DataFrame object: the construction-scoped hint
+    attribute does not propagate, so the judge falls back to the in-band
+    metadata row + driver collects (the parquet-roundtrip code path)."""
+    from hhek2sqlite_spark.operators import similarity
+
+    stripped = store.select(*store.columns)
+    assert similarity._store_hint(stripped) is None
+    return stripped
+
+
+def _decisions(df):
+    return sorted((r.vec_id, r.cell, r.admitted) for r in df.collect())
+
+
+def test_store_hint_two_level_matches_cold_path(spark):
+    from hhek2sqlite_spark.operators import similarity
+
+    base, batch = _store_batch(spark)
+    store = similarity.build_semdedup_store(base, seed_stride=8, coarse_k=4)
+    assert similarity._store_hint(store) is not None
+    hot = similarity.semantic_dedup_incremental_from_store(store, batch)
+    cold = similarity.semantic_dedup_incremental_from_store(
+        _strip_hint(store), batch
+    )
+    assert _decisions(hot) == _decisions(cold)
+
+
+def test_store_hint_one_level_matches_cold_path(spark):
+    from hhek2sqlite_spark.operators import similarity
+
+    base, batch = _store_batch(spark)
+    store = similarity.build_semdedup_store(base, seed_stride=16, coarse_k=None)
+    hot = similarity.semantic_dedup_incremental_from_store(store, batch)
+    cold = similarity.semantic_dedup_incremental_from_store(
+        _strip_hint(store), batch
+    )
+    assert _decisions(hot) == _decisions(cold)
+
+
+def test_append_forwards_hint_and_matches_cold_path(spark):
+    from hhek2sqlite_spark.operators import similarity
+
+    base, batch = _store_batch(spark)
+    batch_a = batch.filter(F.col("vec_id") % 20 == 0)
+    batch_b = batch.filter(F.col("vec_id") % 20 != 0)
+    store = similarity.build_semdedup_store(base, seed_stride=8, coarse_k=4)
+    dec_a, store2 = similarity.append_to_semdedup_store(store, batch_a)
+    # the appended rows are never seeds, so the build hint holds verbatim
+    assert similarity._store_hint(store2) is similarity._store_hint(store)
+    hot = similarity.semantic_dedup_incremental_from_store(store2, batch_b)
+    cold = similarity.semantic_dedup_incremental_from_store(
+        _strip_hint(store2), batch_b
+    )
+    assert _decisions(hot) == _decisions(cold)
+    # and the append path itself accepts a hintless store identically
+    dec_a_cold, _ = similarity.append_to_semdedup_store(
+        _strip_hint(store), batch_a
+    )
+    assert _decisions(dec_a) == _decisions(dec_a_cold)
+
+
+def test_store_hint_does_not_survive_parquet_roundtrip(spark, tmp_path):
+    """materialize_semdedup_store returns a reopened scan relation: no
+    hint rides along (by design — the hint is construction-scoped), and
+    the judge answers identically through the metadata-row path."""
+    from hhek2sqlite_spark.operators import similarity
+
+    base, batch = _store_batch(spark)
+    store = similarity.build_semdedup_store(base, seed_stride=8, coarse_k=4)
+    reopened = similarity.materialize_semdedup_store(
+        store, str(tmp_path / "store_pq")
+    )
+    assert similarity._store_hint(reopened) is None
+    hot = similarity.semantic_dedup_incremental_from_store(store, batch)
+    via_parquet = similarity.semantic_dedup_incremental_from_store(
+        reopened, batch
+    )
+    assert _decisions(hot) == _decisions(via_parquet)
+
+
 if __name__ == "__main__":
     import sys
 
