@@ -513,13 +513,15 @@ def bigram_repetition(
 
     Scale shape: bigram assembly is row-local array work inside
     whole-stage codegen; the only corpus-wide shuffle keys on the
-    (doc, bigram) PAIR — never hot, map-side combined. The window that
-    picks the winner partitions by document, whose bigram-count group
-    is bounded by document length, the same safety argument as
-    tfidf_topk's per-doc rank window (a stopword-hot token window
-    would NOT be safe; a per-doc window is)."""
-    from pyspark.sql.window import Window
-
+    (doc, bigram) PAIR — never hot, map-side combined. The winner is
+    then picked by ONE more aggregation at document grain (round 17,
+    guide §2.3/§2.4): ``min(struct(-cnt, bigram))`` reproduces the
+    (cnt DESC, bigram ASC) tie rule of the retired per-doc rank
+    window exactly, and because the aggregate is map-side combined,
+    only one row per document per map partition crosses the second
+    exchange — the window form shuffled and SORTED the whole
+    (doc, bigram) count grain twice (sum-over-partition + row_number)
+    to keep one row per doc."""
     toks = tokens("text")
     base = documents.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= 2
@@ -538,21 +540,24 @@ def bigram_repetition(
     counts = bigrams.groupBy(id_col, "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    wpart = Window.partitionBy(id_col)
-    wrank = wpart.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
-    return (
-        counts.withColumn("n_bigrams", F.sum("cnt").over(wpart).cast("int"))
-        .withColumn("rn", F.row_number().over(wrank))
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            "n_bigrams",
-            F.col("bigram").alias("top_bigram"),
-            F.col("cnt").cast("int").alias("top_count"),
-            F.round(F.lit(1000000.0) * F.col("cnt") / F.col("n_bigrams"))
-            .cast("long")
-            .alias("rep_frac_e6"),
+    # min(struct(-cnt, bigram)) == the (cnt DESC, bigram ASC) argmin:
+    # struct ordering is lexicographic, cnt >= 1 so -cnt never overflows
+    top = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("int").alias("n_bigrams"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("bigram"))
+        ).alias("top"),
+    )
+    return top.select(
+        id_col,
+        "n_bigrams",
+        F.col("top.bigram").alias("top_bigram"),
+        (-F.col("top.neg_cnt")).cast("int").alias("top_count"),
+        F.round(
+            F.lit(1000000.0) * (-F.col("top.neg_cnt")) / F.col("n_bigrams")
         )
+        .cast("long")
+        .alias("rep_frac_e6"),
     )
 
 

@@ -254,19 +254,22 @@ def test_tfidf_topk_no_token_partitioned_window(spark, sf_dir):
 
 
 def test_bigram_repetition_single_scan_pair_shuffle(spark, sf_dir):
-    # round-10 operator: one parquet scan; the corpus-wide shuffle keys
-    # on the (doc, bigram) PAIR (never hot); the winner-picking windows
-    # partition by doc (bounded group — tfidf's safety argument) and
-    # the rank window must compile to WindowGroupLimit (top-1 pushdown)
+    # round-10 operator, re-planned round 17: one parquet scan; the
+    # corpus-wide shuffle keys on the (doc, bigram) PAIR (never hot);
+    # the winner is picked by a map-side-combined min(struct(-cnt,
+    # bigram)) aggregation at doc grain — ZERO Window nodes (the old
+    # sum-over-partition + row_number form shuffled and sorted the
+    # whole count grain twice; only one row per doc per partition
+    # crosses the final exchange now)
     import re
 
     p = plan_text(spark, sf_dir, "bigram_repetition")
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE)) == 1, p
-    assert "WindowGroupLimit" in p, p
-    low = p.lower()
-    for l in low.splitlines():
-        if "windowspecdefinition" in l:
-            assert "doc_id" in l, l
+    assert "Window" not in p, p
+    # the doc-grain winner aggregate is partial (map-side combined):
+    # two aggregate nodes keyed doc_id (partial + final) around an
+    # Exchange, on top of the pair-keyed count aggregate
+    assert len(re.findall(r"^\(\d+\) (?:Sort|Hash)Aggregate", p, flags=re.MULTILINE)) >= 4, p
 
 
 def test_boilerplate_shingles_checkpointed_single_pass(spark, sf_dir):
