@@ -37,6 +37,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hhek2sqlite_spark.operators.text import fingerprint, let_once, normalized, tokens
+from hhek2sqlite_spark.operators.util import (
+    own_caches,
+    release_owned_caches,
+)
 from hhek2sqlite_spark.operators.util import spread as _spread_impl
 
 # ---------------------------------------------------------------------------
@@ -209,14 +213,17 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return (
+    # own_caches (r18): the buckets cache is released with the result
+    # (owned_result / release_local_checkpoints), not left to GC
+    return own_caches(
         shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb")), "id_b")
         .filter(
             F.col("shared") * threshold_den
             >= F.lit(threshold_num) * (F.col("na") + F.col("nb") - F.col("shared"))
         )
-        .select("id_a", "id_b", "shared", "na", "nb")
+        .select("id_a", "id_b", "shared", "na", "nb"),
+        buckets,
     )
 
 
@@ -449,11 +456,13 @@ def minhash_lsh_pairs(
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     )
-    return (
+    # own_caches (r18): the signature cache is released with the result
+    return own_caches(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_matches"))
-        .filter(F.col("est_matches") >= min_est_matches)
+        .filter(F.col("est_matches") >= min_est_matches),
+        sig,
     )
 
 
@@ -549,6 +558,52 @@ def star_connected_components(
         e0.unpersist()
 
 
+def _closed_neighborhood(pairs: DataFrame):
+    """The label-propagation loop's inputs (split out in r18 so the
+    measurement harness can dump the LOOP-BODY physical plan — the r17
+    before/after dumps showed only the post-localCheckpoint ExistingRDD
+    stub, VERDICT r17 #2; see scripts/explain_loop_r18.py): the cached
+    raw edge list, the cached CLOSED-neighborhood symmetric+self-edge
+    relation hash-laid-out on the neighbor key, and the cached round-1
+    labels (label_0(v) = v, so min over the closed neighborhood's
+    labels == min over the neighbor ids — a plain groupBy, no join).
+    Caller owns all three caches."""
+    edges = pairs.select("id_a", "id_b").cache()
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ids = sym.select(F.col("id_a").alias("id")).distinct()
+    symp = (
+        sym.union(ids.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")))
+        .repartition("id_b")
+        .cache()
+    )
+    labels = (
+        symp.groupBy("id_a")
+        .agg(F.min("id_b").alias("label"))
+        .withColumnRenamed("id_a", "id")
+        .cache()
+    )
+    return edges, symp, labels
+
+
+def _lp_round(symp: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label-propagation round over the cached closed-
+    neighborhood edges: one shuffle-hash join (labels move to symp's
+    layout, the cached edges never re-shuffle) + one map-combined
+    groupBy — 2 exchanges/round, of which only the groupBy carries
+    edge-grain rows (the r17 re-plan, guide §2.4)."""
+    return (
+        symp.join(
+            labels.hint("shuffle_hash").withColumnRenamed("id", "id_b"),
+            "id_b",
+        )
+        .groupBy("id_a")
+        .agg(F.min("label").alias("label"))
+        .withColumnRenamed("id_a", "id")
+    )
+
+
 def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     """Connected components over an undirected near-dup pair list
     (id_a, id_b, ...): the step that turns pairwise candidates into
@@ -597,36 +652,11 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     formulation (min over the same closed neighborhood), so round
     count, the convergence fixpoint, and the star fallback trigger are
     unchanged."""
-    edges = pairs.select("id_a", "id_b").cache()
-    sym = edges.union(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
-    ids = sym.select(F.col("id_a").alias("id")).distinct()
-    symp = (
-        sym.union(ids.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")))
-        .repartition("id_b")
-        .cache()
-    )
-    # round 1 folded: label_0(v) = v, so min over the closed
-    # neighborhood's labels == min over the neighbor ids themselves
-    labels = (
-        symp.groupBy("id_a")
-        .agg(F.min("id_b").alias("label"))
-        .withColumnRenamed("id_a", "id")
-        .cache()
-    )
+    edges, symp, labels = _closed_neighborhood(pairs)
     try:
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(max_iter - 1):
-            new_labels = (
-                symp.join(
-                    labels.hint("shuffle_hash").withColumnRenamed("id", "id_b"),
-                    "id_b",
-                )
-                .groupBy("id_a")
-                .agg(F.min("label").alias("label"))
-                .withColumnRenamed("id_a", "id")
-            ).cache()
+            new_labels = _lp_round(symp, labels).cache()
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
@@ -642,6 +672,11 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         edges.unpersist()
         symp.unpersist()
         labels.unpersist()
+        # r18: the upstream pair generator (minhash_lsh_pairs) attaches
+        # its signature cache to ``pairs`` — the returned labels are
+        # checkpointed before this runs, so the pair pipeline's caches
+        # can be released here instead of leaking past the operator
+        release_owned_caches(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -731,8 +766,12 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    # own_caches (r18): the fingerprint cache is released with the result
+    return own_caches(
+        pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+            F.col("hamming") <= max_hamming
+        ),
+        fps,
     )
 
 

@@ -67,14 +67,7 @@ def pagerank(
     counted per-row, same as the old groupBy(src).count().
     """
     base = ((damping_den - damping_num) * RANK_SCALE) // damping_den
-    ed = (
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-        .repartition("e_src")
-        .withColumn(
-            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("e_src"))
-        )
-        .persist()
-    )
+    ed = _degree_edges(edges, src, dst).persist()
     if iterations <= 0:
         # degenerate contract: rank_0 over the node set (distinct srcs)
         out = (
@@ -86,40 +79,71 @@ def pagerank(
         ed.unpersist()
         return out
 
-    def _round(contrib: DataFrame) -> DataFrame:
-        return contrib.groupBy("node").agg(
-            F.expr(
-                f"CAST({base} + ({damping_num} * sum(c)) div {damping_den} AS BIGINT)"
-            ).alias("rank_micros")
-        )
-
     # round 1 folded: rank_0 == RANK_SCALE for every node, so the first
     # round's contributions are a pure function of the cached edges —
     # no rank join (guide §2.4: one exchange removed outright)
-    ranks = _round(
+    ranks = _rank_agg(
         ed.select(
             F.col("e_dst").alias("node"),
             F.expr(f"{RANK_SCALE}L div out_deg").alias("c"),
-        )
+        ),
+        base, damping_num, damping_den,
     )
     for _ in range(iterations - 1):
-        # shuffle-hash, not broadcast: measured ~20% faster here (no
-        # per-round driver collect/broadcast barrier), and it is the
-        # only shape that still works when the rank table outgrows the
-        # broadcast threshold — ranks shuffle to ed's layout, ed never
-        # moves
-        contrib = ed.join(
-            ranks.hint("shuffle_hash"), ed.e_src == ranks.node
-        ).select(
-            F.col("e_dst").alias("node"),
-            F.expr("rank_micros div out_deg").alias("c"),
-        )
-        ranks = _round(contrib)
+        ranks = _rank_round(ed, ranks, base, damping_num, damping_den)
     # materialize + cut lineage so the edge cache can be released before
     # returning (same leak-avoidance contract as dedup.neardup_clusters)
     out = ranks.localCheckpoint()
     ed.unpersist()
     return out
+
+
+def _degree_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """The pagerank loop's edge relation: hash-laid-out on the source
+    key ONCE, out-degree annotated by a window over that same layout
+    (one exchange total — guide §2.4; the pre-r17 form paid a degree
+    groupBy + join + second repartition). Split out in r18 so the
+    measurement harness can dump the LOOP-BODY physical plan — the r17
+    before/after dumps showed only the post-localCheckpoint ExistingRDD
+    stub (VERDICT r17 #2); see scripts/explain_loop_r18.py."""
+    return (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .repartition("e_src")
+        .withColumn(
+            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("e_src"))
+        )
+    )
+
+
+def _rank_agg(
+    contrib: DataFrame, base: int, damping_num: int, damping_den: int
+) -> DataFrame:
+    return contrib.groupBy("node").agg(
+        F.expr(
+            f"CAST({base} + ({damping_num} * sum(c)) div {damping_den} AS BIGINT)"
+        ).alias("rank_micros")
+    )
+
+
+def _rank_round(
+    ed: DataFrame,
+    ranks: DataFrame,
+    base: int,
+    damping_num: int,
+    damping_den: int,
+) -> DataFrame:
+    """ONE power-iteration round over the cached degree-annotated
+    edges. shuffle-hash, not broadcast: measured ~20% faster here (no
+    per-round driver collect/broadcast barrier), and it is the only
+    shape that still works when the rank table outgrows the broadcast
+    threshold — ranks shuffle to ed's layout, ed never moves."""
+    contrib = ed.join(
+        ranks.hint("shuffle_hash"), ed.e_src == ranks.node
+    ).select(
+        F.col("e_dst").alias("node"),
+        F.expr("rank_micros div out_deg").alias("c"),
+    )
+    return _rank_agg(contrib, base, damping_num, damping_den)
 
 
 def cooccurrence_edges(

@@ -51,11 +51,17 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    ADOPT_FROM_STORE,
     SEMDEDUP_STORE_DDL,
+    _judge_batch_against_store,
+    _resolve_store_params,
+    _store_hint,
+    carry_store_router,
     materialize_semdedup_store,
-    semantic_dedup_incremental_from_store,
+    read_semdedup_store_meta,
     store_rows_for_admitted,
 )
 from ..operators.util import release_local_checkpoints
@@ -104,7 +110,18 @@ def open_semdedup_stream_store(
     None). Excluding the current batch's own id is what makes REPLAY
     exact: a crashed batch N's partial delta directory is never read
     when N is re-judged. The base stays a cell-partitioned scan inside
-    the union, so AUTO cell pruning still applies to it."""
+    the union, so AUTO cell pruning still applies to it.
+
+    r18 (guide §5, VERDICT r17 #4): the returned relation carries the
+    BASE's router hint (metadata + seed-router state), served from the
+    session router cache — derived with driver jobs once per base
+    version and reused by every micro-batch, instead of re-reading the
+    metadata row and re-collecting the coarse seeds from the whole
+    base+delta union per batch. Exact because deltas written by this
+    module are admitted rows only (never seeds, never a metadata row —
+    store_rows_for_admitted pins both), so the union's router state IS
+    the base's; compaction rebuilds base (new file mtimes), which
+    invalidates the cache entry by content signature."""
     base = spark.read.schema(SEMDEDUP_STORE_DDL).parquet(
         os.path.join(root, "base")
     ).select("vec_id", "cell", "eq", "n", "is_seed", "ccell")
@@ -116,7 +133,7 @@ def open_semdedup_stream_store(
             os.path.join(root, "delta", f"ingest_batch={i}")
         )
         store = store.unionByName(delta)
-    return store
+    return carry_store_router(store, base)
 
 
 def judge_semdedup_batch(
@@ -133,24 +150,70 @@ def judge_semdedup_batch(
     ``delta/ingest_batch=<id>``. Idempotent by deterministic-path
     overwrite (module docstring). Parameters (coarse_k/fine_salt) are
     ADOPTED from the base store's metadata row — a stream cannot drift
-    from its store's cell structure."""
+    from its store's cell structure.
+
+    r18 (guide §5, VERDICT r17 #3/#4): the handler drives the judge
+    CORE directly so both per-batch writes are projections of ONE
+    batch-grain materialization — the ``judged`` relation already
+    carries the admitted rows' quantized vectors (eq/n), so the old
+    ``store_rows_for_admitted`` re-quantize + decisions join (and its
+    broadcast job) is gone from the per-batch chain. Decision and
+    delta contents are bit-identical to the old path (same quantize
+    expressions, same admitted filter — pinned by the replay and
+    drain tests). The bootstrap branch (no store seeds — only
+    reachable on a hand-assembled root, init refuses seedless bases)
+    keeps the old shape."""
     spark = batch_df.sparkSession
     store = open_semdedup_stream_store(spark, root, upto_batch_id=batch_id)
-    decisions = semantic_dedup_incremental_from_store(
-        store, batch_df, tau_e6=tau_e6, broadcast_batch=broadcast_batch
+    hint = _store_hint(store)
+    meta = hint["meta"] if hint is not None else read_semdedup_store_meta(store)
+    coarse_k, fine_salt = _resolve_store_params(
+        meta, ADOPT_FROM_STORE, ADOPT_FROM_STORE
     )
-    # batch-sized eager checkpoint: the two writes below must not
-    # re-run the judge (same reuse contract as append_to_semdedup_store)
-    decisions = decisions.localCheckpoint(eager=True)
+    _, assigned_batch, judged = _judge_batch_against_store(
+        store,
+        batch_df,
+        tau_e6=tau_e6,
+        coarse_k=coarse_k,
+        fine_salt=fine_salt,
+        broadcast_batch=broadcast_batch,
+        prune_store_cells=None,
+        prune_cell_cap=10_000,
+        hint=hint,
+    )
+    if assigned_batch is None:
+        # bootstrap: judged is the admit-all decisions (no eq/n) — use
+        # the legacy extraction path for the delta rows
+        decisions = judged.localCheckpoint(eager=True)
+        try:
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(root, "decisions", f"ingest_batch={batch_id}")
+            )
+            store_rows_for_admitted(batch_df, decisions).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, "delta", f"ingest_batch={batch_id}"))
+        finally:
+            release_local_checkpoints(decisions)
+        return
+    # ONE batch-sized eager checkpoint feeding both writes (they must
+    # not re-run the judge — same reuse contract as append_to_semdedup_store)
+    judged = judged.localCheckpoint(eager=True)
     try:
-        decisions.write.mode("overwrite").parquet(
-            os.path.join(root, "decisions", f"ingest_batch={batch_id}")
-        )
-        store_rows_for_admitted(batch_df, decisions).write.mode(
+        judged.select("vec_id", "cell", "admitted").write.mode(
             "overwrite"
-        ).parquet(os.path.join(root, "delta", f"ingest_batch={batch_id}"))
+        ).parquet(os.path.join(root, "decisions", f"ingest_batch={batch_id}"))
+        judged.filter(F.col("admitted") == 1).select(
+            "vec_id",
+            "cell",
+            "eq",
+            "n",
+            F.lit(0).cast("int").alias("is_seed"),
+            F.lit(None).cast("long").alias("ccell"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(root, "delta", f"ingest_batch={batch_id}")
+        )
     finally:
-        release_local_checkpoints(decisions)
+        release_local_checkpoints(judged)
 
 
 def compact_semdedup_stream_store(spark: SparkSession, root: str) -> int:

@@ -90,8 +90,18 @@ ALLOWLIST: dict[tuple[str, str, str], tuple[int, str]] = {
         "collect",
     ): (
         1,
-        "O(1): the store's single metadata row (vec_id=-1), LIMIT 2 "
-        "bounded; the (cell, vec_id) filter pushes to the scan",
+        "O(1): the store's single metadata row (vec_id=-1) via a "
+        "single-pass groupBy().agg (r18 — the old LIMIT 2 paid "
+        "executeTake's escalating re-scans); the (cell, vec_id) filter "
+        "pushes to the scan",
+    ),
+    ("operators/similarity.py", "_cached_router", "collect"): (
+        1,
+        "O(K) seed rows — the one-level tier's session router cache "
+        "(r18), same caller-fenced-K envelope as _assign_one_level and "
+        "the _judge_batch_against_store one-level collect it replaces "
+        "on cache build; the two-level branch goes through "
+        "_collect_coarse (O(coarse_k))",
     ),
     ("plans/extensions.py", "q_order_value_ntile", "collect"): (
         1,

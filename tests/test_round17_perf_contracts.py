@@ -212,8 +212,15 @@ def test_append_forwards_hint_and_matches_cold_path(spark):
     batch_b = batch.filter(F.col("vec_id") % 20 != 0)
     store = similarity.build_semdedup_store(base, seed_stride=8, coarse_k=4)
     dec_a, store2 = similarity.append_to_semdedup_store(store, batch_a)
-    # the appended rows are never seeds, so the build hint holds verbatim
-    assert similarity._store_hint(store2) is similarity._store_hint(store)
+    # the appended rows are never seeds, so the build hint holds
+    # verbatim — forwarded as a SHALLOW COPY (ADVICE r17: no mutable
+    # dict aliased across sibling stores; the router state inside is
+    # shared by reference, which is fine because the hint is frozen)
+    h0, h2 = similarity._store_hint(store), similarity._store_hint(store2)
+    assert h2 is not None and h2 is not h0
+    assert h2["meta"] == h0["meta"]
+    assert h2["coarse"] is h0["coarse"]
+    assert h2["seed_rows"] is h0["seed_rows"]
     hot = similarity.semantic_dedup_incremental_from_store(store2, batch_b)
     cold = similarity.semantic_dedup_incremental_from_store(
         _strip_hint(store2), batch_b
