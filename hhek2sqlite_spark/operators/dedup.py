@@ -453,14 +453,39 @@ def minhash_lsh_pairs(
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    )
+
+    # r18: Arrow-batched numpy equality count instead of the interpreted
+    # zip_with/filter fold — the similarity-LSH verify precedent (r6) at
+    # the same shape: ~300k candidate pairs x k=64 components at sf0.1,
+    # where the per-pair interpreted HOF was the tail's largest cost.
+    # Exact by construction: signatures are int64, (A==B).sum counts the
+    # SAME equal components the fold counted — bit-identical in any
+    # engine, and the SQL oracle's unrolled CASE sum computes the same
+    # integer. Measured on leaf inputs (drift-free stage isolation):
+    # fold 2.16s / unrolled-CASE codegen 12.62s (the round-2 janino
+    # warning, confirmed) / numpy 1.63s. asNondeterministic stops the
+    # est >= min filter being pushed below the projection and
+    # re-evaluating the kernel per pair (guide §4.4, the r17 _sim_q
+    # precedent).
+    @F.pandas_udf("int")
+    def _est_matches(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="int32")
+        A = np.stack(a.values)
+        B = np.stack(b.values)
+        return pd.Series((A == B).sum(axis=1).astype("int32"))
+
+    _est_matches = _est_matches.asNondeterministic()
+
     # own_caches (r18): the signature cache is released with the result
     return own_caches(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", est.alias("est_matches"))
+        .select(
+            "id_a",
+            "id_b",
+            _est_matches(F.col("sig_a"), F.col("sig_b")).alias("est_matches"),
+        )
         .filter(F.col("est_matches") >= min_est_matches),
         sig,
     )
